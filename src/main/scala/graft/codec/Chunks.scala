@@ -1,0 +1,372 @@
+package graft.codec
+
+/** Chunk framing + per-chunk codec auto-selection.
+  *
+  * A chunk is the unit of encoding — the analog of a reference `Page`
+  * (reference: page.go:22-85). Frame: 1 codec-id byte, uvarint value
+  * count, codec payload.
+  *
+  * The reference chooses encodings statically per schema node
+  * (node.go:417-433, canEncode encoding.go:119-143); the selector here is
+  * the data-driven replacement required by the north rule: one cheap stats
+  * pass (runs, sortedness, bit widths, sampled cardinality via the probe
+  * table) ranks candidate codecs by estimated size; the winner is encoded
+  * and kept only if it actually beats PLAIN, so the selector never loses
+  * bytes vs the PLAIN baseline (FIXTURES.md §1 requirement).
+  */
+object Codecs {
+  final val PlainInt = 0
+  final val RleInt = 1
+  final val DeltaInt = 2
+  final val DictInt = 3
+  final val PlainLong = 4
+  final val DeltaLong = 5
+  final val PlainBytes = 6
+  final val DeltaLengthBytes = 7
+  final val DeltaBytes = 8
+  final val FsstBytes = 9
+  final val DictBytes = 10
+  final val PlainDouble = 11
+  final val BssDouble = 12
+  final val PlainBool = 13
+  final val RleBool = 14
+
+  val names: Map[Int, String] = Map(
+    PlainInt -> "PLAIN", RleInt -> "RLE", DeltaInt -> "DELTA_BINARY_PACKED",
+    DictInt -> "RLE_DICTIONARY", PlainLong -> "PLAIN", DeltaLong -> "DELTA_BINARY_PACKED",
+    PlainBytes -> "PLAIN", DeltaLengthBytes -> "DELTA_LENGTH_BYTE_ARRAY",
+    DeltaBytes -> "DELTA_BYTE_ARRAY", FsstBytes -> "FSST", DictBytes -> "RLE_DICTIONARY",
+    PlainDouble -> "PLAIN", BssDouble -> "BYTE_STREAM_SPLIT",
+    PlainBool -> "PLAIN", RleBool -> "RLE")
+}
+
+final case class IntStats(n: Int, min: Long, max: Long, runs: Int, sorted: Boolean,
+                          distinctEst: Int, distinctCapped: Boolean, avgDeltaBits: Double,
+                          maxBits: Int)
+
+object Chunks {
+  import Codecs._
+
+  private final val DistinctCap = 4096
+
+  // ---------------------------------------------------------------- stats
+
+  /** One-pass (plus strided cardinality sample) statistics for selection. */
+  def intStats(src: Array[Int], off: Int, n: Int): IntStats = {
+    if (n == 0) return IntStats(0, 0, 0, 0, sorted = true, 0, distinctCapped = false, 0, 0)
+    var mn = src(off).toLong
+    var mx = mn
+    var runs = 1
+    var sorted = true
+    var maxBits = BitPack.widthOfUnsignedInt(src(off))
+    var deltaBitsSum = 0L
+    var i = 1
+    while (i < n) {
+      val v = src(off + i)
+      val p = src(off + i - 1)
+      if (v != p) runs += 1
+      if (v < p) sorted = false
+      if (v < mn) mn = v
+      if (v > mx) mx = v
+      val w = BitPack.widthOfUnsignedInt(v)
+      if (w > maxBits) maxBits = w
+      val d = v.toLong - p.toLong
+      deltaBitsSum += BitPack.widthOfUnsignedLong((d << 1) ^ (d >> 63)) // zigzag width
+      i += 1
+    }
+    // sampled cardinality via the probe table (reference hashprobe semantics)
+    val dict = new IntDict(512)
+    val step = math.max(1, n / DistinctCap)
+    var capped = false
+    i = 0
+    while (i < n && !capped) {
+      dict.probe(src(off + i))
+      if (dict.size > DistinctCap) capped = true
+      i += step
+    }
+    IntStats(n, mn, mx, runs, sorted, dict.size, capped,
+      if (n > 1) deltaBitsSum.toDouble / (n - 1) else 0.0, maxBits)
+  }
+
+  /** Size-estimate-ranked codec choice for an int chunk. */
+  def selectIntCodec(s: IntStats): Int = {
+    if (s.n == 0) return PlainInt
+    val plain = 4.0 * s.n
+    val rle = s.runs.toDouble * (2 + (s.maxBits + 7) / 8)
+    val delta = s.n * (s.avgDeltaBits + 1.0) / 8.0 + (s.n / 128.0 + 1) * 8
+    val dict =
+      if (s.distinctCapped) Double.MaxValue
+      else {
+        val iw = if (s.distinctEst <= 1) 0 else BitPack.widthOfUnsignedInt(s.distinctEst - 1)
+        s.distinctEst * 4.0 + s.n * (iw + 1.0) / 8.0
+      }
+    var best = PlainInt
+    var bestSz = plain
+    if (rle < bestSz) { best = RleInt; bestSz = rle }
+    if (dict < bestSz) { best = DictInt; bestSz = dict }
+    if (delta < bestSz) { best = DeltaInt; bestSz = delta }
+    best
+  }
+
+  // ------------------------------------------------------------------ ints
+
+  def encodeInts(src: Array[Int], off: Int, n: Int, forced: Int = -1): Array[Byte] = {
+    val codec = if (forced >= 0) forced else selectIntCodec(intStats(src, off, n))
+    val out = new ByteWriter(math.max(64, n))
+    writeIntChunk(src, off, n, codec, out)
+    if (forced < 0 && codec != PlainInt && out.length > 5 + 4L * n) {
+      val plain = new ByteWriter(8 + 4 * n)
+      writeIntChunk(src, off, n, PlainInt, plain)
+      plain.toArray
+    } else out.toArray
+  }
+
+  private def writeIntChunk(src: Array[Int], off: Int, n: Int, codec: Int, out: ByteWriter): Unit = {
+    out.writeByte(codec)
+    out.writeUvarint(n)
+    codec match {
+      case PlainInt => Plain.encodeInts(src, off, n, out)
+      case RleInt =>
+        var bw = 0
+        var i = 0
+        while (i < n) {
+          val w = BitPack.widthOfUnsignedInt(src(off + i)); if (w > bw) bw = w; i += 1
+        }
+        out.writeByte(bw)
+        Rle.encode(src, off, n, bw, out)
+      case DeltaInt => DeltaBinaryPacked.encodeInts(src, off, n, out)
+      case DictInt => DictIntCodec.encode(src, off, n, out)
+      case other => throw new IllegalArgumentException(s"not an int codec: $other")
+    }
+  }
+
+  def decodeInts(bytes: Array[Byte]): Array[Int] = {
+    val r = new ByteReader(bytes)
+    val codec = r.readByte()
+    val n = r.readUvarint().toInt
+    codec match {
+      case PlainInt => Plain.decodeInts(r, n)
+      case RleInt =>
+        val bw = r.readByte()
+        val dst = new Array[Int](n)
+        Rle.decode(r, bw, dst, 0, n)
+        dst
+      case DeltaInt => DeltaBinaryPacked.decodeInts(r)
+      case DictInt => DictIntCodec.decode(r)
+      case other => throw new IllegalArgumentException(s"not an int codec: $other")
+    }
+  }
+
+  def intCodecOf(bytes: Array[Byte]): Int = bytes(0) & 0xFF
+
+  // ----------------------------------------------------------------- longs
+
+  def encodeLongs(src: Array[Long], off: Int, n: Int, forced: Int = -1): Array[Byte] = {
+    val codec =
+      if (forced >= 0) forced
+      else {
+        // sorted-ish or small deltas → delta; else plain
+        var deltaBits = 0L
+        var i = 1
+        while (i < n) {
+          val d = src(off + i) - src(off + i - 1)
+          deltaBits += BitPack.widthOfUnsignedLong((d << 1) ^ (d >> 63))
+          i += 1
+        }
+        val deltaEst = (if (n > 1) n * (deltaBits.toDouble / (n - 1) + 1) / 8 else 8.0) + (n / 128.0 + 1) * 10
+        if (deltaEst < 8.0 * n) DeltaLong else PlainLong
+      }
+    val out = new ByteWriter(math.max(64, n * 2))
+    out.writeByte(codec)
+    out.writeUvarint(n)
+    codec match {
+      case PlainLong => Plain.encodeLongs(src, off, n, out)
+      case DeltaLong => DeltaBinaryPacked.encodeLongs(src, off, n, out)
+      case other => throw new IllegalArgumentException(s"not a long codec: $other")
+    }
+    out.toArray
+  }
+
+  def decodeLongs(bytes: Array[Byte]): Array[Long] = {
+    val r = new ByteReader(bytes)
+    val codec = r.readByte()
+    val n = r.readUvarint().toInt
+    codec match {
+      case PlainLong => Plain.decodeLongs(r, n)
+      case DeltaLong => DeltaBinaryPacked.decodeLongs(r)
+      case other => throw new IllegalArgumentException(s"not a long codec: $other")
+    }
+  }
+
+  // --------------------------------------------------------------- strings
+
+  def encodeStrings(src: Array[Array[Byte]], off: Int, n: Int, forced: Int = -1): Array[Byte] = {
+    val codec = if (forced >= 0) forced else selectStringCodec(src, off, n)
+    val out = new ByteWriter(256)
+    writeStringChunk(src, off, n, codec, out)
+    if (forced < 0) {
+      // never lose to DELTA_LENGTH (the reference's BYTE_ARRAY default)
+      val fallback = new ByteWriter(256)
+      writeStringChunk(src, off, n, DeltaLengthBytes, fallback)
+      if (fallback.length < out.length) return fallback.toArray
+    }
+    out.toArray
+  }
+
+  private def selectStringCodec(src: Array[Array[Byte]], off: Int, n: Int): Int = {
+    if (n == 0) return DeltaLengthBytes
+    val step = math.max(1, n / 1024)
+    val dict = new BytesDict
+    var totalLen = 0L
+    var prefixShare = 0L
+    var sampled = 0
+    var i = 0
+    var capped = false
+    while (i < n) {
+      val b = src(off + i)
+      totalLen += b.length
+      if (!capped) {
+        dict.probe(b)
+        if (dict.size > DistinctCap) capped = true
+      }
+      if (i > 0) {
+        val p = src(off + i - 1)
+        val m = math.min(p.length, b.length)
+        var j = 0
+        while (j < m && p(j) == b(j)) j += 1
+        prefixShare += j
+      }
+      sampled += 1
+      i += step
+    }
+    val avgLen = totalLen.toDouble / sampled
+    if (!capped && dict.size <= math.max(1, sampled / 4)) DictBytes
+    else if (avgLen > 0 && prefixShare.toDouble / math.max(1, totalLen) > 0.4) DeltaBytes
+    else if (avgLen >= 6) FsstBytes
+    else DeltaLengthBytes
+  }
+
+  private def writeStringChunk(src: Array[Array[Byte]], off: Int, n: Int, codec: Int, out: ByteWriter): Unit = {
+    out.writeByte(codec)
+    out.writeUvarint(n)
+    codec match {
+      case PlainBytes => Plain.encodeByteArrays(src, off, n, out)
+      case DeltaLengthBytes => DeltaLengthByteArray.encode(src, off, n, out)
+      case DeltaBytes => DeltaByteArray.encode(src, off, n, out)
+      case DictBytes => DictBytesCodec.encode(src, off, n, out)
+      case FsstBytes =>
+        // lengths delta-packed, then one FSST blob over the concatenation
+        val lengths = new Array[Int](n)
+        var total = 0
+        var i = 0
+        while (i < n) { lengths(i) = src(off + i).length; total += lengths(i); i += 1 }
+        DeltaBinaryPacked.encodeInts(lengths, 0, n, out)
+        val blob = new Array[Byte](total)
+        var p = 0
+        i = 0
+        while (i < n) {
+          System.arraycopy(src(off + i), 0, blob, p, src(off + i).length)
+          p += src(off + i).length
+          i += 1
+        }
+        Fsst.encode(blob, 0, total, out)
+      case other => throw new IllegalArgumentException(s"not a string codec: $other")
+    }
+  }
+
+  def decodeStrings(bytes: Array[Byte]): Array[Array[Byte]] = {
+    val r = new ByteReader(bytes)
+    val codec = r.readByte()
+    val n = r.readUvarint().toInt
+    codec match {
+      case PlainBytes => Plain.decodeByteArrays(r, n)
+      case DeltaLengthBytes => DeltaLengthByteArray.decode(r)
+      case DeltaBytes => DeltaByteArray.decode(r)
+      case DictBytes => DictBytesCodec.decode(r)
+      case FsstBytes =>
+        val lengths = DeltaBinaryPacked.decodeInts(r)
+        val blob = Fsst.decode(r)
+        val dst = new Array[Array[Byte]](n)
+        var p = 0
+        var i = 0
+        while (i < n) {
+          dst(i) = java.util.Arrays.copyOfRange(blob, p, p + lengths(i))
+          p += lengths(i)
+          i += 1
+        }
+        dst
+      case other => throw new IllegalArgumentException(s"not a string codec: $other")
+    }
+  }
+
+  // --------------------------------------------------------------- doubles
+
+  def encodeDoubles(src: Array[Double], off: Int, n: Int, forced: Int = -1): Array[Byte] = {
+    val codec = if (forced >= 0) forced else PlainDouble
+    val out = new ByteWriter(16 + 8 * n)
+    out.writeByte(codec)
+    out.writeUvarint(n)
+    codec match {
+      case PlainDouble => Plain.encodeDoubles(src, off, n, out)
+      case BssDouble => ByteStreamSplit.encodeDoubles(src, off, n, out)
+      case other => throw new IllegalArgumentException(s"not a double codec: $other")
+    }
+    out.toArray
+  }
+
+  def decodeDoubles(bytes: Array[Byte]): Array[Double] = {
+    val r = new ByteReader(bytes)
+    val codec = r.readByte()
+    val n = r.readUvarint().toInt
+    codec match {
+      case PlainDouble => Plain.decodeDoubles(r, n)
+      case BssDouble => ByteStreamSplit.decodeDoubles(r, n)
+      case other => throw new IllegalArgumentException(s"not a double codec: $other")
+    }
+  }
+
+  // -------------------------------------------------------------- booleans
+
+  def encodeBooleans(src: Array[Boolean], off: Int, n: Int, forced: Int = -1): Array[Byte] = {
+    val codec =
+      if (forced >= 0) forced
+      else {
+        var runs = 1
+        var i = 1
+        while (i < n) { if (src(off + i) != src(off + i - 1)) runs += 1; i += 1 }
+        if (n > 0 && runs.toLong * 3 < n / 8) RleBool else PlainBool
+      }
+    val out = new ByteWriter(16 + n / 8)
+    out.writeByte(codec)
+    out.writeUvarint(n)
+    codec match {
+      case PlainBool => Plain.encodeBooleans(src, off, n, out)
+      case RleBool =>
+        val ints = new Array[Int](n)
+        var i = 0
+        while (i < n) { ints(i) = if (src(off + i)) 1 else 0; i += 1 }
+        Rle.encode(ints, 0, n, 1, out)
+      case other => throw new IllegalArgumentException(s"not a boolean codec: $other")
+    }
+    out.toArray
+  }
+
+  def decodeBooleans(bytes: Array[Byte]): Array[Boolean] = {
+    val r = new ByteReader(bytes)
+    val codec = r.readByte()
+    val n = r.readUvarint().toInt
+    codec match {
+      case PlainBool => Plain.decodeBooleans(r, n)
+      case RleBool =>
+        val ints = new Array[Int](n)
+        Rle.decode(r, 1, ints, 0, n)
+        val dst = new Array[Boolean](n)
+        var i = 0
+        while (i < n) { dst(i) = ints(i) == 1; i += 1 }
+        dst
+      case other => throw new IllegalArgumentException(s"not a boolean codec: $other")
+    }
+  }
+
+  def codecName(bytes: Array[Byte]): String = Codecs.names.getOrElse(bytes(0) & 0xFF, "UNKNOWN")
+}
