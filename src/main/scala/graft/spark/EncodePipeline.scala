@@ -1,0 +1,343 @@
+package graft.spark
+
+import graft.codec._
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.charset.StandardCharsets.UTF_8
+
+/** One encoded column chunk — the analog of a reference row group's worth
+  * of pages (reference: row_group.go:16-53, page.go:22-85). All four
+  * input columns are encoded side by side so a chunk decodes back to
+  * complete TokenRows without any shuffle. Per-column codec ids live in
+  * the chunk payload (byte 0); names are surfaced for metrics.
+  */
+final case class EncodedChunk(
+    part_id: Int,
+    chunk_id: Long,
+    num_rows: Int,
+    num_tokens: Long,
+    first_doc_id: String,
+    last_doc_id: String,
+    tokens_codec: String,
+    lens_codec: String,
+    docid_codec: String,
+    source_codec: String,
+    tokens_min: Int,
+    tokens_max: Int,
+    raw_bytes: Long,
+    enc_bytes: Long,
+    crc32: Long,
+    tokens_bin: Array[Byte],
+    lens_bin: Array[Byte],
+    docid_bin: Array[Byte],
+    source_bin: Array[Byte])
+
+/** Per-partition lineage/metrics row for the checkpoint table. */
+final case class PartitionMetrics(
+    part_id: Int,
+    num_chunks: Int,
+    num_rows: Long,
+    num_tokens: Long,
+    raw_bytes: Long,
+    enc_bytes: Long,
+    wall_ms: Long,
+    attempt: Int,
+    status: String)
+
+/** The encode job: token table → encoded chunk table (+ checkpoint).
+  *
+  * Scale design (the part that must survive 1000 executors / 100 TB):
+  *  - partitioning is RANGE on doc_id with boundaries picked from a
+  *    token-mass-weighted sample, so each partition carries ~equal token
+  *    mass even under heavy-tailed n_tok (the north rule's skew/salting
+  *    requirement — mass-balancing subsumes per-key salting because
+  *    doc_id is unique per row);
+  *  - each partition encodes independently inside one mapPartitions stage
+  *    (no shuffle after the single range exchange); chunks are cut at a
+  *    fixed token budget so memory is bounded regardless of row skew;
+  *  - per-partition metrics rows make the job resumable: completed
+  *    part_ids are skipped on restart (idempotent because the partition
+  *    assignment is persisted with the checkpoint).
+  */
+object EncodePipeline {
+
+  final val DefaultTokensPerChunk: Int = 1 << 20 // ~4 MB of raw token payload
+
+  // ------------------------------------------------------------ partitioning
+
+  /** Range boundaries over doc_id balancing *token mass*, not row count.
+    * Sampled, sorted, then cut at equal cumulative-mass quantiles.
+    */
+  def massBalancedBounds(ds: Dataset[TokenRow], numParts: Int): Array[String] = {
+    if (numParts <= 1) return Array.empty
+    val sampleFraction = {
+      val total = ds.sparkSession.sparkContext.getConf
+        .getOption("graft.sample.hint").map(_.toLong)
+      math.min(1.0, (numParts * 200).toDouble / total.getOrElse(numParts * 2000L).toDouble)
+    }
+    val sample = ds
+      .select(col("doc_id"), col("n_tok"))
+      .sample(withReplacement = false, sampleFraction, seed = 42L)
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1).toLong))
+      .sortBy(_._1)
+    if (sample.isEmpty) return Array.empty
+    val totalMass = sample.map(_._2).sum.toDouble
+    val perPart = totalMass / numParts
+    val bounds = new scala.collection.mutable.ArrayBuffer[String](numParts - 1)
+    var acc = 0L
+    var nextCut = perPart
+    for ((id, mass) <- sample if bounds.length < numParts - 1) {
+      acc += mass
+      if (acc >= nextCut) {
+        bounds += id
+        nextCut += perPart
+      }
+    }
+    bounds.distinct.toArray
+  }
+
+  /** Assign part_id by binary search over persisted bounds — stable across
+    * runs, which is what makes checkpoint resume idempotent. */
+  def assignPartitions(ds: Dataset[TokenRow], bounds: Array[String]): Dataset[(Int, TokenRow)] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(bounds)
+    ds.map { row =>
+      val b = bc.value
+      var lo = 0
+      var hi = b.length
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (row.doc_id > b(mid)) lo = mid + 1 else hi = mid
+      }
+      (lo, row)
+    }
+  }
+
+  // ----------------------------------------------------------------- encode
+
+  /** Encode one partition's rows into chunks. Reuses growable scratch
+    * across rows (reference keeps zero-alloc hot loops,
+    * encoding_test.go:852-856; we amortize instead). */
+  private final class PartitionEncoder(partId: Int, tokensPerChunk: Int) {
+    private var tokenBuf = new Array[Int](math.min(tokensPerChunk + 8192, 1 << 22))
+    private var nTokens = 0
+    private val lens = new scala.collection.mutable.ArrayBuffer[Int](4096)
+    private val docIds = new scala.collection.mutable.ArrayBuffer[Array[Byte]](4096)
+    private val sources = new scala.collection.mutable.ArrayBuffer[Array[Byte]](4096)
+    private var chunkSeq = 0L
+
+    def add(row: TokenRow, flushTo: EncodedChunk => Unit): Unit = {
+      if (nTokens + row.tokens.length > tokenBuf.length)
+        tokenBuf = java.util.Arrays.copyOf(tokenBuf,
+          math.max(tokenBuf.length * 2, nTokens + row.tokens.length))
+      System.arraycopy(row.tokens, 0, tokenBuf, nTokens, row.tokens.length)
+      nTokens += row.tokens.length
+      lens += row.tokens.length
+      docIds += row.doc_id.getBytes(UTF_8)
+      sources += row.source.getBytes(UTF_8)
+      if (nTokens >= tokensPerChunk) flushTo(flush())
+    }
+
+    def nonEmpty: Boolean = lens.nonEmpty
+
+    def flush(): EncodedChunk = {
+      val nRows = lens.length
+      val lensArr = lens.toArray
+      val docArr = docIds.toArray
+      val srcArr = sources.toArray
+      val tokensBin = Chunks.encodeInts(tokenBuf, 0, nTokens)
+      val lensBin = Chunks.encodeInts(lensArr, 0, nRows)
+      val docBin = Chunks.encodeStrings(docArr, 0, nRows)
+      val srcBin = Chunks.encodeStrings(srcArr, 0, nRows)
+      var mn = Int.MaxValue
+      var mx = Int.MinValue
+      var i = 0
+      while (i < nTokens) {
+        val v = tokenBuf(i)
+        if (v < mn) mn = v
+        if (v > mx) mx = v
+        i += 1
+      }
+      val crc = new java.util.zip.CRC32()
+      crc.update(tokensBin)
+      crc.update(lensBin)
+      crc.update(docBin)
+      crc.update(srcBin)
+      val rawBytes = 4L * nTokens + 4L * nRows +
+        docArr.map(_.length.toLong).sum + srcArr.map(_.length.toLong).sum
+      val chunk = EncodedChunk(
+        part_id = partId,
+        chunk_id = (partId.toLong << 32) | chunkSeq,
+        num_rows = nRows,
+        num_tokens = nTokens.toLong,
+        first_doc_id = new String(docArr(0), UTF_8),
+        last_doc_id = new String(docArr(nRows - 1), UTF_8),
+        tokens_codec = Chunks.codecName(tokensBin),
+        lens_codec = Chunks.codecName(lensBin),
+        docid_codec = Chunks.codecName(docBin),
+        source_codec = Chunks.codecName(srcBin),
+        tokens_min = if (nTokens == 0) 0 else mn,
+        tokens_max = if (nTokens == 0) 0 else mx,
+        raw_bytes = rawBytes,
+        enc_bytes = tokensBin.length.toLong + lensBin.length + docBin.length + srcBin.length,
+        crc32 = crc.getValue,
+        tokens_bin = tokensBin,
+        lens_bin = lensBin,
+        docid_bin = docBin,
+        source_bin = srcBin)
+      chunkSeq += 1
+      nTokens = 0
+      lens.clear()
+      docIds.clear()
+      sources.clear()
+      chunk
+    }
+  }
+
+  /** Range-partition (mass-balanced), sort within partitions by doc_id,
+    * encode to chunks. One shuffle total. */
+  def encode(ds: Dataset[TokenRow], numParts: Int,
+             tokensPerChunk: Int = DefaultTokensPerChunk,
+             boundsOverride: Option[Array[String]] = None): Dataset[EncodedChunk] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    val bounds = boundsOverride.getOrElse(massBalancedBounds(ds, numParts))
+    assignPartitions(ds, bounds)
+      .repartition(math.max(numParts, 1), col("_1"))
+      .sortWithinPartitions(col("_1"), col("_2.doc_id"))
+      .mapPartitions(encodePartition(_, tokensPerChunk))
+  }
+
+  /** Hash-partitioning on part_id can co-locate several logical partitions
+    * in one Spark partition; the sort keeps them contiguous, so cut a new
+    * encoder whenever part_id changes. */
+  private def encodePartition(iter: Iterator[(Int, TokenRow)],
+                              tokensPerChunk: Int): Iterator[EncodedChunk] = {
+    val out = new scala.collection.mutable.ArrayBuffer[EncodedChunk]()
+    var enc: PartitionEncoder = null
+    var curPid = Int.MinValue
+    iter.foreach { case (p, row) =>
+      if (p != curPid) {
+        if (enc != null && enc.nonEmpty) out += enc.flush()
+        enc = new PartitionEncoder(p, tokensPerChunk)
+        curPid = p
+      }
+      enc.add(row, out += _)
+    }
+    if (enc != null && enc.nonEmpty) out += enc.flush()
+    out.iterator
+  }
+
+  // ----------------------------------------------------------------- decode
+
+  /** Chunk table → token rows; pure per-chunk flatMap, no shuffle. */
+  def decode(chunks: Dataset[EncodedChunk]): Dataset[TokenRow] = {
+    val spark = chunks.sparkSession
+    import spark.implicits._
+    chunks.flatMap(decodeChunk)
+  }
+
+  def decodeChunk(c: EncodedChunk): Iterator[TokenRow] = {
+    val crc = new java.util.zip.CRC32()
+    crc.update(c.tokens_bin); crc.update(c.lens_bin)
+    crc.update(c.docid_bin); crc.update(c.source_bin)
+    require(crc.getValue == c.crc32, s"chunk ${c.chunk_id}: CRC mismatch")
+    val tokens = Chunks.decodeInts(c.tokens_bin)
+    val lens = Chunks.decodeInts(c.lens_bin)
+    val docIds = Chunks.decodeStrings(c.docid_bin)
+    val sources = Chunks.decodeStrings(c.source_bin)
+    val offsets = new Array[Int](lens.length + 1)
+    var i = 0
+    while (i < lens.length) { offsets(i + 1) = offsets(i) + lens(i); i += 1 }
+    Iterator.tabulate(lens.length) { r =>
+      TokenRow(
+        new String(docIds(r), UTF_8),
+        java.util.Arrays.copyOfRange(tokens, offsets(r), offsets(r + 1)),
+        lens(r),
+        new String(sources(r), UTF_8))
+    }
+  }
+
+  // ------------------------------------------------------------- checkpoint
+
+  /** Encode with checkpoint/resume: chunks land under `dir/chunks`
+    * partitioned by part_id; a metrics/lineage row per partition lands
+    * under `dir/metrics`. On restart, partitions already present in the
+    * metrics table are skipped; the persisted bounds keep the partition
+    * assignment stable so re-encoded output is byte-identical
+    * (deterministic generator + stable assignment).
+    */
+  def encodeCheckpointed(spark: SparkSession, ds: Dataset[TokenRow], numParts: Int,
+                         dir: String,
+                         tokensPerChunk: Int = DefaultTokensPerChunk): DataFrame = {
+    import spark.implicits._
+    val fs = new java.io.File(dir)
+    fs.mkdirs()
+    val boundsFile = new java.io.File(fs, "bounds.txt")
+    val bounds: Array[String] =
+      if (boundsFile.exists()) {
+        val src = scala.io.Source.fromFile(boundsFile, "UTF-8")
+        try src.getLines().toArray finally src.close()
+      } else {
+        val b = massBalancedBounds(ds, numParts)
+        java.nio.file.Files.write(boundsFile.toPath,
+          b.mkString("\n").getBytes(UTF_8))
+        b
+      }
+    val metricsPath = s"$dir/metrics"
+    val done: Set[Int] =
+      if (new java.io.File(metricsPath).exists())
+        spark.read.parquet(metricsPath)
+          .filter(col("status") === "ok")
+          .select("part_id").as[Int].collect().toSet
+      else Set.empty
+    val assigned = assignPartitions(ds, bounds)
+    val todo =
+      if (done.isEmpty) assigned
+      else assigned.filter(!col("_1").isin(done.toSeq: _*))
+    val chunks = todo
+      .repartition(math.max(numParts, 1), col("_1"))
+      .sortWithinPartitions(col("_1"), col("_2.doc_id"))
+      .mapPartitions(encodePartition(_, tokensPerChunk))
+    // dynamic partition overwrite: a re-encoded part_id atomically replaces
+    // its directory, so a partition that crashed mid-write last attempt
+    // can never leave duplicate chunks behind
+    chunks.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("part_id").parquet(s"$dir/chunks")
+    // lineage/metrics from what was just written (idempotent aggregation)
+    val written = spark.read.parquet(s"$dir/chunks")
+    val metrics = written.groupBy(col("part_id"))
+      .agg(
+        count(lit(1)).cast("int").as("num_chunks"),
+        sum("num_rows").as("num_rows"),
+        sum("num_tokens").as("num_tokens"),
+        sum("raw_bytes").as("raw_bytes"),
+        sum("enc_bytes").as("enc_bytes"),
+        lit(0L).as("wall_ms"),
+        lit(1).as("attempt"),
+        lit("ok").as("status"))
+    metrics.write.mode("overwrite").parquet(metricsPath)
+    spark.read.parquet(metricsPath)
+  }
+
+  /** Round-trip validation: decoded rows must match the source exactly
+    * (the per-row invariant from BASELINE.json). Returns mismatch count —
+    * 0 is the pass condition. */
+  def verifyRoundTrip(source: Dataset[TokenRow], decoded: Dataset[TokenRow]): Long = {
+    val spark = source.sparkSession
+    import spark.implicits._
+    val a = source.map(r => (r.doc_id, r.tokens.toSeq, r.n_tok, r.source))
+    val b = decoded.map(r => (r.doc_id, r.tokens.toSeq, r.n_tok, r.source))
+    val mism = a.toDF("doc_id", "tokens", "n_tok", "source")
+      .join(b.toDF("doc_id", "tokens2", "n_tok2", "source2"), Seq("doc_id"), "full_outer")
+      .filter(
+        col("tokens2").isNull || col("tokens").isNull ||
+          col("tokens") =!= col("tokens2") ||
+          col("n_tok") =!= col("n_tok2") || col("source") =!= col("source2"))
+    mism.count()
+  }
+}

@@ -1,0 +1,84 @@
+package graft
+
+import graft.spark._
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+object SparkTestSession {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
+
+class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
+  lazy val spark: SparkSession = SparkTestSession.spark
+
+  test("token generator is deterministic and partition-independent") {
+    import spark.implicits._
+    val a = TokenTableGen.generate(spark, 2000, 4).collect().sortBy(_.doc_id)
+    val b = TokenTableGen.generate(spark, 2000, 7).collect().sortBy(_.doc_id)
+    assert(a.length == 2000)
+    assert(a.map(_.doc_id).toSeq == b.map(_.doc_id).toSeq)
+    assert(a.zip(b).forall { case (x, y) => x.tokens.sameElements(y.tokens) && x.source == y.source })
+    assert(a.forall(r => r.n_tok == r.tokens.length && r.n_tok >= 1 && r.n_tok <= 8192))
+    // mixture sanity: all four source categories appear
+    assert(a.map(_.source).distinct.toSet == Set("web", "books", "code", "wiki"))
+  }
+
+  test("encode → decode round-trip is exact (per-row token-array equality)") {
+    val src = TokenTableGen.generate(spark, 5000, 8)
+    val chunks = EncodePipeline.encode(src, numParts = 6, tokensPerChunk = 64 * 1024)
+    val decoded = EncodePipeline.decode(chunks)
+    assert(EncodePipeline.verifyRoundTrip(src, decoded) == 0L)
+  }
+
+  test("encode compresses: enc_bytes < raw_bytes and codecs vary") {
+    import spark.implicits._
+    val src = TokenTableGen.generate(spark, 5000, 8)
+    val chunks = EncodePipeline.encode(src, numParts = 4, tokensPerChunk = 256 * 1024).cache()
+    val agg = chunks.selectExpr("sum(raw_bytes) raw", "sum(enc_bytes) enc").head()
+    val raw = agg.getLong(0)
+    val enc = agg.getLong(1)
+    assert(enc < raw, s"enc=$enc raw=$raw")
+    val codecs = chunks.select("tokens_codec").as[String].collect().toSet
+    assert(codecs.nonEmpty)
+    chunks.unpersist()
+  }
+
+  test("mass-balanced partitioning bounds token skew") {
+    import spark.implicits._
+    val src = TokenTableGen.generate(spark, 8000, 8)
+    val chunks = EncodePipeline.encode(src, numParts = 8, tokensPerChunk = 1 << 20)
+    val perPart = chunks.groupBy("part_id").sum("num_tokens")
+      .collect().map(_.getLong(1))
+    val mean = perPart.sum.toDouble / perPart.length
+    assert(perPart.length >= 6, s"expected ~8 partitions, got ${perPart.length}")
+    assert(perPart.max < mean * 2.5, s"max=${perPart.max} mean=$mean — skew not balanced")
+  }
+
+  test("checkpointed encode resumes idempotently") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val src = TokenTableGen.generate(spark, 3000, 4)
+    val m1 = EncodePipeline.encodeCheckpointed(spark, src, 4, dir, tokensPerChunk = 64 * 1024)
+    val rows1 = m1.selectExpr("sum(num_rows)").head().getLong(0)
+    assert(rows1 == 3000L)
+    // resume: everything done → no new work, metrics unchanged
+    val m2 = EncodePipeline.encodeCheckpointed(spark, src, 4, dir, tokensPerChunk = 64 * 1024)
+    val rows2 = m2.selectExpr("sum(num_rows)").head().getLong(0)
+    assert(rows2 == 3000L)
+    // decoded output matches source exactly
+    val chunks = spark.read.parquet(s"$dir/chunks").as[EncodedChunk]
+    val decoded = EncodePipeline.decode(chunks)
+    assert(EncodePipeline.verifyRoundTrip(src, decoded) == 0L)
+  }
+}
