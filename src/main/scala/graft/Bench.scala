@@ -1,24 +1,82 @@
 package graft
+
+import graft.spark.{EncodePipeline, TokenTableGen}
 import org.apache.spark.sql.SparkSession
+
+/** Round bench: times every SparkEntry query on SPARK_GRAFT_SF_DIR, then
+  * runs the headline encode job twice — identical input at local[8] and
+  * local[32] — to evidence the north rule's two-cluster-size scaling
+  * criterion (BASELINE.md: efficiency = (T32/T8)/4, target ≥ 0.8).
+  * Prints ONE JSON line.
+  */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+
+  private def newSession(master: String, shufflePartitions: Int): SparkSession = {
+    val s = SparkSession.builder()
+      .master(master)
+      .appName(s"graft-bench-$master")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** Encode throughput at one parallelism level: generate + mass-balance
+    * + encode + aggregate (no disk sink — measures the engine, not the
+    * local filesystem). Returns (tokens, encBytes, rawBytes, seconds). */
+  private def encodeBench(master: String, cores: Int, numRows: Long): (Long, Long, Long, Double) = {
+    val spark = newSession(master, cores)
+    try {
+      val src = TokenTableGen.generate(spark, numRows, cores)
+      // warm the JIT + executor pools with a small run
+      EncodePipeline.encode(TokenTableGen.generate(spark, 2000, cores), cores)
+        .agg(org.apache.spark.sql.functions.sum("num_tokens")).collect()
+      val t0 = System.nanoTime()
+      val row = EncodePipeline.encode(src, cores)
+        .agg(
+          org.apache.spark.sql.functions.sum("num_tokens"),
+          org.apache.spark.sql.functions.sum("enc_bytes"),
+          org.apache.spark.sql.functions.sum("raw_bytes"))
+        .collect()(0)
+      val sec = (System.nanoTime() - t0) / 1e9
+      (row.getLong(0), row.getLong(1), row.getLong(2), sec)
+    } finally spark.stop()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+
+    // 1. query timings on the driver-provided tables
+    val spark = newSession(s"local[$cpus]", cpus.toInt)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+
+    // 2. north-rule scaling evidence: same encode job at two parallelism
+    //    levels (sandbox stand-in for N vs 4N executors)
+    val benchRows = sys.env.getOrElse("GRAFT_BENCH_ROWS", "200000").toLong
+    val (tok8, _, _, sec8) = encodeBench("local[8]", 8, benchRows)
+    val (tok32, enc32, raw32, sec32) = encodeBench("local[32]", 32, benchRows)
+    val thr8 = tok8 / sec8
+    val thr32 = tok32 / sec32
+    val eff = (thr32 / thr8) / 4.0
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
+      s""""encode_bench":{"rows":$benchRows,"tokens":$tok32,""" +
+      s""""p8_sec":$sec8,"p32_sec":$sec32,""" +
+      s""""p8_tokens_per_sec":$thr8,"p32_tokens_per_sec":$thr32,""" +
+      s""""scaling_efficiency":$eff,""" +
+      s""""bytes_per_token":${enc32.toDouble / tok32},""" +
+      s""""compression_ratio":${raw32.toDouble / enc32}}}""")
   }
 }

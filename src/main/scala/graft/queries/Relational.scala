@@ -1,0 +1,124 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Relational operator coverage (SURVEY.md §2.5): each reference dataflow
+  * operator re-expressed as the declarative Spark plan Catalyst optimizes
+  * (filters/pushdowns stay in the parquet scan; small dims broadcast).
+  * All output columns are BIGINT/DOUBLE/VARCHAR so Spark and DuckDB parquet
+  * schemas line up for the driver's hash compare.
+  */
+object Relational {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** R1 FilterRowReader → predicate pushdown into the scan. */
+  def filter(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(col("l_quantity") >= 49.0 && col("l_discount") > 0.05)
+      .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+        col("l_quantity"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** R3 TransformRowReader → Project with scalar functions. */
+  def transform(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        upper(col("o_orderpriority")).as("pri"),
+        length(col("o_orderpriority")).cast("long").as("pri_len"),
+        year(col("o_orderdate")).cast("long").as("yr"))
+      .orderBy("o_orderkey")
+
+  /** R4 DedupeRowReader → DISTINCT (hash-based at scale). */
+  def dedupe(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .select("l_returnflag", "l_linestatus")
+      .distinct()
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** R2 ScanRowReader / R8-R9 sort / R12 seek → global sort + limit. */
+  def sortLimit(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .select("o_orderkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(100)
+
+  /** R5 MergeRowGroups / R6 MultiRowGroup → UNION ALL + resort. */
+  def unionMerge(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+      .select(col("c_custkey").as("key"), lit("customer").as("side"))
+    val s = t(spark, dir, "supplier")
+      .select(col("s_suppkey").as("key"), lit("supplier").as("side"))
+    c.unionAll(s).orderBy("key", "side")
+  }
+
+  /** R7 Convert → casts / schema projection. */
+  def convert(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .select(
+        col("l_orderkey").cast("string").as("okey_str"),
+        col("l_linenumber").cast("long").as("ln"),
+        floor(col("l_quantity")).cast("long").as("qty_int"))
+      .orderBy("okey_str", "ln")
+
+  /** R15 ColumnIndexer stats → grouped min/max/count aggregation. */
+  def statsMinMax(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        count(lit(1)).as("cnt"),
+        min("l_quantity").as("min_qty"),
+        max("l_quantity").as("max_qty"),
+        sum(col("l_linenumber").cast("long")).as("sum_ln"),
+        min("l_extendedprice").as("min_price"),
+        max("l_extendedprice").as("max_price"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Validation join shape (SURVEY §2.6) — dim side broadcast. */
+  def joinBroadcast(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer")
+      .join(broadcast(t(spark, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("cnt"), min("c_acctbal").as("min_bal"))
+      .orderBy("n_name")
+
+  /** R13 BloomFilter probe analog → semi join (runtime filter). */
+  def semiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val rich = t(spark, dir, "customer").filter(col("c_acctbal") > 5000.0)
+    t(spark, dir, "orders")
+      .join(rich, col("o_custkey") === col("c_custkey"), "left_semi")
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** R11 Find/Search page pruning analog → selective range predicate
+    * (shows up as PushedFilters + min/max row-group skipping). */
+  def rangePrune(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .filter(col("o_orderkey").between(1000L, 2000L))
+      .select("o_orderkey", "o_orderstatus")
+      .orderBy("o_orderkey")
+
+  /** Window functions (absent in reference, required of the engine). */
+  def window(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    t(spark, dir, "orders")
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select("o_custkey", "o_orderkey", "rn")
+      .orderBy("o_custkey", "rn")
+  }
+
+  /** Event-time tumbling-window aggregation (streaming analog, batch). */
+  def eventWindow(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy(col("event_type"), hour(col("ts")).cast("long").as("hr"))
+      .agg(count(lit(1)).as("cnt"), min("value").as("min_v"), max("value").as("max_v"))
+      .orderBy("event_type", "hr")
+}

@@ -1,0 +1,163 @@
+package graft.queries
+
+import graft.codec._
+import graft.spark.{EncodePipeline, TokenTableGen, TokenRow}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.charset.StandardCharsets.UTF_8
+
+/** Codec round-trip queries for the driver's DuckDB oracle: each query
+  * pushes a real testdata column through encode→decode inside a
+  * mapPartitions stage and returns the decoded values — so the oracle is
+  * the identity SELECT, and any codec bit-flip shows up as a hash
+  * mismatch. Mirrors the reference round-trip suites
+  * (encoding/encoding_test.go:206-264) but driven through Spark.
+  */
+object RoundTrips {
+
+  private def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** DELTA_BINARY_PACKED int64 over o_orderkey (sorted-ish ids). */
+  def deltaLong(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    table(spark, dir, "orders").select("o_orderkey").as[Long]
+      .mapPartitions { it =>
+        val arr = it.toArray
+        val enc = Chunks.encodeLongs(arr, 0, arr.length, Codecs.DeltaLong)
+        Chunks.decodeLongs(enc).iterator
+      }
+      .toDF("o_orderkey")
+      .orderBy("o_orderkey")
+  }
+
+  /** RLE_DICTIONARY over the low-cardinality l_returnflag column; decoded
+    * multiset must match exactly, so compare group counts. */
+  def dictString(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    table(spark, dir, "lineitem").select("l_returnflag").as[String]
+      .mapPartitions { it =>
+        val arr = it.map(_.getBytes(UTF_8)).toArray
+        val enc = Chunks.encodeStrings(arr, 0, arr.length, Codecs.DictBytes)
+        Chunks.decodeStrings(enc).iterator.map(new String(_, UTF_8))
+      }
+      .toDF("l_returnflag")
+      .groupBy("l_returnflag").agg(count(lit(1)).as("cnt"))
+      .orderBy("l_returnflag")
+  }
+
+  /** RLE hybrid over small ints (l_linenumber). */
+  def rleInt(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    table(spark, dir, "lineitem").select("l_linenumber").as[Int]
+      .mapPartitions { it =>
+        val arr = it.toArray
+        val enc = Chunks.encodeInts(arr, 0, arr.length, Codecs.RleInt)
+        Chunks.decodeInts(enc).iterator
+      }
+      .toDF("ln")
+      .groupBy("ln").agg(count(lit(1)).as("cnt"))
+      .select(col("ln").cast("long").as("ln"), col("cnt"))
+      .orderBy("ln")
+  }
+
+  /** FSST over document text, key association preserved per row. */
+  def fsstText(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    table(spark, dir, "documents").select("doc_id", "text").as[(Long, String)]
+      .mapPartitions { it =>
+        val rows = it.toArray
+        val ids = rows.map(_._1)
+        val texts = rows.map(_._2.getBytes(UTF_8))
+        val encIds = Chunks.encodeLongs(ids, 0, ids.length)
+        val encTexts = Chunks.encodeStrings(texts, 0, texts.length, Codecs.FsstBytes)
+        val outIds = Chunks.decodeLongs(encIds)
+        val outTexts = Chunks.decodeStrings(encTexts)
+        outIds.iterator.zip(outTexts.iterator.map(new String(_, UTF_8)))
+      }
+      .toDF("doc_id", "text")
+      .orderBy("doc_id")
+  }
+
+  /** DELTA_BYTE_ARRAY (front coding) over sorted p_name strings. */
+  def deltaByteArray(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    table(spark, dir, "part").select("p_name").as[String]
+      .repartition(4).sortWithinPartitions("p_name")
+      .mapPartitions { it =>
+        val arr = it.map(_.getBytes(UTF_8)).toArray
+        val enc = Chunks.encodeStrings(arr, 0, arr.length, Codecs.DeltaBytes)
+        Chunks.decodeStrings(enc).iterator.map(new String(_, UTF_8))
+      }
+      .toDF("p_name")
+      .orderBy("p_name")
+  }
+
+  /** BYTE_STREAM_SPLIT over doubles — must be bit-identical. */
+  def byteStreamSplit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    table(spark, dir, "lineitem").select("l_extendedprice").as[Double]
+      .mapPartitions { it =>
+        val arr = it.toArray
+        val enc = Chunks.encodeDoubles(arr, 0, arr.length, Codecs.BssDouble)
+        Chunks.decodeDoubles(enc).iterator
+      }
+      .toDF("l_extendedprice")
+      .orderBy("l_extendedprice")
+  }
+
+  /** PLAIN over full-range ints (hash of keys) — selector floor. */
+  def plainInt(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    table(spark, dir, "lineitem")
+      .select((col("l_orderkey") * 2654435761L + col("l_linenumber")).cast("long").as("v"))
+      .as[Long]
+      .mapPartitions { it =>
+        val arr = it.toArray
+        val enc = Chunks.encodeLongs(arr, 0, arr.length, Codecs.PlainLong)
+        Chunks.decodeLongs(enc).iterator
+      }
+      .toDF("v")
+      .orderBy("v")
+  }
+
+  /** The full array pipeline on real data: lineitem grouped to
+    * (doc_id, tokens) rows, encoded through EncodePipeline chunks, decoded
+    * back, exploded — identity oracle on (l_orderkey, l_linenumber). */
+  def tokensPipeline(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rows = table(spark, dir, "lineitem")
+      .groupBy("l_orderkey")
+      .agg(sort_array(collect_list(col("l_linenumber"))).as("tokens"))
+      .select(
+        format_string("%015d", col("l_orderkey")).as("doc_id"),
+        col("tokens"),
+        size(col("tokens")).as("n_tok"),
+        lit("tpch").as("source"))
+      .as[TokenRow]
+    val chunks = EncodePipeline.encode(rows, numParts = 8, tokensPerChunk = 256 * 1024)
+    EncodePipeline.decode(chunks)
+      .flatMap(r => r.tokens.map(t => (r.doc_id.toLong, t.toLong)))
+      .toDF("l_orderkey", "l_linenumber")
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** Codec auto-selector demo on the deterministic synth table: one row
+    * per (column, codec) with chunk counts — shows the selector branches
+    * actually taken. No SQL oracle (engine-internal stats). */
+  def codecStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val src = TokenTableGen.generate(spark, 20000, 8)
+    val chunks = EncodePipeline.encode(src, numParts = 8, tokensPerChunk = 128 * 1024)
+    chunks
+      .flatMap(c => Seq(
+        ("tokens", c.tokens_codec, c.num_tokens),
+        ("lens", c.lens_codec, c.num_rows.toLong),
+        ("doc_id", c.docid_codec, c.num_rows.toLong),
+        ("source", c.source_codec, c.num_rows.toLong)))
+      .toDF("column", "codec", "num_values")
+      .groupBy("column", "codec")
+      .agg(count(lit(1)).as("chunks"), sum("num_values").as("values"))
+      .orderBy("column", "codec")
+  }
+}

@@ -1,0 +1,216 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data text pipeline operators over the `documents` table:
+  * exact dedup, token counting, quality scoring, language-ID heuristic,
+  * fingerprinting, and the multimodal-column plumbing stub. Where the
+  * same arithmetic is expressible in DuckDB SQL the query gets an
+  * identity-checkable oracle; engine-internal ops are rows-only.
+  */
+object TextOps {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  /** Exact deduplication: canonical id + copy count per distinct text. */
+  def exactDedup(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .groupBy("text")
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("copies"))
+      .select("keep_id", "copies")
+      .orderBy("keep_id")
+
+  /** Token counting: whitespace tokens via length arithmetic (identical
+    * semantics in DuckDB so the oracle is exact). */
+  def tokenCount(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        (length(col("text")) - length(regexp_replace(col("text"), " ", "")))
+          .cast("long").as("n_spaces"))
+      .withColumn("n_tokens", col("n_spaces") + lit(1L))
+      .orderBy("doc_id")
+
+  /** Quality scoring: punctuation / stopword / word-length signals. */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val txt = col("text")
+    def occurrences(s: String, len: Int) =
+      ((length(txt) - length(regexp_replace(txt, java.util.regex.Pattern.quote(s), ""))) / len)
+        .cast("long")
+    docs(spark, dir)
+      .select(
+        col("doc_id"),
+        length(txt).cast("long").as("n_chars"),
+        occurrences(".", 1).as("n_dots"),
+        occurrences("the", 3).as("n_the"),
+        (length(txt) - length(regexp_replace(txt, " ", ""))).cast("long").as("n_spaces"))
+      .withColumn("avg_word_len",
+        (col("n_chars") - col("n_spaces")).cast("double") / (col("n_spaces") + lit(1L)).cast("double"))
+      .orderBy("doc_id")
+  }
+
+  /** Language-ID n-gram heuristic: stopword hit counts → argmax CASE.
+    * The oracle re-states the same arithmetic, so Spark and DuckDB must
+    * agree exactly (this checks the heuristic's determinism, not accuracy
+    * against the `lang` label). */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val txt = col("text")
+    def hits(word: String) = {
+      val pat = " " + word + " "
+      ((length(txt) - length(regexp_replace(txt, java.util.regex.Pattern.quote(pat), ""))) /
+        pat.length).cast("long")
+    }
+    docs(spark, dir)
+      .select(col("doc_id"),
+        hits("the").as("en_hits"), hits("der").as("de_hits"),
+        hits("el").as("es_hits"), hits("le").as("fr_hits"))
+      .withColumn("guess",
+        when(col("en_hits") >= col("de_hits") && col("en_hits") >= col("es_hits") &&
+          col("en_hits") >= col("fr_hits") && col("en_hits") > 0, "en")
+          .when(col("de_hits") >= col("es_hits") && col("de_hits") >= col("fr_hits") &&
+            col("de_hits") > 0, "de")
+          .when(col("es_hits") >= col("fr_hits") && col("es_hits") > 0, "es")
+          .when(col("fr_hits") > 0, "fr")
+          .otherwise("other"))
+      .orderBy("doc_id")
+  }
+
+  /** Document fingerprinting (content hash; MD5 matches DuckDB's). */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("fp"))
+      .orderBy("doc_id")
+
+  /** Multimodal plumbing: treat text bytes as an opaque binary payload,
+    * run a batched per-partition "decode" stage (the real image/audio
+    * decode is stubbed — not available in this container — but the
+    * schema, batching and partition shape are real). Output is checkable:
+    * payload byte length per doc. */
+  def multimodalMeta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    docs(spark, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        // stand-in for a vectorized decoder (image resize / frame sample):
+        // processes the partition as one batch, emits typed metadata
+        batch.map { case (id, payload) => (id, payload.length.toLong) }
+      }
+      .toDF("doc_id", "n_bytes")
+      .orderBy("doc_id")
+  }
+
+  /** SimHash (64-bit) over whitespace tokens — rows-only (hash seeds are
+    * engine-internal). Deterministic: splitmix64 of token bytes. */
+  def simHash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    docs(spark, dir).select("doc_id", "text").as[(Long, String)]
+      .map { case (id, text) =>
+        val counts = new Array[Int](64)
+        text.split(' ').foreach { tok =>
+          var h = 0xcbf29ce484222325L
+          var i = 0
+          while (i < tok.length) { h = (h ^ tok.charAt(i)) * 0x100000001b3L; i += 1 }
+          h = graft.spark.TokenTableGen.splitmix64(h)
+          var b = 0
+          while (b < 64) { if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1; b += 1 }
+        }
+        var sig = 0L
+        var b = 0
+        while (b < 64) { if (counts(b) > 0) sig |= 1L << b; b += 1 }
+        (id, sig)
+      }
+      .toDF("doc_id", "simhash")
+      .orderBy("doc_id")
+  }
+
+  /** MinHash + LSH near-duplicate detection. To make the result
+    * deterministic and non-empty on a corpus with no natural dups, the
+    * query plants mutated copies of every 10th doc (id + 10⁶) and the
+    * LSH must recover those pairs: 5-char shingles → 32 minhashes →
+    * 8 bands × 4 rows → bucket join → candidate pairs. Rows-only oracle
+    * (probabilistic recall), but self-evidently checkable: every emitted
+    * pair should be (id, id+10⁶). */
+  def minHashLsh(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = docs(spark, dir).select("doc_id", "text").as[(Long, String)]
+    val planted = base.filter(_._1 % 10 == 0)
+      .map { case (id, text) => (id + 1000000L, text + " mutated tail marker") }
+    val corpus = base.union(planted)
+
+    val numHashes = 32
+    val bands = 8
+    val rowsPerBand = numHashes / bands
+    val sigs = corpus.flatMap { case (id, text) =>
+      // 5-char shingles, FNV-1a base hash, splitmix64 per-seed remix
+      val shingles = new scala.collection.mutable.HashSet[Long]()
+      var i = 0
+      val n = text.length
+      while (i + 5 <= n) {
+        var h = 0xcbf29ce484222325L
+        var j = i
+        while (j < i + 5) { h = (h ^ text.charAt(j)) * 0x100000001b3L; j += 1 }
+        shingles += h
+        i += 1
+      }
+      val mins = Array.fill(numHashes)(Long.MaxValue)
+      shingles.foreach { s =>
+        var k = 0
+        while (k < numHashes) {
+          val h = graft.spark.TokenTableGen.splitmix64(s ^ (k.toLong * 0x9E3779B97F4A7C15L))
+          if (h < mins(k)) mins(k) = h
+          k += 1
+        }
+      }
+      (0 until bands).iterator.map { b =>
+        var bandHash = 0xcbf29ce484222325L
+        var r = 0
+        while (r < rowsPerBand) {
+          bandHash = (bandHash ^ mins(b * rowsPerBand + r)) * 0x100000001b3L
+          r += 1
+        }
+        (b, bandHash, id)
+      }
+    }.toDF("band", "band_hash", "doc_id")
+
+    val a = sigs.as("a")
+    val b = sigs.as("b")
+    a.join(b, col("a.band") === col("b.band") &&
+        col("a.band_hash") === col("b.band_hash") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** N-gram Jaccard similarity for adjacent doc pairs (exact, not
+    * sketched) — the verification counterpart of minHashLsh. */
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = docs(spark, dir).select("doc_id", "text").as[(Long, String)]
+    def shingleSet(text: String): Set[Long] = {
+      val out = new scala.collection.mutable.HashSet[Long]()
+      var i = 0
+      while (i + 5 <= text.length) {
+        var h = 0xcbf29ce484222325L
+        var j = i
+        while (j < i + 5) { h = (h ^ text.charAt(j)) * 0x100000001b3L; j += 1 }
+        out += h
+        i += 1
+      }
+      out.toSet
+    }
+    val withNext = base.map { case (id, text) => (id / 2, id, shingleSet(text).toSeq) }
+      .toDF("pair", "doc_id", "sh")
+    val a = withNext.filter(col("doc_id") % 2 === 0).as("a")
+    val b = withNext.filter(col("doc_id") % 2 === 1).as("b")
+    a.join(b, col("a.pair") === col("b.pair"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        (size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
+          size(array_union(col("a.sh"), col("b.sh"))).cast("double")).as("jaccard"))
+      .orderBy("doc_a")
+  }
+}
