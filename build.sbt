@@ -26,5 +26,14 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // shuffle/spill scratch on tmpfs: /tmp is disk-backed in this sandbox
+  // and serializes the exchange; a real cluster would use local NVMe
+  "-Dspark.local.dir=/dev/shm/graft-spark-local",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // preset + pre-fault the heap and keep it committed: lazy heap
+  // expansion/uncommit under 32-thread allocation churn showed up as
+  // 20%+ kernel time and multi-second random task stalls (BenchProbe)
+  "-Xms16g",
+  "-XX:+AlwaysPreTouch",
+  "-XX:+UseParallelGC",
 )

@@ -58,6 +58,9 @@ final class ByteWriter(initialCapacity: Int = 256) {
   /** Reserve n bytes, returning their start offset (for back-patching). */
   def reserve(n: Int): Int = { ensure(n); val p = len; len += n; p }
 
+  /** Roll back to a previous length (used by encode-then-compare paths). */
+  def truncate(newLen: Int): Unit = { require(newLen <= len); len = newLen }
+
   /** Direct access for in-place bit packing; valid up to `length`. */
   def raw: Array[Byte] = buf
 

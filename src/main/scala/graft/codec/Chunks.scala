@@ -30,6 +30,8 @@ object Codecs {
   final val BssDouble = 12
   final val PlainBool = 13
   final val RleBool = 14
+  final val PagedInt = 15
+  final val ForInt = 16 // frame-of-reference + bit-pack (no delta)
 
   val names: Map[Int, String] = Map(
     PlainInt -> "PLAIN", RleInt -> "RLE", DeltaInt -> "DELTA_BINARY_PACKED",
@@ -37,7 +39,8 @@ object Codecs {
     PlainBytes -> "PLAIN", DeltaLengthBytes -> "DELTA_LENGTH_BYTE_ARRAY",
     DeltaBytes -> "DELTA_BYTE_ARRAY", FsstBytes -> "FSST", DictBytes -> "RLE_DICTIONARY",
     PlainDouble -> "PLAIN", BssDouble -> "BYTE_STREAM_SPLIT",
-    PlainBool -> "PLAIN", RleBool -> "RLE")
+    PlainBool -> "PLAIN", RleBool -> "RLE", PagedInt -> "PAGED",
+    ForInt -> "FOR_BIT_PACKED")
 }
 
 final case class IntStats(n: Int, min: Long, max: Long, runs: Int, sorted: Boolean,
@@ -94,6 +97,9 @@ object Chunks {
     val plain = 4.0 * s.n
     val rle = s.runs.toDouble * (2 + (s.maxBits + 7) / 8)
     val delta = s.n * (s.avgDeltaBits + 1.0) / 8.0 + (s.n / 128.0 + 1) * 8
+    val range = s.max - s.min // both tracked as Long: never overflows
+    val forBits = if (range <= 0) 0 else BitPack.widthOfUnsignedLong(range)
+    val forSz = if (forBits > 32) Double.MaxValue else s.n * forBits / 8.0 + 8
     val dict =
       if (s.distinctCapped) Double.MaxValue
       else {
@@ -102,23 +108,66 @@ object Chunks {
       }
     var best = PlainInt
     var bestSz = plain
+    if (forSz < bestSz) { best = ForInt; bestSz = forSz }
     if (rle < bestSz) { best = RleInt; bestSz = rle }
-    if (dict < bestSz) { best = DictInt; bestSz = dict }
-    if (delta < bestSz) { best = DeltaInt; bestSz = delta }
+    // prefer FOR over dict/delta at near-equal size: it packs and unpacks
+    // at memcpy-like speed with no table state
+    if (dict < bestSz * 0.85) { best = DictInt; bestSz = dict }
+    if (delta < bestSz * 0.85) { best = DeltaInt; bestSz = delta }
     best
   }
 
   // ------------------------------------------------------------------ ints
 
   def encodeInts(src: Array[Int], off: Int, n: Int, forced: Int = -1): Array[Byte] = {
-    val codec = if (forced >= 0) forced else selectIntCodec(intStats(src, off, n))
     val out = new ByteWriter(math.max(64, n))
+    encodeIntsInto(src, off, n, forced, out)
+    out.toArray
+  }
+
+  /** Append one int chunk to `out` (auto-selected unless forced), never
+    * losing more than the frame header vs PLAIN. */
+  def encodeIntsInto(src: Array[Int], off: Int, n: Int, forced: Int, out: ByteWriter): Unit = {
+    val codec = if (forced >= 0) forced else selectIntCodec(intStats(src, off, n))
+    val start = out.length
     writeIntChunk(src, off, n, codec, out)
-    if (forced < 0 && codec != PlainInt && out.length > 5 + 4L * n) {
-      val plain = new ByteWriter(8 + 4 * n)
-      writeIntChunk(src, off, n, PlainInt, plain)
-      plain.toArray
-    } else out.toArray
+    if (forced < 0 && codec != PlainInt && out.length - start > 5 + 4L * n) {
+      out.truncate(start)
+      writeIntChunk(src, off, n, PlainInt, out)
+    }
+  }
+
+  /** Multi-page int chunk: the page is the codec-selection unit (the
+    * reference analog: one encoding per Page, page.go:22-85; default page
+    * holds 64Ki values). Mixed-family data gets per-page codecs instead
+    * of one compromise codec, and per-page dictionaries stay cache-
+    * resident. */
+  final val DefaultPageValues: Int = 64 * 1024
+
+  def encodeIntsPaged(src: Array[Int], off: Int, n: Int,
+                      pageValues: Int = DefaultPageValues): Array[Byte] =
+    encodeIntsPagedWithStats(src, off, n, pageValues)._1
+
+  /** Paged encode that also reports the distinct page codecs chosen (for
+    * the chunk metrics row) without a decode pass. */
+  def encodeIntsPagedWithStats(src: Array[Int], off: Int, n: Int,
+                               pageValues: Int = DefaultPageValues): (Array[Byte], String) = {
+    val out = new ByteWriter(math.max(64, n))
+    out.writeByte(PagedInt)
+    out.writeUvarint(n)
+    val numPages = if (n == 0) 0 else (n + pageValues - 1) / pageValues
+    out.writeUvarint(numPages)
+    val seen = scala.collection.mutable.LinkedHashSet[String]()
+    var p = 0
+    while (p < numPages) {
+      val pOff = p * pageValues
+      val pN = math.min(pageValues, n - pOff)
+      val pageStart = out.length
+      encodeIntsInto(src, off + pOff, pN, -1, out)
+      seen += Codecs.names.getOrElse(out.raw(pageStart) & 0xFF, "UNKNOWN")
+      p += 1
+    }
+    (out.toArray, if (seen.isEmpty) "PAGED" else seen.mkString("+"))
   }
 
   private def writeIntChunk(src: Array[Int], off: Int, n: Int, codec: Int, out: ByteWriter): Unit = {
@@ -136,12 +185,33 @@ object Chunks {
         Rle.encode(src, off, n, bw, out)
       case DeltaInt => DeltaBinaryPacked.encodeInts(src, off, n, out)
       case DictInt => DictIntCodec.encode(src, off, n, out)
+      case ForInt =>
+        var mn = if (n > 0) src(off).toLong else 0L
+        var mx = mn
+        var i = 1
+        while (i < n) {
+          val v = src(off + i).toLong
+          if (v < mn) mn = v
+          if (v > mx) mx = v
+          i += 1
+        }
+        val bits = if (mx - mn <= 0) 0 else BitPack.widthOfUnsignedLong(mx - mn)
+        out.writeZigZag(mn)
+        out.writeByte(bits)
+        if (bits > 0) {
+          // shift into the frame; reuse a scratch pass (values fit 32 bits)
+          val shifted = new Array[Int](n)
+          i = 0
+          while (i < n) { shifted(i) = (src(off + i).toLong - mn).toInt; i += 1 }
+          BitPack.packInts(shifted, 0, n, bits, out)
+        }
       case other => throw new IllegalArgumentException(s"not an int codec: $other")
     }
   }
 
-  def decodeInts(bytes: Array[Byte]): Array[Int] = {
-    val r = new ByteReader(bytes)
+  def decodeInts(bytes: Array[Byte]): Array[Int] = decodeIntsFrom(new ByteReader(bytes))
+
+  def decodeIntsFrom(r: ByteReader): Array[Int] = {
     val codec = r.readByte()
     val n = r.readUvarint().toInt
     codec match {
@@ -153,8 +223,50 @@ object Chunks {
         dst
       case DeltaInt => DeltaBinaryPacked.decodeInts(r)
       case DictInt => DictIntCodec.decode(r)
+      case ForInt =>
+        val mn = r.readZigZag()
+        val bits = r.readByte()
+        val dst = new Array[Int](n)
+        if (bits == 0) java.util.Arrays.fill(dst, mn.toInt)
+        else {
+          r.skip(BitPack.unpackInts(r.buf, r.pos, bits, dst, 0, n))
+          var i = 0
+          while (i < n) { dst(i) = ((dst(i).toLong & 0xFFFFFFFFL) + mn).toInt; i += 1 }
+        }
+        dst
+      case PagedInt =>
+        val numPages = r.readUvarint().toInt
+        val dst = new Array[Int](n)
+        var p = 0
+        var pos = 0
+        while (p < numPages) {
+          val page = decodeIntsFrom(r)
+          System.arraycopy(page, 0, dst, pos, page.length)
+          pos += page.length
+          p += 1
+        }
+        require(pos == n, s"paged chunk: $pos of $n values")
+        dst
       case other => throw new IllegalArgumentException(s"not an int codec: $other")
     }
+  }
+
+  /** Distinct page codec names inside a chunk (metrics). */
+  def pageCodecNames(bytes: Array[Byte]): String = {
+    val r = new ByteReader(bytes)
+    val codec = r.readByte()
+    if (codec != PagedInt) return Codecs.names.getOrElse(codec, "UNKNOWN")
+    val n = r.readUvarint().toInt
+    val numPages = r.readUvarint().toInt
+    val seen = scala.collection.mutable.LinkedHashSet[String]()
+    var p = 0
+    while (p < numPages) {
+      seen += Codecs.names.getOrElse(r.buf(r.pos) & 0xFF, "UNKNOWN")
+      decodeIntsFrom(r) // skip by decoding (metrics path only)
+      p += 1
+    }
+    val _ = n
+    seen.mkString("+")
   }
 
   def intCodecOf(bytes: Array[Byte]): Int = bytes(0) & 0xFF

@@ -148,7 +148,7 @@ object EncodePipeline {
       val lensArr = lens.toArray
       val docArr = docIds.toArray
       val srcArr = sources.toArray
-      val tokensBin = Chunks.encodeInts(tokenBuf, 0, nTokens)
+      val (tokensBin, tokensCodec) = StreamedTokens.encode(tokenBuf, lensArr, nRows, nTokens)
       val lensBin = Chunks.encodeInts(lensArr, 0, nRows)
       val docBin = Chunks.encodeStrings(docArr, 0, nRows)
       val srcBin = Chunks.encodeStrings(srcArr, 0, nRows)
@@ -175,7 +175,7 @@ object EncodePipeline {
         num_tokens = nTokens.toLong,
         first_doc_id = new String(docArr(0), UTF_8),
         last_doc_id = new String(docArr(nRows - 1), UTF_8),
-        tokens_codec = Chunks.codecName(tokensBin),
+        tokens_codec = tokensCodec,
         lens_codec = Chunks.codecName(lensBin),
         docid_codec = Chunks.codecName(docBin),
         source_codec = Chunks.codecName(srcBin),
@@ -245,8 +245,8 @@ object EncodePipeline {
     crc.update(c.tokens_bin); crc.update(c.lens_bin)
     crc.update(c.docid_bin); crc.update(c.source_bin)
     require(crc.getValue == c.crc32, s"chunk ${c.chunk_id}: CRC mismatch")
-    val tokens = Chunks.decodeInts(c.tokens_bin)
     val lens = Chunks.decodeInts(c.lens_bin)
+    val tokens = StreamedTokens.decode(c.tokens_bin, lens)
     val docIds = Chunks.decodeStrings(c.docid_bin)
     val sources = Chunks.decodeStrings(c.source_bin)
     val offsets = new Array[Int](lens.length + 1)

@@ -54,7 +54,7 @@ object TokenTableGen {
       while (k < nTok) {
         state = splitmix64(state)
         val u = math.max(uniform01(state), 1e-12)
-        tokens(k) = math.min(49999, (math.pow(u, 3.0) * 50000.0).toInt)
+        tokens(k) = math.min(49999, (u * u * u * 50000.0).toInt)
         k += 1
       }
     } else if (kind < 0.80) {

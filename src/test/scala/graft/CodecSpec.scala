@@ -225,6 +225,65 @@ class CodecSpec extends AnyFunSuite {
     assert(z.length < 2 * zipf.length, s"${z.length}") // < half of plain
   }
 
+  test("FOR bit-pack round-trip (forced) on all vector families") {
+    for ((name, v) <- intVectors) {
+      val enc = Chunks.encodeInts(v, 0, v.length, Codecs.ForInt)
+      assert(Chunks.decodeInts(enc).toSeq == v.toSeq, name)
+    }
+    // zipf-vocab shape: FOR should be ~bitwidth(range)/8 bytes per token
+    val r = rng(77)
+    val zipf = Array.fill(100000)(r.nextInt(50000))
+    val enc = Chunks.encodeInts(zipf, 0, zipf.length)
+    assert(Chunks.codecName(enc) == "FOR_BIT_PACKED", Chunks.codecName(enc))
+    assert(enc.length <= zipf.length * 2 + 16, s"${enc.length}")
+  }
+
+  test("paged int chunks round-trip and pick per-page codecs") {
+    for ((name, v) <- intVectors) {
+      val enc = Chunks.encodeIntsPaged(v, 0, v.length, pageValues = 1024)
+      assert(Chunks.decodeInts(enc).toSeq == v.toSeq, name)
+    }
+    // mixed families in one chunk → different codecs per page
+    val r = rng(42)
+    val mixed =
+      Array.fill(70000)(r.nextInt(100)) ++ // dict/rle friendly
+        Array.tabulate(70000)(i => i * 2) ++ // delta friendly
+        Array.fill(70000)(r.nextInt()) // plain
+    val (enc, codecs) = Chunks.encodeIntsPagedWithStats(mixed, 0, mixed.length)
+    assert(Chunks.decodeInts(enc).toSeq == mixed.toSeq)
+    assert(codecs.contains("+"), s"expected multiple page codecs, got $codecs")
+    val plainSize = 4L * mixed.length
+    assert(enc.length < plainSize * 0.8, s"paged=${enc.length} plain=$plainSize")
+  }
+
+  test("streamed token chunks: row-family separation round-trips and compresses") {
+    val r = rng(9)
+    // build rows of each family, interleaved (the adversarial layout for
+    // position-based paging)
+    val rows = (0 until 2000).map { i =>
+      (i % 4) match {
+        case 0 => Array.fill(200)(r.nextInt(50000) / (1 + r.nextInt(20))) // zipf-ish
+        case 1 => { var a = r.nextInt(1000); Array.fill(150) { a += 1 + r.nextInt(60); a } }
+        case 2 => { val v = r.nextInt(30000); Array.fill(300)(v) }
+        case _ => Array.fill(100)(r.nextInt())
+      }
+    }
+    val lens = rows.map(_.length).toArray
+    val flat = rows.toArray.flatten
+    val (enc, codecs) = StreamedTokens.encode(flat, lens, rows.length, flat.length)
+    assert(StreamedTokens.decode(enc, lens).toSeq == flat.toSeq)
+    // separation must reach multiple distinct codec families
+    assert(codecs.split('+').length >= 2, codecs)
+    // and beat single-codec whole-chunk encoding
+    val whole = Chunks.encodeInts(flat, 0, flat.length)
+    assert(enc.length < whole.length, s"streamed=${enc.length} whole=${whole.length}")
+    // empty + degenerate shapes
+    val (e0, _) = StreamedTokens.encode(Array.empty, Array.empty, 0, 0)
+    assert(StreamedTokens.decode(e0, Array.empty).isEmpty)
+    val (e1, _) = StreamedTokens.encode(Array(7), Array(1), 1, 1)
+    assert(StreamedTokens.decode(e1, Array(1)).toSeq == Seq(7))
+  }
+
   test("chunk strings round-trip with auto-selection") {
     for (v <- stringVectors) {
       val enc = Chunks.encodeStrings(v, 0, v.length)
