@@ -29,11 +29,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // shuffle/spill scratch on tmpfs: /tmp is disk-backed in this sandbox
   // and serializes the exchange; a real cluster would use local NVMe
   "-Dspark.local.dir=/dev/shm/graft-spark-local",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
-  // preset + pre-fault the heap and keep it committed: lazy heap
-  // expansion/uncommit under 32-thread allocation churn showed up as
-  // 20%+ kernel time and multi-second random task stalls (BenchProbe)
-  "-Xms16g",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // fixed-size, pre-faulted heap: heap EXPANSION under 32-thread
+  // allocation churn caused kernel-time storms (mmap+page-zero) that
+  // showed up as uniform 100x task slowdowns (see BenchProbe history)
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
   "-XX:+AlwaysPreTouch",
   "-XX:+UseParallelGC",
 )

@@ -2,12 +2,18 @@ package graft
 
 import graft.spark.{EncodePipeline, TokenTableGen}
 import org.apache.spark.sql.SparkSession
+import java.nio.charset.StandardCharsets.UTF_8
 
 /** Round bench: times every SparkEntry query on SPARK_GRAFT_SF_DIR, then
-  * runs the headline encode job twice — identical input at local[8] and
-  * local[32] — to evidence the north rule's two-cluster-size scaling
-  * criterion (BASELINE.md: efficiency = (T32/T8)/4, target ≥ 0.8).
-  * Prints ONE JSON line.
+  * runs the headline encode job at two parallelism levels to evidence
+  * the north rule's two-cluster-size scaling criterion (BASELINE.md:
+  * efficiency = (T_4N/T_N)/4, target ≥ 0.8).
+  *
+  * Each level runs in a FRESH child JVM — the sandbox stand-in for two
+  * separate cluster sizes. A shared JVM contaminates the second level
+  * with the first's JIT/code-cache/heap state and produced ±30%
+  * run-to-run swings; fresh JVMs with their own full-size warm-up and
+  * best-of-3 timing are reproducible. Prints ONE JSON line.
   */
 object Bench {
 
@@ -24,41 +30,80 @@ object Bench {
     s
   }
 
-  /** Encode throughput at one parallelism level. The job is IDENTICAL at
-    * both levels — same input, same partition count (64) and same range
-    * bounds — only the executor-thread count changes, exactly as adding
-    * executors to a cluster would. Bounds are an input property computed
-    * once (untimed); the timed region is generate → assign → shuffle →
-    * sort → encode → aggregate. Returns (tokens, encBytes, rawBytes, s).
-    */
-  private def encodeBench(master: String, cores: Int, numRows: Long, numParts: Int,
-                          bounds: Array[String]): (Long, Long, Long, Double) = {
-    val spark = newSession(master, cores)
-    try {
-      val src = TokenTableGen.generate(spark, numRows, numParts)
-      // full-size untimed warm-up: the encode kernels must be C2-compiled
-      // before timing, or the first level measured pays all JIT cost
-      EncodePipeline.encode(src, numParts, boundsOverride = Some(bounds))
-        .agg(org.apache.spark.sql.functions.sum("num_tokens")).collect()
-      // best-of-3: single-shot local-mode timings carry scheduler noise
-      var best: (Long, Long, Long, Double) = null
-      for (_ <- 1 to 3) {
-        val t0 = System.nanoTime()
-        val row = EncodePipeline.encode(src, numParts, boundsOverride = Some(bounds))
-          .agg(
-            org.apache.spark.sql.functions.sum("num_tokens"),
-            org.apache.spark.sql.functions.sum("enc_bytes"),
-            org.apache.spark.sql.functions.sum("raw_bytes"))
-          .collect()(0)
-        val sec = (System.nanoTime() - t0) / 1e9
-        if (best == null || sec < best._4)
-          best = (row.getLong(0), row.getLong(1), row.getLong(2), sec)
-      }
-      best
-    } finally spark.stop()
+  private final val NumParts = 64
+
+  /** Child-JVM mode: measure one parallelism level, print one line. */
+  private def runLevel(cores: Int, numRows: Long, boundsPath: String): Unit = {
+    val spark = newSession(s"local[$cores]", cores)
+    val bounds = {
+      val src = scala.io.Source.fromFile(boundsPath, "UTF-8")
+      try src.getLines().toArray finally src.close()
+    }
+    val src = TokenTableGen.generate(spark, numRows, NumParts)
+    import org.apache.spark.sql.functions.sum
+    // full-size untimed warm-ups (JIT + shuffle paths; one is not enough
+    // for C2 to finish on the codec kernels)
+    for (_ <- 1 to 2)
+      EncodePipeline.encode(src, NumParts, boundsOverride = Some(bounds))
+        .agg(sum("num_tokens")).collect()
+    var best = Double.MaxValue
+    var toks = 0L
+    var enc = 0L
+    var raw = 0L
+    for (_ <- 1 to 3) {
+      val t0 = System.nanoTime()
+      val row = EncodePipeline.encode(src, NumParts, boundsOverride = Some(bounds))
+        .agg(sum("num_tokens"), sum("enc_bytes"), sum("raw_bytes")).collect()(0)
+      val sec = (System.nanoTime() - t0) / 1e9
+      if (sec < best) { best = sec; toks = row.getLong(0); enc = row.getLong(1); raw = row.getLong(2) }
+    }
+    println(s"GRAFT_LEVEL $cores $toks $enc $raw $best")
+    spark.stop()
+  }
+
+  /** Fork a fresh JVM running `runLevel`. */
+  private def forkLevel(cores: Int, numRows: Long, boundsPath: String): (Long, Long, Long, Double) = {
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    val opens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar"
+    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    val mem = sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")
+    val cmd: Seq[String] =
+      Seq(javaBin) ++ opens ++ Seq(
+        s"-Xmx$mem", s"-Xms$mem", "-XX:+AlwaysPreTouch", "-XX:+UseParallelGC",
+        "-Dspark.ui.enabled=false",
+        "-Dspark.sql.session.timeZone=UTC",
+        "-Dspark.local.dir=/dev/shm/graft-spark-local",
+        // lz4 shuffle compression measured FASTER than raw even on tmpfs
+        // (fewer kernel-side bytes copied beats the compress CPU)
+        "-Dspark.shuffle.compress=" + sys.env.getOrElse("GRAFT_SHUFFLE_COMPRESS", "true"),
+        "-cp", System.getProperty("java.class.path"),
+        "graft.Bench", "encode-level", cores.toString, numRows.toString, boundsPath)
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.redirectErrorStream(true)
+    val proc = pb.start()
+    val out = new String(proc.getInputStream.readAllBytes(), UTF_8)
+    proc.waitFor()
+    val line = out.linesIterator.find(_.startsWith("GRAFT_LEVEL")).getOrElse {
+      System.err.println(out.takeRight(2000))
+      sys.error(s"child JVM for local[$cores] produced no result")
+    }
+    val parts = line.split(' ')
+    (parts(2).toLong, parts(3).toLong, parts(4).toLong, parts(5).toDouble)
   }
 
   def main(args: Array[String]): Unit = {
+    if (args.length >= 4 && args(0) == "encode-level") {
+      runLevel(args(1).toInt, args(2).toLong, args(3))
+      return
+    }
+
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
 
@@ -74,20 +119,23 @@ object Bench {
         } finally spark.stop()
       }
 
-    // 2. north-rule scaling evidence: same encode job at two parallelism
-    //    levels (sandbox stand-in for N vs 4N executors)
-    val benchRows = sys.env.getOrElse("GRAFT_BENCH_ROWS", "1000000").toLong
-    val numParts = 64
-    val bounds = {
+    // 2. north-rule scaling: identical job (same input, same 64-partition
+    //    layout, persisted bounds) at N and 4N executor threads
+    val benchRows = sys.env.getOrElse("GRAFT_BENCH_ROWS", "2000000").toLong
+    val boundsPath = {
       val s = newSession("local[32]", 32)
-      try EncodePipeline.massBalancedBounds(
-        TokenTableGen.generate(s, benchRows, numParts), numParts)
-      finally s.stop()
+      try {
+        val b = EncodePipeline.massBalancedBounds(
+          TokenTableGen.generate(s, benchRows, NumParts), NumParts)
+        val f = java.io.File.createTempFile("graft-bounds", ".txt")
+        java.nio.file.Files.write(f.toPath, b.mkString("\n").getBytes(UTF_8))
+        f.getAbsolutePath
+      } finally s.stop()
     }
     val pLo = sys.env.getOrElse("GRAFT_BENCH_N", "8").toInt
     val pHi = pLo * 4
-    val (tok8, _, _, sec8) = encodeBench(s"local[$pLo]", pLo, benchRows, numParts, bounds)
-    val (tok32, enc32, raw32, sec32) = encodeBench(s"local[$pHi]", pHi, benchRows, numParts, bounds)
+    val (tok8, _, _, sec8) = forkLevel(pLo, benchRows, boundsPath)
+    val (tok32, enc32, raw32, sec32) = forkLevel(pHi, benchRows, boundsPath)
     val thr8 = tok8 / sec8
     val thr32 = tok32 / sec32
     val eff = (thr32 / thr8) / 4.0
@@ -97,8 +145,9 @@ object Bench {
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
       s""""encode_bench":{"rows":$benchRows,"tokens":$tok32,""" +
-      s""""p8_sec":$sec8,"p32_sec":$sec32,""" +
-      s""""p8_tokens_per_sec":$thr8,"p32_tokens_per_sec":$thr32,""" +
+      s""""n_executors":$pLo,"n4_executors":$pHi,""" +
+      s""""n_sec":$sec8,"n4_sec":$sec32,""" +
+      s""""n_tokens_per_sec":$thr8,"n4_tokens_per_sec":$thr32,""" +
       s""""scaling_efficiency":$eff,""" +
       s""""bytes_per_token":${enc32.toDouble / tok32},""" +
       s""""compression_ratio":${raw32.toDouble / enc32}}}""")

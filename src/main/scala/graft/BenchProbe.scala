@@ -27,16 +27,28 @@ object BenchProbe {
       time("gen-count")(src.count())
       time("gen-sumtok")(src.agg(sum("n_tok")).collect())
       val bounds = time("bounds")(EncodePipeline.massBalancedBounds(src, numParts))
-      val assigned = EncodePipeline.assignPartitions(src, bounds)
+      val assigned = EncodePipeline.withPartId(src, bounds)
       time("gen-assign-count")(assigned.count())
+      time("gen-serialize-only")(
+        src.toDF().queryExecution.toRdd.mapPartitions(it => Iterator(it.size)).collect())
+      time("gen-assign-noshuffle")(
+        assigned.queryExecution.toRdd.mapPartitions(it => Iterator(it.size)).collect())
       time("gen-assign-shuffle-sort")(
-        assigned.repartition(numParts, col("_1"))
-          .sortWithinPartitions(col("_1"), col("_2.doc_id"))
-          .mapPartitions(it => Iterator(it.size)).collect())
-      val taskTimes = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long)]()
+        assigned.repartition(numParts, col("part_id"))
+          .sortWithinPartitions(col("part_id"), col("doc_id"))
+          .queryExecution.toRdd.mapPartitions(it => Iterator(it.size)).collect())
+      time("gen-rbr-shuffle-sort")(
+        src.toDF().repartitionByRange(numParts, col("doc_id"))
+          .sortWithinPartitions(col("doc_id"))
+          .queryExecution.toRdd.mapPartitions(it => Iterator(it.size)).collect())
+      val taskTimes = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long, Long, Long)]()
       spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-        override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
-          taskTimes.add((te.stageId, te.taskInfo.duration))
+        override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = te.taskMetrics
+          taskTimes.add((te.stageId, te.taskInfo.duration,
+            if (m != null) m.executorCpuTime / 1000000 else -1,
+            if (m != null) m.jvmGCTime else -1))
+        }
       })
       for (i <- 1 to 4) {
         taskTimes.clear()
@@ -47,7 +59,10 @@ object BenchProbe {
         val byStage = taskTimes.asScala.toSeq.groupBy(_._1)
         byStage.toSeq.sortBy(_._1).foreach { case (st, ts) =>
           val d = ts.map(_._2).sorted
-          println(s"PROBE   stage$st tasks=${d.length} med=${d(d.length / 2)}ms max=${d.last}ms")
+          val cpu = ts.map(_._3).sum
+          val gc = ts.map(_._4).sum
+          println(s"PROBE   stage$st tasks=${d.length} med=${d(d.length / 2)}ms max=${d.last}ms " +
+            s"wallSum=${d.sum}ms cpuSum=${cpu}ms gcSum=${gc}ms")
         }
       }
       spark.stop()

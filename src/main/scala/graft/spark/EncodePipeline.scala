@@ -99,21 +99,23 @@ object EncodePipeline {
   }
 
   /** Assign part_id by binary search over persisted bounds — stable across
-    * runs, which is what makes checkpoint resume idempotent. */
-  def assignPartitions(ds: Dataset[TokenRow], bounds: Array[String]): Dataset[(Int, TokenRow)] = {
+    * runs, which is what makes checkpoint resume idempotent. Column-level
+    * (UDF on doc_id only): the row never round-trips through Scala
+    * objects, Catalyst just appends an int column. */
+  def withPartId(ds: Dataset[TokenRow], bounds: Array[String]): DataFrame = {
     val spark = ds.sparkSession
-    import spark.implicits._
     val bc = spark.sparkContext.broadcast(bounds)
-    ds.map { row =>
+    val assign = udf { (docId: String) =>
       val b = bc.value
       var lo = 0
       var hi = b.length
       while (lo < hi) {
         val mid = (lo + hi) >>> 1
-        if (row.doc_id > b(mid)) lo = mid + 1 else hi = mid
+        if (docId > b(mid)) lo = mid + 1 else hi = mid
       }
-      (lo, row)
+      lo
     }
+    ds.toDF().withColumn("part_id", assign(col("doc_id")))
   }
 
   // ----------------------------------------------------------------- encode
@@ -129,15 +131,16 @@ object EncodePipeline {
     private val sources = new scala.collection.mutable.ArrayBuffer[Array[Byte]](4096)
     private var chunkSeq = 0L
 
-    def add(row: TokenRow, flushTo: EncodedChunk => Unit): Unit = {
-      if (nTokens + row.tokens.length > tokenBuf.length)
+    def add(docId: Array[Byte], tokens: Array[Int], source: Array[Byte],
+            flushTo: EncodedChunk => Unit): Unit = {
+      if (nTokens + tokens.length > tokenBuf.length)
         tokenBuf = java.util.Arrays.copyOf(tokenBuf,
-          math.max(tokenBuf.length * 2, nTokens + row.tokens.length))
-      System.arraycopy(row.tokens, 0, tokenBuf, nTokens, row.tokens.length)
-      nTokens += row.tokens.length
-      lens += row.tokens.length
-      docIds += row.doc_id.getBytes(UTF_8)
-      sources += row.source.getBytes(UTF_8)
+          math.max(tokenBuf.length * 2, nTokens + tokens.length))
+      System.arraycopy(tokens, 0, tokenBuf, nTokens, tokens.length)
+      nTokens += tokens.length
+      lens += tokens.length
+      docIds += docId
+      sources += source
       if (nTokens >= tokensPerChunk) flushTo(flush())
     }
 
@@ -198,34 +201,44 @@ object EncodePipeline {
   }
 
   /** Range-partition (mass-balanced), sort within partitions by doc_id,
-    * encode to chunks. One shuffle total. */
+    * encode to chunks. One shuffle total; the row never materializes as
+    * Scala objects — the encode kernel reads Tungsten InternalRows
+    * directly (UTF8String bytes + primitive-array bulk copy). */
   def encode(ds: Dataset[TokenRow], numParts: Int,
              tokensPerChunk: Int = DefaultTokensPerChunk,
              boundsOverride: Option[Array[String]] = None): Dataset[EncodedChunk] = {
     val spark = ds.sparkSession
     import spark.implicits._
     val bounds = boundsOverride.getOrElse(massBalancedBounds(ds, numParts))
-    assignPartitions(ds, bounds)
-      .repartition(math.max(numParts, 1), col("_1"))
-      .sortWithinPartitions(col("_1"), col("_2.doc_id"))
-      .mapPartitions(encodePartition(_, tokensPerChunk))
+    val laid = withPartId(ds, bounds)
+      .repartition(math.max(numParts, 1), col("part_id"))
+      .sortWithinPartitions(col("part_id"), col("doc_id"))
+    // schema: doc_id(0), tokens(1), n_tok(2), source(3), part_id(4)
+    val chunkRdd = laid.queryExecution.toRdd.mapPartitions(encodePartition(_, tokensPerChunk))
+    spark.createDataset(chunkRdd)
   }
 
   /** Hash-partitioning on part_id can co-locate several logical partitions
     * in one Spark partition; the sort keeps them contiguous, so cut a new
-    * encoder whenever part_id changes. */
-  private def encodePartition(iter: Iterator[(Int, TokenRow)],
+    * encoder whenever part_id changes. InternalRows are reused by the
+    * scan — every retained byte is copied out (getBytes / toIntArray). */
+  private def encodePartition(iter: Iterator[org.apache.spark.sql.catalyst.InternalRow],
                               tokensPerChunk: Int): Iterator[EncodedChunk] = {
     val out = new scala.collection.mutable.ArrayBuffer[EncodedChunk]()
     var enc: PartitionEncoder = null
     var curPid = Int.MinValue
-    iter.foreach { case (p, row) =>
+    iter.foreach { row =>
+      val p = row.getInt(4)
       if (p != curPid) {
         if (enc != null && enc.nonEmpty) out += enc.flush()
         enc = new PartitionEncoder(p, tokensPerChunk)
         curPid = p
       }
-      enc.add(row, out += _)
+      enc.add(
+        row.getUTF8String(0).getBytes,
+        row.getArray(1).toIntArray(),
+        row.getUTF8String(3).getBytes,
+        out += _)
     }
     if (enc != null && enc.nonEmpty) out += enc.flush()
     out.iterator
@@ -294,14 +307,15 @@ object EncodePipeline {
           .filter(col("status") === "ok")
           .select("part_id").as[Int].collect().toSet
       else Set.empty
-    val assigned = assignPartitions(ds, bounds)
+    val assigned = withPartId(ds, bounds)
     val todo =
       if (done.isEmpty) assigned
-      else assigned.filter(!col("_1").isin(done.toSeq: _*))
-    val chunks = todo
-      .repartition(math.max(numParts, 1), col("_1"))
-      .sortWithinPartitions(col("_1"), col("_2.doc_id"))
-      .mapPartitions(encodePartition(_, tokensPerChunk))
+      else assigned.filter(!col("part_id").isin(done.toSeq: _*))
+    val laid = todo
+      .repartition(math.max(numParts, 1), col("part_id"))
+      .sortWithinPartitions(col("part_id"), col("doc_id"))
+    val chunks = spark.createDataset(
+      laid.queryExecution.toRdd.mapPartitions(encodePartition(_, tokensPerChunk)))
     // dynamic partition overwrite: a re-encoded part_id atomically replaces
     // its directory, so a partition that crashed mid-write last attempt
     // can never leave duplicate chunks behind
