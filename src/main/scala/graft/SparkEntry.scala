@@ -36,6 +36,8 @@ object SparkEntry {
     "q_rt_bss_double" -> ((s, d) => RoundTrips.byteStreamSplit(s, d)),
     "q_rt_plain_long" -> ((s, d) => RoundTrips.plainInt(s, d)),
     "q_rt_tokens_pipeline" -> ((s, d) => RoundTrips.tokensPipeline(s, d)),
+    "q_rt_tokens_zstd" -> ((s, d) => RoundTrips.tokensPipelineZstd(s, d)),
+    "q_rt_expr_sql" -> ((s, d) => RoundTrips.exprSqlRoundTrip(s, d)),
     "q_codec_stats" -> ((s, d) => RoundTrips.codecStats(s, d)),
     // --- relational / dataflow operators ---
     "q_filter" -> ((s, d) => Relational.filter(s, d)),
@@ -85,6 +87,10 @@ object SparkEntry {
     "q_rt_plain_long" ->
       "SELECT l_orderkey * 2654435761 + l_linenumber AS v FROM lineitem ORDER BY v",
     "q_rt_tokens_pipeline" ->
+      "SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber FROM lineitem ORDER BY l_orderkey, l_linenumber",
+    "q_rt_tokens_zstd" ->
+      "SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber FROM lineitem ORDER BY l_orderkey, l_linenumber",
+    "q_rt_expr_sql" ->
       "SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber FROM lineitem ORDER BY l_orderkey, l_linenumber",
     "q_filter" ->
       "SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_quantity FROM lineitem WHERE l_quantity >= 49.0 AND l_discount > 0.05 ORDER BY l_orderkey, l_linenumber",

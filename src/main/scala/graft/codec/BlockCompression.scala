@@ -1,0 +1,76 @@
+package graft.codec
+
+/** Block compression, orthogonal to the lightweight encodings — the
+  * analog of the reference's `compress.Codec` layer (compress/
+  * compress.go:19-37; uncompressed is the reference default,
+  * writer.go:318-321). JVM codecs shipped with Spark are wrapped, not
+  * reimplemented (SURVEY.md §2.3: "wrap, don't write").
+  *
+  * Wrapper frame: [0xC2][inner codec byte][uvarint rawLen][compressed].
+  * `maybeCompress` keeps the wrapper only when it actually wins ≥ ~6%,
+  * mirroring the selector's never-lose rule.
+  */
+object BlockCompression {
+  final val Magic = 0xC2
+  final val None = 0
+  final val Lz4 = 1
+  final val Zstd = 2
+
+  val names: Map[Int, String] = Map(None -> "UNCOMPRESSED", Lz4 -> "LZ4", Zstd -> "ZSTD")
+
+  def compress(codec: Int, raw: Array[Byte]): Array[Byte] = codec match {
+    case None => raw
+    case Lz4 =>
+      val c = net.jpountz.lz4.LZ4Factory.fastestInstance().fastCompressor()
+      val out = new Array[Byte](c.maxCompressedLength(raw.length))
+      val n = c.compress(raw, 0, raw.length, out, 0)
+      frame(Lz4, raw.length, out, n)
+    case Zstd =>
+      val out = com.github.luben.zstd.Zstd.compress(raw, 3)
+      frame(Zstd, raw.length, out, out.length)
+    case other => throw new IllegalArgumentException(s"unknown compression $other")
+  }
+
+  private def frame(codec: Int, rawLen: Int, body: Array[Byte], bodyLen: Int): Array[Byte] = {
+    val w = new ByteWriter(bodyLen + 8)
+    w.writeByte(Magic)
+    w.writeByte(codec)
+    w.writeUvarint(rawLen)
+    w.writeBytes(body, 0, bodyLen)
+    w.toArray
+  }
+
+  def isCompressed(bytes: Array[Byte]): Boolean =
+    bytes.length >= 2 && (bytes(0) & 0xFF) == Magic &&
+      ((bytes(1) & 0xFF) == Lz4 || (bytes(1) & 0xFF) == Zstd)
+
+  /** Transparently unwrap if compressed, else return as-is. */
+  def decompress(bytes: Array[Byte]): Array[Byte] = {
+    if (!isCompressed(bytes)) return bytes
+    val r = new ByteReader(bytes)
+    r.readByte()
+    val codec = r.readByte()
+    val rawLen = r.readUvarint().toInt
+    codec match {
+      case Lz4 =>
+        val d = net.jpountz.lz4.LZ4Factory.fastestInstance().fastDecompressor()
+        val out = new Array[Byte](rawLen)
+        d.decompress(r.buf, r.pos, out, 0, rawLen)
+        out
+      case Zstd =>
+        val out = new Array[Byte](rawLen)
+        com.github.luben.zstd.Zstd.decompressByteArray(
+          out, 0, rawLen, r.buf, r.pos, r.buf.length - r.pos)
+        out
+      case other => throw new IllegalArgumentException(s"unknown compression $other")
+    }
+  }
+
+  /** Compress only if it pays (≥6% smaller), like the selector's
+    * PLAIN-floor rule. */
+  def maybeCompress(codec: Int, raw: Array[Byte]): Array[Byte] = {
+    if (codec == None) return raw
+    val c = compress(codec, raw)
+    if (c.length.toLong * 16 <= raw.length.toLong * 15) c else raw
+  }
+}

@@ -1,0 +1,98 @@
+package graft.functions
+
+import graft.codec.Chunks
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** SQL-visible codec surface: `encode_chunk(array<int>) -> binary`,
+  * `decode_chunk(binary) -> array<int>`, `chunk_codec(binary) -> string`.
+  *
+  * Catalyst `Expression`s (not Scala UDFs): inputs arrive as `ArrayData`/
+  * byte arrays with a single bulk copy, no per-element boxing, and nulls
+  * short-circuit via `UnaryExpression.eval`. The kernels are the same
+  * auto-selecting chunk codecs the pipeline uses (SURVEY.md §2.1 E1-E9).
+  */
+case class EncodeChunk(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(IntegerType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(s"encode_chunk needs array<int>, got $t")
+    }
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "encode_chunk"
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData].toIntArray()
+    Chunks.encodeInts(arr, 0, arr.length)
+  }
+  override protected def withNewChildInternal(newChild: Expression): EncodeChunk =
+    copy(child = newChild)
+}
+
+case class DecodeChunk(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case BinaryType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(s"decode_chunk needs binary, got $t")
+    }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "decode_chunk"
+  override protected def nullSafeEval(input: Any): Any =
+    UnsafeArrayData.fromPrimitiveArray(Chunks.decodeInts(input.asInstanceOf[Array[Byte]]))
+  override protected def withNewChildInternal(newChild: Expression): DecodeChunk =
+    copy(child = newChild)
+}
+
+case class ChunkCodec(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case BinaryType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(s"chunk_codec needs binary, got $t")
+    }
+  override def dataType: DataType = StringType
+  override def prettyName: String = "chunk_codec"
+  override protected def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(Chunks.codecName(input.asInstanceOf[Array[Byte]]))
+  override protected def withNewChildInternal(newChild: Expression): ChunkCodec =
+    copy(child = newChild)
+}
+
+object GraftFunctions {
+  /** Register the codec functions on a session (idempotent). */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("encode_chunk", es => EncodeChunk(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("decode_chunk", es => DecodeChunk(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("chunk_codec", es => ChunkCodec(es.head), "scala_udf")
+  }
+}
+
+/** `SparkSessionExtensions` hook so `spark.sql.extensions=
+  * graft.functions.GraftExtensions` injects the functions at session
+  * build time (the spark-submit-friendly path).
+  */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
+    e.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("encode_chunk"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo("graft", "encode_chunk"),
+        (es: Seq[Expression]) => EncodeChunk(es.head)))
+    e.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("decode_chunk"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo("graft", "decode_chunk"),
+        (es: Seq[Expression]) => DecodeChunk(es.head)))
+    e.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("chunk_codec"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo("graft", "chunk_codec"),
+        (es: Seq[Expression]) => ChunkCodec(es.head)))
+  }
+}

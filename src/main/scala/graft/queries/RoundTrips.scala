@@ -142,6 +142,40 @@ object RoundTrips {
       .orderBy("l_orderkey", "l_linenumber")
   }
 
+  /** Same pipeline with the zstd block-compression layer on top of the
+    * lightweight encodings (reference compress.Codec analog). */
+  def tokensPipelineZstd(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rows = table(spark, dir, "lineitem")
+      .groupBy("l_orderkey")
+      .agg(sort_array(collect_list(col("l_linenumber"))).as("tokens"))
+      .select(
+        format_string("%015d", col("l_orderkey")).as("doc_id"),
+        col("tokens"),
+        size(col("tokens")).as("n_tok"),
+        lit("tpch").as("source"))
+      .as[TokenRow]
+    val chunks = EncodePipeline.encode(rows, numParts = 8, tokensPerChunk = 256 * 1024,
+      blockCodec = BlockCompression.Zstd)
+    EncodePipeline.decode(chunks)
+      .flatMap(r => r.tokens.map(t => (r.doc_id.toLong, t.toLong)))
+      .toDF("l_orderkey", "l_linenumber")
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** Round-trip through the SQL-visible Catalyst expressions
+    * (encode_chunk/decode_chunk) instead of the mapPartitions pipeline. */
+  def exprSqlRoundTrip(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    table(spark, dir, "lineitem")
+      .groupBy("l_orderkey")
+      .agg(sort_array(collect_list(col("l_linenumber"))).as("tokens"))
+      .selectExpr("l_orderkey", "decode_chunk(encode_chunk(tokens)) AS toks")
+      .select(col("l_orderkey"), explode(col("toks")).as("ln"))
+      .select(col("l_orderkey"), col("ln").cast("long").as("l_linenumber"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
   /** Codec auto-selector demo on the deterministic synth table: one row
     * per (column, codec) with chunk counts — shows the selector branches
     * actually taken. No SQL oracle (engine-internal stats). */

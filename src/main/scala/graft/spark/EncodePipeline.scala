@@ -123,7 +123,7 @@ object EncodePipeline {
   /** Encode one partition's rows into chunks. Reuses growable scratch
     * across rows (reference keeps zero-alloc hot loops,
     * encoding_test.go:852-856; we amortize instead). */
-  private final class PartitionEncoder(partId: Int, tokensPerChunk: Int) {
+  private final class PartitionEncoder(partId: Int, tokensPerChunk: Int, blockCodec: Int) {
     private var tokenBuf = new Array[Int](math.min(tokensPerChunk + 8192, 1 << 22))
     private var nTokens = 0
     private val lens = new scala.collection.mutable.ArrayBuffer[Int](4096)
@@ -151,10 +151,17 @@ object EncodePipeline {
       val lensArr = lens.toArray
       val docArr = docIds.toArray
       val srcArr = sources.toArray
-      val (tokensBin, tokensCodec) = StreamedTokens.encode(tokenBuf, lensArr, nRows, nTokens)
-      val lensBin = Chunks.encodeInts(lensArr, 0, nRows)
-      val docBin = Chunks.encodeStrings(docArr, 0, nRows)
-      val srcBin = Chunks.encodeStrings(srcArr, 0, nRows)
+      val (tokensBin0, tokensCodec) = StreamedTokens.encode(tokenBuf, lensArr, nRows, nTokens)
+      val lensBin0 = Chunks.encodeInts(lensArr, 0, nRows)
+      val docBin0 = Chunks.encodeStrings(docArr, 0, nRows)
+      val srcBin0 = Chunks.encodeStrings(srcArr, 0, nRows)
+      val lensCodec = Chunks.codecName(lensBin0)
+      val docCodec = Chunks.codecName(docBin0)
+      val srcCodec = Chunks.codecName(srcBin0)
+      val tokensBin = BlockCompression.maybeCompress(blockCodec, tokensBin0)
+      val lensBin = BlockCompression.maybeCompress(blockCodec, lensBin0)
+      val docBin = BlockCompression.maybeCompress(blockCodec, docBin0)
+      val srcBin = BlockCompression.maybeCompress(blockCodec, srcBin0)
       var mn = Int.MaxValue
       var mx = Int.MinValue
       var i = 0
@@ -179,9 +186,9 @@ object EncodePipeline {
         first_doc_id = new String(docArr(0), UTF_8),
         last_doc_id = new String(docArr(nRows - 1), UTF_8),
         tokens_codec = tokensCodec,
-        lens_codec = Chunks.codecName(lensBin),
-        docid_codec = Chunks.codecName(docBin),
-        source_codec = Chunks.codecName(srcBin),
+        lens_codec = lensCodec,
+        docid_codec = docCodec,
+        source_codec = srcCodec,
         tokens_min = if (nTokens == 0) 0 else mn,
         tokens_max = if (nTokens == 0) 0 else mx,
         raw_bytes = rawBytes,
@@ -206,7 +213,8 @@ object EncodePipeline {
     * directly (UTF8String bytes + primitive-array bulk copy). */
   def encode(ds: Dataset[TokenRow], numParts: Int,
              tokensPerChunk: Int = DefaultTokensPerChunk,
-             boundsOverride: Option[Array[String]] = None): Dataset[EncodedChunk] = {
+             boundsOverride: Option[Array[String]] = None,
+             blockCodec: Int = BlockCompression.None): Dataset[EncodedChunk] = {
     val spark = ds.sparkSession
     import spark.implicits._
     val bounds = boundsOverride.getOrElse(massBalancedBounds(ds, numParts))
@@ -214,7 +222,8 @@ object EncodePipeline {
       .repartition(math.max(numParts, 1), col("part_id"))
       .sortWithinPartitions(col("part_id"), col("doc_id"))
     // schema: doc_id(0), tokens(1), n_tok(2), source(3), part_id(4)
-    val chunkRdd = laid.queryExecution.toRdd.mapPartitions(encodePartition(_, tokensPerChunk))
+    val chunkRdd = laid.queryExecution.toRdd
+      .mapPartitions(encodePartition(_, tokensPerChunk, blockCodec))
     spark.createDataset(chunkRdd)
   }
 
@@ -223,7 +232,8 @@ object EncodePipeline {
     * encoder whenever part_id changes. InternalRows are reused by the
     * scan — every retained byte is copied out (getBytes / toIntArray). */
   private def encodePartition(iter: Iterator[org.apache.spark.sql.catalyst.InternalRow],
-                              tokensPerChunk: Int): Iterator[EncodedChunk] = {
+                              tokensPerChunk: Int,
+                              blockCodec: Int = BlockCompression.None): Iterator[EncodedChunk] = {
     val out = new scala.collection.mutable.ArrayBuffer[EncodedChunk]()
     var enc: PartitionEncoder = null
     var curPid = Int.MinValue
@@ -231,7 +241,7 @@ object EncodePipeline {
       val p = row.getInt(4)
       if (p != curPid) {
         if (enc != null && enc.nonEmpty) out += enc.flush()
-        enc = new PartitionEncoder(p, tokensPerChunk)
+        enc = new PartitionEncoder(p, tokensPerChunk, blockCodec)
         curPid = p
       }
       enc.add(
@@ -258,10 +268,10 @@ object EncodePipeline {
     crc.update(c.tokens_bin); crc.update(c.lens_bin)
     crc.update(c.docid_bin); crc.update(c.source_bin)
     require(crc.getValue == c.crc32, s"chunk ${c.chunk_id}: CRC mismatch")
-    val lens = Chunks.decodeInts(c.lens_bin)
-    val tokens = StreamedTokens.decode(c.tokens_bin, lens)
-    val docIds = Chunks.decodeStrings(c.docid_bin)
-    val sources = Chunks.decodeStrings(c.source_bin)
+    val lens = Chunks.decodeInts(BlockCompression.decompress(c.lens_bin))
+    val tokens = StreamedTokens.decode(BlockCompression.decompress(c.tokens_bin), lens)
+    val docIds = Chunks.decodeStrings(BlockCompression.decompress(c.docid_bin))
+    val sources = Chunks.decodeStrings(BlockCompression.decompress(c.source_bin))
     val offsets = new Array[Int](lens.length + 1)
     var i = 0
     while (i < lens.length) { offsets(i + 1) = offsets(i) + lens(i); i += 1 }

@@ -1,0 +1,106 @@
+package graft
+
+import graft.codec._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-based round-trips, mirroring the reference fuzz harness
+  * (encoding/fuzz/fuzz.go:16-80) and quick.go size schedule. */
+class CodecPropertySpec extends AnyFunSuite {
+
+  /** Deterministic sampling harness over ScalaCheck generators (the
+    * scalatestplus bridge is not in the offline cache). */
+  def forAll[A](g: Gen[A], n: Int = 60)(f: A => Unit): Unit = {
+    var i = 0
+    while (i < n) {
+      g.apply(Gen.Parameters.default, Seed(i.toLong * 7919 + 1)).foreach(f)
+      i += 1
+    }
+  }
+  def forAll[A, B](g1: Gen[A], g2: Gen[B])(f: (A, B) => Unit): Unit =
+    forAll(Gen.zip(g1, g2))(t => f(t._1, t._2))
+  def forAll[A, B, C](g1: Gen[A], g2: Gen[B], g3: Gen[C])(f: (A, B, C) => Unit): Unit =
+    forAll(Gen.zip(g1, g2, g3))(t => f(t._1, t._2, t._3))
+
+  val quickSizes: Gen[Int] = Gen.oneOf(
+    (0 to 39) ++ Seq(99, 100, 101, 127, 128, 129, 255, 256, 257,
+      1000, 1023, 1024, 1025, 2000, 2048, 2049, 2095, 4000, 4095, 4096, 4097))
+
+  val intArrays: Gen[Array[Int]] = for {
+    n <- quickSizes
+    shape <- Gen.oneOf("full", "small", "sorted", "runs")
+    seed <- Gen.choose(Long.MinValue, Long.MaxValue)
+  } yield {
+    val r = new java.util.Random(seed)
+    shape match {
+      case "full" => Array.fill(n)(r.nextInt())
+      case "small" => Array.fill(n)(r.nextInt(1000))
+      case "sorted" => { var a = r.nextInt(1 << 20); Array.fill(n) { a += r.nextInt(100); a } }
+      case _ => { var v = r.nextInt(100); Array.fill(n) { if (r.nextInt(10) == 0) v = r.nextInt(100); v } }
+    }
+  }
+
+  test("int chunk auto round-trip (property)") {
+    forAll(intArrays) { a =>
+      assert(Chunks.decodeInts(Chunks.encodeInts(a, 0, a.length)).toSeq == a.toSeq)
+    }
+  }
+
+  test("every forced int codec round-trips (property)") {
+    forAll(intArrays, Gen.oneOf(Codecs.PlainInt, Codecs.RleInt, Codecs.DeltaInt,
+      Codecs.DictInt, Codecs.ForInt)) { (a, codec) =>
+      assert(Chunks.decodeInts(Chunks.encodeInts(a, 0, a.length, codec)).toSeq == a.toSeq)
+    }
+  }
+
+  val byteArrays: Gen[Array[Array[Byte]]] = for {
+    n <- Gen.choose(0, 300)
+    seed <- Gen.choose(Long.MinValue, Long.MaxValue)
+    maxLen <- Gen.oneOf(0, 3, 40, 300)
+  } yield {
+    val r = new java.util.Random(seed)
+    Array.fill(n) { val b = new Array[Byte](if (maxLen == 0) 0 else r.nextInt(maxLen + 1)); r.nextBytes(b); b }
+  }
+
+  test("every string codec round-trips (property)") {
+    forAll(byteArrays, Gen.oneOf(Codecs.PlainBytes, Codecs.DeltaLengthBytes,
+      Codecs.DeltaBytes, Codecs.DictBytes, Codecs.FsstBytes)) { (a, codec) =>
+      val back = Chunks.decodeStrings(Chunks.encodeStrings(a, 0, a.length, codec))
+      assert(back.map(_.toSeq).toSeq == a.map(_.toSeq).toSeq)
+    }
+  }
+
+  test("streamed tokens round-trip (property)") {
+    forAll(Gen.choose(0, 60), Gen.choose(Long.MinValue, Long.MaxValue)) { (nRows, seed) =>
+      val r = new java.util.Random(seed)
+      val rows = Array.fill(nRows) {
+        r.nextInt(4) match {
+          case 0 => Array.fill(r.nextInt(300))(r.nextInt(50))
+          case 1 => { var a = 0; Array.fill(r.nextInt(300)) { a += r.nextInt(9); a } }
+          case 2 => Array.fill(r.nextInt(300))(r.nextInt())
+          case _ => Array.empty[Int]
+        }
+      }
+      val lens = rows.map(_.length)
+      val flat = rows.flatten
+      val (enc, _) = StreamedTokens.encode(flat, lens, nRows, flat.length)
+      assert(StreamedTokens.decode(enc, lens).toSeq == flat.toSeq)
+    }
+  }
+
+  test("block compression wrap/unwrap (property)") {
+    forAll(Gen.choose(0, 100000), Gen.oneOf(BlockCompression.Lz4, BlockCompression.Zstd),
+      Gen.choose(Long.MinValue, Long.MaxValue)) { (n, codec, seed) =>
+      val r = new java.util.Random(seed)
+      // compressible-ish payload
+      val raw = new Array[Byte](n)
+      var i = 0
+      while (i < n) { raw(i) = (r.nextInt(16) + (i % 32)).toByte; i += 1 }
+      val c = BlockCompression.compress(codec, raw)
+      assert(BlockCompression.decompress(c).toSeq == raw.toSeq)
+      val m = BlockCompression.maybeCompress(codec, raw)
+      assert(BlockCompression.decompress(m).toSeq == raw.toSeq)
+    }
+  }
+}
