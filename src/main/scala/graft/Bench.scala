@@ -30,16 +30,19 @@ object Bench {
     s
   }
 
-  private final val NumParts = 64
+  private val NumParts = sys.env.getOrElse("GRAFT_BENCH_PARTS", "64").toInt
 
-  /** Child-JVM mode: measure one parallelism level, print one line. */
-  private def runLevel(cores: Int, numRows: Long, boundsPath: String): Unit = {
+  /** Child-JVM mode: measure one parallelism level, print one line.
+    * Input is the pre-materialized parquet table (the north rule's
+    * Iceberg-style source), scanned by Spark's vectorized reader. */
+  private def runLevel(cores: Int, inputPath: String, boundsPath: String): Unit = {
     val spark = newSession(s"local[$cores]", cores)
+    import spark.implicits._
     val bounds = {
       val src = scala.io.Source.fromFile(boundsPath, "UTF-8")
       try src.getLines().toArray finally src.close()
     }
-    val src = TokenTableGen.generate(spark, numRows, NumParts)
+    val src = spark.read.parquet(inputPath).as[graft.spark.TokenRow]
     import org.apache.spark.sql.functions.sum
     // full-size untimed warm-ups (JIT + shuffle paths; one is not enough
     // for C2 to finish on the codec kernels)
@@ -57,12 +60,71 @@ object Bench {
       val sec = (System.nanoTime() - t0) / 1e9
       if (sec < best) { best = sec; toks = row.getLong(0); enc = row.getLong(1); raw = row.getLong(2) }
     }
-    println(s"GRAFT_LEVEL $cores $toks $enc $raw $best")
+    // layout-aligned encode (no exchange — input already range-laid-out)
+    var bestAligned = Double.MaxValue
+    for (_ <- 1 to 2) {
+      val t0 = System.nanoTime()
+      EncodePipeline.encodeAligned(src).agg(sum("num_tokens")).collect()
+      val sec = (System.nanoTime() - t0) / 1e9
+      if (sec < bestAligned) bestAligned = sec
+    }
+    // decode path: chunk table (materialized once) → token rows
+    val chunkPath = s"/dev/shm/graft-bench-chunks-$cores"
+    EncodePipeline.encode(src, NumParts, boundsOverride = Some(bounds))
+      .write.mode("overwrite").parquet(chunkPath)
+    val chunkTbl = spark.read.parquet(chunkPath).as[graft.spark.EncodedChunk]
+    var bestDec = Double.MaxValue
+    for (_ <- 1 to 2) {
+      val t0 = System.nanoTime()
+      EncodePipeline.decode(chunkTbl)
+        .toDF().agg(sum("n_tok")).collect()
+      val sec = (System.nanoTime() - t0) / 1e9
+      if (sec < bestDec) bestDec = sec
+    }
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(chunkPath))
+    println(s"GRAFT_LEVEL $cores $toks $enc $raw $best $bestDec $bestAligned")
     spark.stop()
   }
 
+  /** Chunk-sized encode on T private threads; returns aggregate tokens/s
+    * at the two thread counts. */
+  private def kernelScaling(tLo: Int, tHi: Int): (Double, Double) = {
+    val rows = 5000
+    val data = Array.tabulate(rows)(i => TokenTableGen.genRow(i.toLong))
+    val lens = data.map(_.tokens.length)
+    val total = lens.map(_.toLong).sum.toInt
+    val flat = new Array[Int](total)
+    var off = 0
+    data.foreach { r => System.arraycopy(r.tokens, 0, flat, off, r.tokens.length); off += r.tokens.length }
+    def run(threads: Int): Double = {
+      graft.codec.StreamedTokens.encode(flat, lens, rows, total) // warm
+      val iters = 20
+      val bufs = Array.fill(threads)(flat.clone())
+      val t0 = System.nanoTime()
+      val ts = bufs.map { b =>
+        val t = new Thread(() => {
+          var i = 0
+          while (i < iters) { graft.codec.StreamedTokens.encode(b, lens, rows, total); i += 1 }
+        })
+        t.start(); t
+      }
+      ts.foreach(_.join())
+      threads.toLong * iters * total / ((System.nanoTime() - t0) / 1e9)
+    }
+    run(tLo) // warm all JIT paths under contention once
+    run(tHi)
+    // interleave the levels so host-weather swings hit both equally
+    var bestLo = 0.0
+    var bestHi = 0.0
+    for (_ <- 1 to 3) {
+      bestLo = math.max(bestLo, run(tLo))
+      bestHi = math.max(bestHi, run(tHi))
+    }
+    (bestLo, bestHi)
+  }
+
   /** Fork a fresh JVM running `runLevel`. */
-  private def forkLevel(cores: Int, numRows: Long, boundsPath: String): (Long, Long, Long, Double) = {
+  private def forkLevel(cores: Int, inputPath: String, boundsPath: String): (Long, Long, Long, Double, Double, Double) = {
     val javaBin = System.getProperty("java.home") + "/bin/java"
     val opens = Seq(
       "java.base/java.lang", "java.base/java.lang.invoke",
@@ -84,7 +146,7 @@ object Bench {
         // (fewer kernel-side bytes copied beats the compress CPU)
         "-Dspark.shuffle.compress=" + sys.env.getOrElse("GRAFT_SHUFFLE_COMPRESS", "true"),
         "-cp", System.getProperty("java.class.path"),
-        "graft.Bench", "encode-level", cores.toString, numRows.toString, boundsPath)
+        "graft.Bench", "encode-level", cores.toString, inputPath, boundsPath)
     val pb = new ProcessBuilder(cmd: _*)
     pb.redirectErrorStream(true)
     val proc = pb.start()
@@ -95,12 +157,13 @@ object Bench {
       sys.error(s"child JVM for local[$cores] produced no result")
     }
     val parts = line.split(' ')
-    (parts(2).toLong, parts(3).toLong, parts(4).toLong, parts(5).toDouble)
+    (parts(2).toLong, parts(3).toLong, parts(4).toLong, parts(5).toDouble, parts(6).toDouble,
+      parts(7).toDouble)
   }
 
   def main(args: Array[String]): Unit = {
     if (args.length >= 4 && args(0) == "encode-level") {
-      runLevel(args(1).toInt, args(2).toLong, args(3))
+      runLevel(args(1).toInt, args(2), args(3))
       return
     }
 
@@ -122,11 +185,16 @@ object Bench {
     // 2. north-rule scaling: identical job (same input, same 64-partition
     //    layout, persisted bounds) at N and 4N executor threads
     val benchRows = sys.env.getOrElse("GRAFT_BENCH_ROWS", "2000000").toLong
+    val inputPath = "/dev/shm/graft-bench-input"
     val boundsPath = {
       val s = newSession("local[32]", 32)
       try {
-        val b = EncodePipeline.massBalancedBounds(
-          TokenTableGen.generate(s, benchRows, NumParts), NumParts)
+        // materialize the Iceberg-style input table once (untimed)
+        val gen = TokenTableGen.generate(s, benchRows, NumParts)
+        gen.write.mode("overwrite").parquet(inputPath)
+        import s.implicits._
+        val tbl = s.read.parquet(inputPath).as[graft.spark.TokenRow]
+        val b = EncodePipeline.massBalancedBounds(tbl, NumParts)
         val f = java.io.File.createTempFile("graft-bounds", ".txt")
         java.nio.file.Files.write(f.toPath, b.mkString("\n").getBytes(UTF_8))
         f.getAbsolutePath
@@ -134,11 +202,15 @@ object Bench {
     }
     val pLo = sys.env.getOrElse("GRAFT_BENCH_N", "8").toInt
     val pHi = pLo * 4
-    val (tok8, _, _, sec8) = forkLevel(pLo, benchRows, boundsPath)
-    val (tok32, enc32, raw32, sec32) = forkLevel(pHi, benchRows, boundsPath)
+    val (tok8, _, _, sec8, dec8, al8) = forkLevel(pLo, inputPath, boundsPath)
+    val (tok32, enc32, raw32, sec32, dec32, al32) = forkLevel(pHi, inputPath, boundsPath)
     val thr8 = tok8 / sec8
     val thr32 = tok32 / sec32
     val eff = (thr32 / thr8) / 4.0
+
+    // 3. raw kernel thread-scaling (no Spark): per-chunk encode at N and
+    //    4N threads — isolates the codec engine from exchange overheads
+    val (kThrLo, kThrHi) = kernelScaling(pLo, pHi)
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
@@ -149,6 +221,13 @@ object Bench {
       s""""n_sec":$sec8,"n4_sec":$sec32,""" +
       s""""n_tokens_per_sec":$thr8,"n4_tokens_per_sec":$thr32,""" +
       s""""scaling_efficiency":$eff,""" +
+      s""""decode_n_sec":$dec8,"decode_n4_sec":$dec32,""" +
+      s""""aligned_n_sec":$al8,"aligned_n4_sec":$al32,""" +
+      s""""aligned_scaling_efficiency":${(al8 / al32) / 4.0},""" +
+      s""""decode_scaling_efficiency":${(dec8 / dec32) / 4.0},""" +
+      s""""decode_n4_tokens_per_sec":${tok32 / dec32},""" +
+      s""""kernel_n_tokens_per_sec":$kThrLo,"kernel_n4_tokens_per_sec":$kThrHi,""" +
+      s""""kernel_scaling_efficiency":${(kThrHi / kThrLo) / 4.0},""" +
       s""""bytes_per_token":${enc32.toDouble / tok32},""" +
       s""""compression_ratio":${raw32.toDouble / enc32}}}""")
   }

@@ -44,5 +44,29 @@ object KernelProbe {
     val streamed = StreamedTokens.encode(flat, lens, rows, flat.length)._1
     for (i <- 1 to 3)
       time(s"decode-streamed-$i", total)(StreamedTokens.decode(streamed, lens))
+
+    // raw kernel thread-scaling (no Spark): T threads, each encoding a
+    // private copy of the buffer; perfect scaling = constant wall time
+    // chunk-sized work per call (1M tokens ≈ the pipeline's chunk budget)
+    val chunkRows = rows / 20
+    val chunkLens = java.util.Arrays.copyOf(lens, chunkRows)
+    val chunkTok = chunkLens.sum
+    for (threads <- Seq(1, 2, 4, 8, 16, 32)) {
+      val bufs = Array.fill(threads)(java.util.Arrays.copyOf(flat, chunkTok))
+      StreamedTokens.encode(bufs(0), chunkLens, chunkRows, chunkTok)
+      val iters = 20
+      val t0 = System.nanoTime()
+      val ts = bufs.map { b =>
+        val t = new Thread(() => {
+          var i = 0
+          while (i < iters) { StreamedTokens.encode(b, chunkLens, chunkRows, chunkTok); i += 1 }
+        })
+        t.start(); t
+      }
+      ts.foreach(_.join())
+      val s = (System.nanoTime() - t0) / 1e9
+      val tot = threads.toLong * iters * chunkTok
+      println(f"KPROBE threads=$threads%2d wall=${s}%.2f s aggregate=${tot / s / 1e6}%.1f M tok/s per-thread=${tot / s / 1e6 / threads}%.1f")
+    }
   }
 }

@@ -6,16 +6,18 @@ import org.apache.spark.sql.SparkSession
 /** spark-submit entry for the encode job (north rule: batch job with
   * checkpoint/resume, run at two cluster sizes).
   *
-  * Usage: graft.Main <numRows> <numParts> <checkpointDir> [local[N]]
+  * Usage: graft.Main <numRowsOrInputPath> <numParts> <checkpointDir> [local[N]]
   *
-  * Generates the deterministic token table, encodes it to the chunk
-  * table under `checkpointDir` (resuming any incomplete partitions),
-  * decodes it back, asserts the per-row token-array invariant, and
-  * prints one JSON metrics line.
+  * The first argument is either a row count (deterministic synth table)
+  * or a path to an existing parquet/Iceberg-style table with the
+  * (doc_id, tokens, n_tok, source) schema. Encodes to the chunk table
+  * under `checkpointDir` (resuming any incomplete partitions), decodes
+  * back, asserts the per-row token-array invariant, prints one JSON
+  * metrics line.
   */
 object Main {
   def main(args: Array[String]): Unit = {
-    val numRows = if (args.length > 0) args(0).toLong else 100000L
+    val input = if (args.length > 0) args(0) else "100000"
     val numParts = if (args.length > 1) args(1).toInt else 32
     val ckptDir = if (args.length > 2) args(2)
       else java.nio.file.Files.createTempDirectory("graft-encode").toString
@@ -32,7 +34,9 @@ object Main {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
-    val src = TokenTableGen.generate(spark, numRows, numParts)
+    val src =
+      if (input.forall(_.isDigit)) TokenTableGen.generate(spark, input.toLong, numParts)
+      else spark.read.parquet(input).as[graft.spark.TokenRow]
     val t0 = System.nanoTime()
     val metrics = EncodePipeline.encodeCheckpointed(spark, src, numParts, ckptDir)
     val wallSec = (System.nanoTime() - t0) / 1e9

@@ -227,6 +227,34 @@ object EncodePipeline {
     spark.createDataset(chunkRdd)
   }
 
+  /** Layout-aligned encode: when the input table is ALREADY range-laid-out
+    * on doc_id (an Iceberg table with a sort order / a previous run's
+    * layout), skip the exchange entirely — each input split encodes
+    * in place with its split id as part_id. Zero shuffle; scales like a
+    * pure map job. The full `encode` (with the mass-balanced exchange)
+    * remains the path for unordered input. */
+  def encodeAligned(ds: Dataset[TokenRow],
+                    tokensPerChunk: Int = DefaultTokensPerChunk,
+                    blockCodec: Int = BlockCompression.None): Dataset[EncodedChunk] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    val rdd = ds.toDF().queryExecution.toRdd.mapPartitions { iter =>
+      val pid = TaskContext.getPartitionId()
+      val out = new scala.collection.mutable.ArrayBuffer[EncodedChunk]()
+      val enc = new PartitionEncoder(pid, tokensPerChunk, blockCodec)
+      iter.foreach { row =>
+        enc.add(
+          row.getUTF8String(0).getBytes,
+          row.getArray(1).toIntArray(),
+          row.getUTF8String(3).getBytes,
+          out += _)
+      }
+      if (enc.nonEmpty) out += enc.flush()
+      out.iterator
+    }
+    spark.createDataset(rdd)
+  }
+
   /** Hash-partitioning on part_id can co-locate several logical partitions
     * in one Spark partition; the sort keeps them contiguous, so cut a new
     * encoder whenever part_id changes. InternalRows are reused by the

@@ -66,6 +66,18 @@ class CodecSpec extends AnyFunSuite {
     }
   }
 
+  test("legacy BIT_PACKED levels round-trip (E3)") {
+    for (bw <- 1 to 8; n <- Seq(1, 7, 8, 9, 100)) {
+      val r = rng(bw * 100 + n)
+      val src = Array.fill(n)(r.nextInt(1 << bw))
+      val out = new ByteWriter()
+      BitPack.LegacyLevels.pack(src, 0, n, bw, out)
+      val dst = new Array[Int](n)
+      BitPack.LegacyLevels.unpack(out.toArray, 0, bw, dst, 0, n)
+      assert(dst.toSeq == src.toSeq, s"bw=$bw n=$n")
+    }
+  }
+
   test("RLE round-trip (levels + index shapes)") {
     val levelVectors = Seq(
       Array(0, 1, 0, 2, 3, 4, 5, 6, 127, 127, 0),
@@ -313,6 +325,23 @@ class CodecSpec extends AnyFunSuite {
     assert(Chunks.decodeBooleans(Chunks.encodeBooleans(bools, 0, bools.length)).toSeq == bools.toSeq)
     val constBools = Array.fill(1000)(true)
     assert(Chunks.decodeBooleans(Chunks.encodeBooleans(constBools, 0, constBools.length)).toSeq == constBools.toSeq)
+  }
+
+  test("auto selection never exceeds the reference writer's default encodings") {
+    // reference defaults: PLAIN for int32, DELTA_LENGTH_BYTE_ARRAY for
+    // BYTE_ARRAY (node.go:417-433); dictionary only when configured.
+    // Our sizes must be <= those defaults (+frame byte) on every family.
+    for ((name, v) <- intVectors) {
+      val auto = Chunks.encodeInts(v, 0, v.length)
+      val refDefault = Chunks.encodeInts(v, 0, v.length, Codecs.PlainInt)
+      assert(auto.length <= refDefault.length + 8, s"$name: ${auto.length} > ${refDefault.length}")
+    }
+    for (v <- stringVectors) {
+      val auto = Chunks.encodeStrings(v, 0, v.length)
+      val w = new ByteWriter()
+      DeltaLengthByteArray.encode(v, 0, v.length, w)
+      assert(auto.length <= w.length + 8, s"${auto.length} > ${w.length}")
+    }
   }
 
   test("ByteStreamSplit float round-trip") {
