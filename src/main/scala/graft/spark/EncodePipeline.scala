@@ -71,13 +71,17 @@ object EncodePipeline {
     */
   def massBalancedBounds(ds: Dataset[TokenRow], numParts: Int): Array[String] = {
     if (numParts <= 1) return Array.empty
-    val sampleFraction = {
-      val total = ds.sparkSession.sparkContext.getConf
-        .getOption("graft.sample.hint").map(_.toLong)
-      math.min(1.0, (numParts * 200).toDouble / total.getOrElse(numParts * 2000L).toDouble)
-    }
-    val sample = ds
-      .select(col("doc_id"), col("n_tok"))
+    // Column-pruned count (cheap on a real columnar source) sizes the
+    // sample to ~200 keys/partition capped at 2M keys total, so the
+    // driver-side sort stays bounded at any input scale (at 10^12 rows
+    // the fraction is ~2e-6; an Iceberg deployment would instead sample
+    // from file-level metadata without the scan).
+    val slim = ds.select(col("doc_id"), col("n_tok"))
+    val total = slim.count()
+    if (total == 0) return Array.empty
+    val targetSamples = math.min(numParts.toLong * 200, 2000000L)
+    val sampleFraction = math.min(1.0, targetSamples.toDouble / total.toDouble)
+    val sample = slim
       .sample(withReplacement = false, sampleFraction, seed = 42L)
       .collect()
       .map(r => (r.getString(0), r.getInt(1).toLong))
