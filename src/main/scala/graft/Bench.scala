@@ -30,7 +30,7 @@ object Bench {
     s
   }
 
-  private val NumParts = sys.env.getOrElse("GRAFT_BENCH_PARTS", "64").toInt
+  private val NumParts = sys.env.getOrElse("GRAFT_BENCH_PARTS", "32").toInt
 
   /** Child-JVM mode: measure one parallelism level, print one line.
     * Input is the pre-materialized parquet table (the north rule's

@@ -26,7 +26,7 @@ object Main {
     val spark = SparkSession.builder()
       .master(master)
       .appName("graft-encode")
-      .config("spark.sql.shuffle.partitions", numParts.toString)
+      .config("spark.sql.shuffle.partitions", math.max(numParts, 32).toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -35,10 +35,14 @@ object Main {
     import spark.implicits._
 
     val src =
-      if (input.forall(_.isDigit)) TokenTableGen.generate(spark, input.toLong, numParts)
+      if (input.forall(_.isDigit)) TokenTableGen.generate(spark, input.toLong, math.max(numParts, 1))
       else spark.read.parquet(input).as[graft.spark.TokenRow]
+    // numParts <= 0 → size partitions to ~256 MB of raw tokens each
+    val effParts =
+      if (numParts > 0) numParts
+      else EncodePipeline.autoNumParts(src)
     val t0 = System.nanoTime()
-    val metrics = EncodePipeline.encodeCheckpointed(spark, src, numParts, ckptDir)
+    val metrics = EncodePipeline.encodeCheckpointed(spark, src, effParts, ckptDir)
     val wallSec = (System.nanoTime() - t0) / 1e9
     val m = metrics.selectExpr(
       "sum(num_rows) rows", "sum(num_tokens) toks",

@@ -61,8 +61,9 @@ object Chunks {
     var mx = mn
     var runs = 1
     var sorted = true
-    var maxBits = BitPack.widthOfUnsignedInt(src(off))
+    var bitsAcc = src(off) // OR accumulator: width(OR) == max width
     var deltaBitsSum = 0L
+    var deltaSamples = 0
     var i = 1
     while (i < n) {
       val v = src(off + i)
@@ -71,12 +72,15 @@ object Chunks {
       if (v < p) sorted = false
       if (v < mn) mn = v
       if (v > mx) mx = v
-      val w = BitPack.widthOfUnsignedInt(v)
-      if (w > maxBits) maxBits = w
-      val d = v.toLong - p.toLong
-      deltaBitsSum += BitPack.widthOfUnsignedLong((d << 1) ^ (d >> 63)) // zigzag width
+      bitsAcc |= v
+      if ((i & 7) == 0) { // sampled zigzag-delta width (estimate only)
+        val d = v.toLong - p.toLong
+        deltaBitsSum += BitPack.widthOfUnsignedLong((d << 1) ^ (d >> 63))
+        deltaSamples += 1
+      }
       i += 1
     }
+    val maxBits = BitPack.widthOfUnsignedInt(bitsAcc)
     // sampled cardinality via the probe table (reference hashprobe semantics)
     val dict = new IntDict(512)
     val step = math.max(1, n / DistinctCap)
@@ -88,7 +92,7 @@ object Chunks {
       i += step
     }
     IntStats(n, mn, mx, runs, sorted, dict.size, capped,
-      if (n > 1) deltaBitsSum.toDouble / (n - 1) else 0.0, maxBits)
+      if (deltaSamples > 0) deltaBitsSum.toDouble / deltaSamples else 0.0, maxBits)
   }
 
   /** Size-estimate-ranked codec choice for an int chunk. */

@@ -50,15 +50,16 @@ object DeltaBinaryPacked {
         if (mbStart >= blockN) {
           out.setByte(widths + mb, 0)
         } else {
-          var w = 0
+          // width(OR of all) == max width — one OR per value beats nlz per value
+          var acc = 0
           var j = 0
           while (j < MiniBlockLen) {
             val u = deltas(mbStart + j) - minDelta // wrapping; >= 0 unless overflow → treat unsigned
             packed(j) = u
-            val uw = BitPack.widthOfUnsignedInt(u)
-            if (uw > w) w = uw
+            acc |= u
             j += 1
           }
+          val w = BitPack.widthOfUnsignedInt(acc)
           out.setByte(widths + mb, w)
           BitPack.packInts(packed, 0, MiniBlockLen, w, out)
         }
@@ -141,15 +142,15 @@ object DeltaBinaryPacked {
         if (mbStart >= blockN) {
           out.setByte(widths + mb, 0)
         } else {
-          var w = 0
+          var acc = 0L
           var j = 0
           while (j < MiniBlockLen) {
             val u = deltas(mbStart + j) - minDelta
             packed(j) = u
-            val uw = BitPack.widthOfUnsignedLong(u)
-            if (uw > w) w = uw
+            acc |= u
             j += 1
           }
+          val w = BitPack.widthOfUnsignedLong(acc)
           out.setByte(widths + mb, w)
           BitPack.packLongs(packed, 0, MiniBlockLen, w, out)
         }

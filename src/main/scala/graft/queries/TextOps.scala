@@ -178,11 +178,41 @@ object TextOps {
 
     val a = sigs.as("a")
     val b = sigs.as("b")
-    a.join(b, col("a.band") === col("b.band") &&
+    val candidates = a.join(b, col("a.band") === col("b.band") &&
         col("a.band_hash") === col("b.band_hash") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+    // rerank: exact shingle-Jaccard on the candidate pairs only (the LSH
+    // pass bounds the pairwise work; word-salad corpora produce many
+    // spurious bucket collisions that the exact pass rejects)
+    val texts = corpus.toDF("doc_id", "text")
+    val verified = candidates
+      .join(texts.select(col("doc_id").as("doc_a"), col("text").as("text_a")), "doc_a")
+      .join(texts.select(col("doc_id").as("doc_b"), col("text").as("text_b")), "doc_b")
+      .as[(Long, Long, String, String)]
+      .map { case (ida, idb, ta, tb) =>
+        def sh(t: String): Set[Long] = {
+          val out = scala.collection.mutable.HashSet[Long]()
+          var i = 0
+          while (i + 5 <= t.length) {
+            var h = 0xcbf29ce484222325L
+            var j = i
+            while (j < i + 5) { h = (h ^ t.charAt(j)) * 0x100000001b3L; j += 1 }
+            out += h
+            i += 1
+          }
+          out.toSet
+        }
+        val sa = sh(ta)
+        val sb = sh(tb)
+        val inter = sa.intersect(sb).size
+        val union = sa.size + sb.size - inter
+        (ida, idb, if (union == 0) 1.0 else inter.toDouble / union)
+      }
+      .toDF("doc_a", "doc_b", "jaccard")
+    verified.filter(col("jaccard") >= 0.5)
+      .withColumn("jaccard", round(col("jaccard"), 6))
       .orderBy("doc_a", "doc_b")
   }
 

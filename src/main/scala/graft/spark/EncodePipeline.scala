@@ -64,6 +64,14 @@ object EncodePipeline {
 
   final val DefaultTokensPerChunk: Int = 1 << 20 // ~4 MB of raw token payload
 
+  /** Partition-count sizing for a target partition payload (default
+    * 256 MB of raw tokens — shuffle blocks stay large, task count stays
+    * bounded at 100 TB scale instead of exploding with the data). */
+  def autoNumParts(ds: Dataset[TokenRow], targetPartitionBytes: Long = 256L << 20): Int = {
+    val totalTokens = ds.agg(sum(col("n_tok"))).head().getLong(0)
+    math.max(1, math.ceil(totalTokens * 4.0 / targetPartitionBytes).toInt)
+  }
+
   // ------------------------------------------------------------ partitioning
 
   /** Range boundaries over doc_id balancing *token mass*, not row count.
@@ -239,11 +247,12 @@ object EncodePipeline {
     * remains the path for unordered input. */
   def encodeAligned(ds: Dataset[TokenRow],
                     tokensPerChunk: Int = DefaultTokensPerChunk,
-                    blockCodec: Int = BlockCompression.None): Dataset[EncodedChunk] = {
+                    blockCodec: Int = BlockCompression.None,
+                    partIdOffset: Int = 0): Dataset[EncodedChunk] = {
     val spark = ds.sparkSession
     import spark.implicits._
     val rdd = ds.toDF().queryExecution.toRdd.mapPartitions { iter =>
-      val pid = TaskContext.getPartitionId()
+      val pid = partIdOffset + TaskContext.getPartitionId()
       val out = new scala.collection.mutable.ArrayBuffer[EncodedChunk]()
       val enc = new PartitionEncoder(pid, tokensPerChunk, blockCodec)
       iter.foreach { row =>

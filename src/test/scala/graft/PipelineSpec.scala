@@ -65,6 +65,38 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(perPart.max < mean * 2.5, s"max=${perPart.max} mean=$mean — skew not balanced")
   }
 
+  test("streaming ingest: micro-batch encode appends decodable chunks") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    val ms = MemoryStream[TokenRow](spark)
+    val rows1 = (0 until 500).map(i => TokenTableGen.genRow(i.toLong))
+    val rows2 = (500 until 1000).map(i => TokenTableGen.genRow(i.toLong))
+    val q = graft.streaming.StreamingEncode.start(
+      spark, ms.toDF(), s"$dir/chunks", s"$dir/ckpt", tokensPerChunk = 32 * 1024)
+    try {
+      ms.addData(rows1)
+      q.processAllAvailable()
+      ms.addData(rows2)
+      q.processAllAvailable()
+    } finally q.stop()
+    val chunks = spark.read.parquet(s"$dir/chunks").as[EncodedChunk]
+    val decoded = EncodePipeline.decode(chunks).collect().sortBy(_.doc_id)
+    val expected = (rows1 ++ rows2).sortBy(_.doc_id)
+    assert(decoded.length == 1000)
+    assert(decoded.zip(expected).forall { case (a, b) =>
+      a.doc_id == b.doc_id && a.tokens.sameElements(b.tokens) && a.source == b.source
+    })
+  }
+
+  test("aligned encode round-trips without an exchange") {
+    import spark.implicits._
+    val src = TokenTableGen.generate(spark, 3000, 5)
+    val decoded = EncodePipeline.decode(
+      EncodePipeline.encodeAligned(src, tokensPerChunk = 64 * 1024))
+    assert(EncodePipeline.verifyRoundTrip(src, decoded) == 0L)
+  }
+
   test("checkpointed encode resumes idempotently") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
