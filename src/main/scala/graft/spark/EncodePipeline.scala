@@ -27,6 +27,7 @@ final case class EncodedChunk(
     tokens_max: Int,
     raw_bytes: Long,
     enc_bytes: Long,
+    encode_ms: Long,
     crc32: Long,
     tokens_bin: Array[Byte],
     lens_bin: Array[Byte],
@@ -87,7 +88,10 @@ object EncodePipeline {
     val slim = ds.select(col("doc_id"), col("n_tok"))
     val total = slim.count()
     if (total == 0) return Array.empty
-    val targetSamples = math.min(numParts.toLong * 200, 2000000L)
+    // floor of 200k keys: mass quantiles need the heavy TAIL sampled
+    // densely (a 1%-of-rows / 70%-of-mass tail needs ~10^3 tail hits for
+    // stable cuts), and a 200k-key driver-side sort is trivial
+    val targetSamples = math.min(math.max(numParts.toLong * 200, 200000L), 2000000L)
     val sampleFraction = math.min(1.0, targetSamples.toDouble / total.toDouble)
     val sample = slim
       .sample(withReplacement = false, sampleFraction, seed = 42L)
@@ -159,6 +163,7 @@ object EncodePipeline {
     def nonEmpty: Boolean = lens.nonEmpty
 
     def flush(): EncodedChunk = {
+      val tFlush0 = System.nanoTime()
       val nRows = lens.length
       val lensArr = lens.toArray
       val docArr = docIds.toArray
@@ -205,6 +210,7 @@ object EncodePipeline {
         tokens_max = if (nTokens == 0) 0 else mx,
         raw_bytes = rawBytes,
         enc_bytes = tokensBin.length.toLong + lensBin.length + docBin.length + srcBin.length,
+        encode_ms = (System.nanoTime() - tFlush0) / 1000000,
         crc32 = crc.getValue,
         tokens_bin = tokensBin,
         lens_bin = lensBin,
@@ -375,6 +381,10 @@ object EncodePipeline {
       .partitionBy("part_id").parquet(s"$dir/chunks")
     // lineage/metrics from what was just written (idempotent aggregation)
     val written = spark.read.parquet(s"$dir/chunks")
+    val prevAttempt: Int =
+      if (done.nonEmpty)
+        spark.read.parquet(metricsPath).agg(max("attempt")).head().getInt(0)
+      else 0
     val metrics = written.groupBy(col("part_id"))
       .agg(
         count(lit(1)).cast("int").as("num_chunks"),
@@ -382,8 +392,10 @@ object EncodePipeline {
         sum("num_tokens").as("num_tokens"),
         sum("raw_bytes").as("raw_bytes"),
         sum("enc_bytes").as("enc_bytes"),
-        lit(0L).as("wall_ms"),
-        lit(1).as("attempt"),
+        sum("encode_ms").as("wall_ms"),
+        min("first_doc_id").as("first_doc_id"),
+        max("last_doc_id").as("last_doc_id"),
+        lit(prevAttempt + 1).as("attempt"),
         lit("ok").as("status"))
     metrics.write.mode("overwrite").parquet(metricsPath)
     spark.read.parquet(metricsPath)

@@ -65,6 +65,35 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(perPart.max < mean * 2.5, s"max=${perPart.max} mean=$mean — skew not balanced")
   }
 
+  test("adversarial skew: 1% giant docs, 99% tiny — token mass still balanced") {
+    import spark.implicits._
+    // 8000 rows: every 100th has 8192 tokens, the rest 4 → ~70% of all
+    // token mass lives in 1% of rows. Row-balanced partitioning would
+    // put ~equal ROWS per partition and leave mass skew ~intact.
+    val rows = spark.range(0, 8000, 1, 8).as[Long].map { i =>
+      val n = if (i % 100 == 0) 8192 else 4
+      TokenRow(f"doc/$i%012d", Array.tabulate(n)(k => (i + k).toInt), n, "web")
+    }
+    val chunks = EncodePipeline.encode(rows, numParts = 8, tokensPerChunk = 1 << 20)
+    val perPart = chunks.groupBy("part_id").sum("num_tokens").collect().map(_.getLong(1))
+    val mean = perPart.sum.toDouble / perPart.length
+    assert(perPart.max < mean * 1.8, s"mass skew survived: max=${perPart.max} mean=$mean parts=${perPart.mkString(",")}")
+    // and the round-trip still holds under skew
+    assert(EncodePipeline.verifyRoundTrip(rows, EncodePipeline.decode(chunks)) == 0L)
+  }
+
+  test("checkpoint metrics carry lineage: doc_id range, wall_ms, attempt") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-lineage").toString
+    val src = TokenTableGen.generate(spark, 2000, 4)
+    val m = EncodePipeline.encodeCheckpointed(spark, src, 4, dir, tokensPerChunk = 64 * 1024)
+    val row = m.orderBy("part_id").head()
+    val cols = m.columns.toSet
+    assert(Set("first_doc_id", "last_doc_id", "wall_ms", "attempt", "status").subsetOf(cols), cols)
+    assert(m.filter(org.apache.spark.sql.functions.col("status") === "ok").count() == m.count())
+    assert(row.getAs[String]("first_doc_id") <= row.getAs[String]("last_doc_id"))
+  }
+
   test("streaming ingest: micro-batch encode appends decodable chunks") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
