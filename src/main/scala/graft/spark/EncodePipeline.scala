@@ -385,7 +385,9 @@ object EncodePipeline {
       if (done.nonEmpty)
         spark.read.parquet(metricsPath).agg(max("attempt")).head().getInt(0)
       else 0
-    val metrics = written.groupBy(col("part_id"))
+    val freshMetrics = written
+      .filter(if (done.isEmpty) lit(true) else !col("part_id").isin(done.toSeq: _*))
+      .groupBy(col("part_id"))
       .agg(
         count(lit(1)).cast("int").as("num_chunks"),
         sum("num_rows").as("num_rows"),
@@ -397,7 +399,20 @@ object EncodePipeline {
         max("last_doc_id").as("last_doc_id"),
         lit(prevAttempt + 1).as("attempt"),
         lit("ok").as("status"))
-    metrics.write.mode("overwrite").parquet(metricsPath)
+    // completed partitions keep their original metrics rows (attempt
+    // history is lineage); only re-encoded parts get a new row
+    val metrics =
+      if (done.isEmpty) freshMetrics
+      else spark.read.parquet(metricsPath)
+        .filter(col("part_id").isin(done.toSeq: _*))
+        .unionByName(freshMetrics)
+    val staging = metricsPath + ".staging"
+    metrics.write.mode("overwrite").parquet(staging)
+    // atomic-ish swap so a crash mid-write never truncates the table
+    val fsPath = new org.apache.hadoop.fs.Path(metricsPath)
+    val hfs = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    hfs.delete(fsPath, true)
+    hfs.rename(new org.apache.hadoop.fs.Path(staging), fsPath)
     spark.read.parquet(metricsPath)
   }
 
