@@ -416,6 +416,21 @@ object EncodePipeline {
     spark.read.parquet(metricsPath)
   }
 
+  /** Compaction: merge several chunk tables (e.g. incremental/streaming
+    * runs) into one freshly mass-balanced layout — the table-level analog
+    * of the reference's MergeRowGroups + SortingWriter flush
+    * (merge.go:20-72, sorting.go:99-133). Decode → union → re-encode;
+    * Spark's external sort replaces the reference's hand-rolled k-way
+    * heap merge of spilled runs. */
+  def compact(spark: SparkSession, chunkDirs: Seq[String], numParts: Int, outDir: String,
+              tokensPerChunk: Int = DefaultTokensPerChunk): DataFrame = {
+    import spark.implicits._
+    val all = chunkDirs
+      .map(d => spark.read.parquet(d).as[EncodedChunk])
+      .reduce(_ unionByName _)
+    encodeCheckpointed(spark, decode(all), numParts, outDir, tokensPerChunk)
+  }
+
   /** Round-trip validation: decoded rows must match the source exactly
     * (the per-row invariant from BASELINE.json). Returns mismatch count —
     * 0 is the pass condition. */

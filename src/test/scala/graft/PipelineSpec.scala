@@ -126,6 +126,32 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(EncodePipeline.verifyRoundTrip(src, decoded) == 0L)
   }
 
+  test("compaction merges incremental chunk tables into one layout") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    // two disjoint incremental runs
+    val srcA = TokenTableGen.generate(spark, 1500, 3)
+    val srcB = spark.range(1500, 3000, 1, 3).as[Long].map(TokenTableGen.genRow)
+    EncodePipeline.encode(srcA, 3, tokensPerChunk = 64 * 1024)
+      .write.parquet(s"$base/runA")
+    EncodePipeline.encode(srcB, 3, tokensPerChunk = 64 * 1024)
+      .write.parquet(s"$base/runB")
+    EncodePipeline.compact(spark, Seq(s"$base/runA", s"$base/runB"), 4, s"$base/merged",
+      tokensPerChunk = 64 * 1024)
+    val merged = spark.read.parquet(s"$base/merged/chunks").as[EncodedChunk]
+    val full = TokenTableGen.generate(spark, 3000, 4)
+    assert(EncodePipeline.verifyRoundTrip(full, EncodePipeline.decode(merged)) == 0L)
+    // merged layout is globally range-ordered: partition doc_id ranges
+    // must not overlap
+    val ranges = spark.read.parquet(s"$base/merged/metrics")
+      .select("part_id", "first_doc_id", "last_doc_id")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2))).sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, _, aLast), (_, bFirst, _)) => assert(aLast <= bFirst, s"$aLast > $bFirst")
+      case _ =>
+    }
+  }
+
   test("checkpointed encode resumes idempotently") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
