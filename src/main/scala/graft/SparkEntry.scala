@@ -64,6 +64,7 @@ object SparkEntry {
     "q_ngram_jaccard" -> ((s, d) => TextOps.ngramJaccard(s, d)),
     "q_cosine_topk" -> ((s, d) => SimilarityOps.cosineTopK(s, d)),
     "q_lsh_ann" -> ((s, d) => SimilarityOps.lshAnn(s, d)),
+    "q_ivf_ann" -> ((s, d) => SimilarityOps.ivfAnn(s, d)),
     "q_embedding_neardup" -> ((s, d) => SimilarityOps.embeddingNearDup(s, d))
   )
 

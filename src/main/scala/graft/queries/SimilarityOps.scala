@@ -84,6 +84,77 @@ object SimilarityOps {
       .limit(20)
   }
 
+  /** IVF ANN: deterministic k-means coarse quantizer (seeded init, 3
+    * Lloyd iterations computed with Spark aggregations), then search
+    * probes the `nprobe` nearest centroid cells and reranks exactly.
+    * The scale path for 10^9+ vectors: the pairwise work is per-cell.
+    */
+  def ivfAnn(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dims = 64
+    val k = 16
+    val nprobe = 4
+    val vecs = emb(spark, dir).select("vec_id", "embedding").as[(Long, Seq[Float])].cache()
+
+    // seeded deterministic init (splitmix pseudo-vectors)
+    var centroids = Array.tabulate(k, dims) { (c, d) =>
+      graft.spark.TokenTableGen.splitmix64(c.toLong * 8191 + d).toDouble / Long.MaxValue.toDouble
+    }
+    def nearest(v: Array[Float], cents: Array[Array[Double]]): Int = {
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < cents.length) {
+        var dist = 0.0
+        var d = 0
+        while (d < dims) { val t = cents(c)(d) - v(d); dist += t * t; d += 1 }
+        if (dist < bestD) { bestD = dist; best = c }
+        c += 1
+      }
+      best
+    }
+    // Lloyd iterations: assign + mean, all as distributed aggregations
+    for (_ <- 1 to 3) {
+      val bc = spark.sparkContext.broadcast(centroids)
+      val sums = vecs
+        .map { case (_, v) =>
+          val arr = v.toArray
+          (nearest(arr, bc.value), (arr.map(_.toDouble), 1L))
+        }
+        .groupByKey(_._1)
+        .mapValues(_._2)
+        .reduceGroups((a, b) => (a._1.zip(b._1).map(t => t._1 + t._2), a._2 + b._2))
+        .collect()
+      val next = centroids.map(_.clone())
+      sums.foreach { case (c, (sum, n)) =>
+        var d = 0
+        while (d < dims) { next(c)(d) = sum(d) / n; d += 1 }
+      }
+      centroids = next
+    }
+
+    val bcC = spark.sparkContext.broadcast(centroids)
+    val q = queryVec(spark, dir)
+    val bq = spark.sparkContext.broadcast(q)
+    // nprobe nearest cells to the query
+    val cellDist = centroids.zipWithIndex.map { case (c, i) =>
+      var dist = 0.0
+      var d = 0
+      while (d < dims) { val t = c(d) - q(d); dist += t * t; d += 1 }
+      (i, dist)
+    }.sortBy(_._2).take(nprobe).map(_._1).toSet
+    val bcCells = spark.sparkContext.broadcast(cellDist)
+
+    vecs
+      .map { case (id, v) => (id, nearest(v.toArray, bcC.value), v) }
+      .filter(t => bcCells.value.contains(t._2)) // inverted-list probe
+      .map { case (id, _, v) => (id, cosine(v.toArray, bq.value)) }
+      .toDF("vec_id", "cos")
+      .withColumn("cos", round(col("cos"), 6))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(20)
+  }
+
   /** Embedding-cosine near-duplicate pairs above a threshold, bucketed by
     * LSH signature so the pairwise join is per-bucket (near-dup dedup for
     * embedding space). */
