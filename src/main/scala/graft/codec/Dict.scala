@@ -10,9 +10,11 @@ package graft.codec
   * 7-slot cache-line groups; plain linear probing wants more headroom).
   */
 final class IntDict(initialCapacity: Int = 1024) {
+  // one packed entry per slot: key in the high 32 bits, (dense idx + 1)
+  // in the low 32 — a probe touches ONE cache line, mirroring the
+  // reference's cache-line-grouped layout goal (hashprobe.go:148-177)
   private var cap = Integer.highestOneBit(math.max(initialCapacity, 16) * 2 - 1)
-  private var keys = new Array[Int](cap)
-  private var vals = new Array[Int](cap) // dense index + 1; 0 = empty
+  private var table = new Array[Long](cap)
   private var n = 0
   private var symbolsArr = new Array[Int](math.max(initialCapacity, 16))
 
@@ -27,16 +29,16 @@ final class IntDict(initialCapacity: Int = 1024) {
   }
 
   private def grow(): Unit = {
-    val oldKeys = keys; val oldVals = vals
+    val old = table
     cap <<= 1
-    keys = new Array[Int](cap)
-    vals = new Array[Int](cap)
+    table = new Array[Long](cap)
     var i = 0
-    while (i < oldKeys.length) {
-      if (oldVals(i) != 0) {
-        var slot = hash(oldKeys(i))
-        while (vals(slot) != 0) slot = (slot + 1) & (cap - 1)
-        keys(slot) = oldKeys(i); vals(slot) = oldVals(i)
+    while (i < old.length) {
+      val e = old(i)
+      if (e != 0L) {
+        var slot = hash((e >>> 32).toInt)
+        while (table(slot) != 0L) slot = (slot + 1) & (cap - 1)
+        table(slot) = e
       }
       i += 1
     }
@@ -45,18 +47,18 @@ final class IntDict(initialCapacity: Int = 1024) {
   /** Lookup-or-insert; returns the dense index of `k`. */
   def probe(k: Int): Int = {
     var slot = hash(k)
+    val kh = k.toLong << 32
     while (true) {
-      val v = vals(slot)
-      if (v == 0) {
+      val e = table(slot)
+      if (e == 0L) {
         if (n >= symbolsArr.length) symbolsArr = java.util.Arrays.copyOf(symbolsArr, n * 2)
         symbolsArr(n) = k
-        keys(slot) = k
-        vals(slot) = n + 1
+        table(slot) = kh | ((n + 1).toLong & 0xFFFFFFFFL)
         n += 1
         if (n * 10 >= cap * 7) grow()
         return n - 1
       }
-      if (keys(slot) == k) return v - 1
+      if ((e & 0xFFFFFFFF00000000L) == kh) return (e & 0xFFFFFFFFL).toInt - 1
       slot = (slot + 1) & (cap - 1)
     }
     -1 // unreachable
@@ -65,10 +67,11 @@ final class IntDict(initialCapacity: Int = 1024) {
   /** Lookup only; -1 if absent. */
   def get(k: Int): Int = {
     var slot = hash(k)
+    val kh = k.toLong << 32
     while (true) {
-      val v = vals(slot)
-      if (v == 0) return -1
-      if (keys(slot) == k) return v - 1
+      val e = table(slot)
+      if (e == 0L) return -1
+      if ((e & 0xFFFFFFFF00000000L) == kh) return (e & 0xFFFFFFFFL).toInt - 1
       slot = (slot + 1) & (cap - 1)
     }
     -1

@@ -126,6 +126,19 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(EncodePipeline.verifyRoundTrip(src, decoded) == 0L)
   }
 
+  test("corrupted chunk payload fails CRC check loudly") {
+    import spark.implicits._
+    val src = TokenTableGen.generate(spark, 200, 2)
+    val chunk = EncodePipeline.encode(src, 2, tokensPerChunk = 1 << 20).collect()(0)
+    val corrupted = chunk.copy(tokens_bin = {
+      val b = chunk.tokens_bin.clone()
+      b(b.length / 2) = (b(b.length / 2) ^ 0x40).toByte
+      b
+    })
+    val ex = intercept[Exception](EncodePipeline.decodeChunk(corrupted).toArray)
+    assert(ex.getMessage.contains("CRC"), ex.getMessage)
+  }
+
   test("compaction merges incremental chunk tables into one layout") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft-compact").toString
