@@ -181,7 +181,7 @@ object RoundTrips {
     * actually taken. No SQL oracle (engine-internal stats). */
   def codecStats(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val src = TokenTableGen.generate(spark, 20000, 8)
+    val src = TokenTableGen.generate(spark, 8000, 8)
     val chunks = EncodePipeline.encode(src, numParts = 8, tokensPerChunk = 128 * 1024)
     chunks
       .flatMap(c => Seq(
