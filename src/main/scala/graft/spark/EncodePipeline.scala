@@ -416,6 +416,25 @@ object EncodePipeline {
     spark.read.parquet(metricsPath)
   }
 
+  /** Stats-pruned search over the chunk table: only chunks whose
+    * persisted [tokens_min, tokens_max] interval can contain `tokenId`
+    * are decoded (the engine-side analog of the reference's column-index
+    * page pruning, search.go:31-101 — a plain Catalyst filter on the
+    * stats columns does the skipping, and parquet row-group stats prune
+    * the chunk file scan itself). Returns doc_ids containing the token.
+    */
+  def searchToken(chunks: Dataset[EncodedChunk], tokenId: Int): Dataset[String] = {
+    val spark = chunks.sparkSession
+    import spark.implicits._
+    chunks
+      .filter(col("tokens_min") <= tokenId && col("tokens_max") >= tokenId)
+      .flatMap { c =>
+        decodeChunk(c).collect {
+          case row if row.tokens.contains(tokenId) => row.doc_id
+        }
+      }
+  }
+
   /** Compaction: merge several chunk tables (e.g. incremental/streaming
     * runs) into one freshly mass-balanced layout — the table-level analog
     * of the reference's MergeRowGroups + SortingWriter flush

@@ -126,6 +126,28 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(EncodePipeline.verifyRoundTrip(src, decoded) == 0L)
   }
 
+  test("chunk-stats pruning: token search decodes only candidate chunks") {
+    import spark.implicits._
+    // two disjoint token ranges → chunks carry disjoint [min,max] stats
+    val rows = spark.range(0, 4000, 1, 4).as[Long].map { i =>
+      val base = if (i < 2000) 0 else 1000000
+      TokenRow(f"doc/$i%012d", Array.tabulate(50)(k => base + (i % 100).toInt + k), 50, "web")
+    }
+    val chunks = EncodePipeline.encode(rows, 4, tokensPerChunk = 16 * 1024).cache()
+    val total = chunks.count()
+    val probe = 1000042 // lives only in the high-range chunks
+    val candidates = chunks
+      .filter(org.apache.spark.sql.functions.col("tokens_min") <= probe &&
+        org.apache.spark.sql.functions.col("tokens_max") >= probe).count()
+    assert(candidates < total, s"pruning had no effect: $candidates of $total")
+    val hits = EncodePipeline.searchToken(chunks, probe).collect().toSet
+    // brute-force oracle
+    val expected = rows.collect().filter(_.tokens.contains(probe)).map(_.doc_id).toSet
+    assert(hits == expected, s"${hits.size} vs ${expected.size}")
+    assert(hits.nonEmpty)
+    chunks.unpersist()
+  }
+
   test("corrupted chunk payload fails CRC check loudly") {
     import spark.implicits._
     val src = TokenTableGen.generate(spark, 200, 2)
