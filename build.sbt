@@ -11,6 +11,9 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// tests run small workloads — skip the big pre-touched bench heap
+Test / javaOptions := (Test / javaOptions).value
+  .filterNot(o => o.startsWith("-Xms") || o == "-XX:+AlwaysPreTouch") ++ Seq("-Xms2g")
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
