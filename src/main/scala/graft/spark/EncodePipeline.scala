@@ -34,7 +34,9 @@ final case class EncodedChunk(
     docid_bin: Array[Byte],
     source_bin: Array[Byte])
 
-/** Per-partition lineage/metrics row for the checkpoint table. */
+/** Per-partition lineage/metrics row for the checkpoint table (schema of
+  * `<ckpt>/metrics`; see encodeCheckpointed). first/last doc_id are the
+  * partition's key range — lineage for audits and for range-pruned reads. */
 final case class PartitionMetrics(
     part_id: Int,
     num_chunks: Int,
@@ -43,6 +45,8 @@ final case class PartitionMetrics(
     raw_bytes: Long,
     enc_bytes: Long,
     wall_ms: Long,
+    first_doc_id: String,
+    last_doc_id: String,
     attempt: Int,
     status: String)
 
