@@ -26,17 +26,28 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Heap sizing: SPARK_DRIVER_MEM is CAPPED at 24g. The bench forks child
+// JVMs with their own fixed pre-touched heaps, and shuffle scratch lives
+// on tmpfs — parent heap + child heap + tmpfs must fit in physical RAM.
+// An uncapped env value (e.g. 85g) pre-faults parent+child to 170 GiB
+// and the kernel OOM-kills the run (this killed BENCH_r01).
+val heapGiB: Int = {
+  val raw = sys.env.getOrElse("SPARK_DRIVER_MEM", "24g").trim.toLowerCase
+  val num = raw.takeWhile(_.isDigit).toLong
+  val gib = if (raw.endsWith("m")) num / 1024 else num
+  math.min(math.max(gib, 4L), 24L).toInt
+}
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   // shuffle/spill scratch on tmpfs: /tmp is disk-backed in this sandbox
   // and serializes the exchange; a real cluster would use local NVMe
   "-Dspark.local.dir=/dev/shm/graft-spark-local",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  s"-Xmx${heapGiB}g",
   // fixed-size, pre-faulted heap: heap EXPANSION under 32-thread
   // allocation churn caused kernel-time storms (mmap+page-zero) that
   // showed up as uniform 100x task slowdowns (see BenchProbe history)
-  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  s"-Xms${heapGiB}g",
   "-XX:+AlwaysPreTouch",
   "-XX:+UseParallelGC",
 )

@@ -135,7 +135,18 @@ object Bench {
       "java.base/sun.nio.ch", "java.base/sun.nio.cs",
       "java.base/sun.security.action", "java.base/sun.util.calendar"
     ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
-    val mem = sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")
+    // Cap the child heap independently of SPARK_DRIVER_MEM: this parent
+    // JVM already holds a fixed pre-touched heap, the bench input +
+    // shuffle scratch live on tmpfs, and all of it shares 128 GiB of
+    // physical RAM. An uncapped (e.g. 85g) pre-touched child heap on top
+    // gets the whole process tree OOM-killed (root cause of BENCH_r01's
+    // exit 137).
+    val mem = {
+      val raw = sys.env.getOrElse("SPARK_DRIVER_MEM", "24g").trim.toLowerCase
+      val num = raw.takeWhile(_.isDigit).toLong
+      val gib = if (raw.endsWith("m")) num / 1024 else num
+      s"${math.min(math.max(gib, 4L), 24L)}g"
+    }
     val cmd: Seq[String] =
       Seq(javaBin) ++ opens ++ Seq(
         s"-Xmx$mem", s"-Xms$mem", "-XX:+AlwaysPreTouch", "-XX:+UseParallelGC",
@@ -170,15 +181,27 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
 
-    // 1. query timings on the driver-provided tables
+    // 1. query timings on the driver-provided tables. Failures are LOUD:
+    //    stack trace to stderr + a query_errors entry in the JSON (a
+    //    broken query must never masquerade as a fast one).
+    val queryErrors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results =
       if (sys.env.contains("GRAFT_BENCH_SKIP_QUERIES")) Seq.empty[(String, Double)]
       else {
         val spark = newSession(s"local[$cpus]", cpus.toInt)
-        try SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        try SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
           val t0 = System.nanoTime()
-          try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-          name -> (System.nanoTime() - t0) / 1e9
+          try {
+            fn(spark, sfDir).count()
+            Some(name -> (System.nanoTime() - t0) / 1e9)
+          } catch {
+            case e: Throwable =>
+              System.err.println(s"BENCH QUERY FAILED: $name")
+              e.printStackTrace()
+              queryErrors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+                .replaceAll("[\"\\\\\n\r\t]", " ").take(200)
+              None
+          }
         } finally spark.stop()
       }
 
@@ -212,10 +235,16 @@ object Bench {
     //    4N threads — isolates the codec engine from exchange overheads
     val (kThrLo, kThrHi) = kernelScaling(pLo, pHi)
 
+    // free the tmpfs bench artifacts (shared 128 GiB with heaps/shuffle)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(inputPath))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(boundsPath))
+
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val errs = queryErrors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""query_errors":$errs,"sf":"$sfDir",""" +
       s""""encode_bench":{"rows":$benchRows,"tokens":$tok32,""" +
       s""""n_executors":$pLo,"n4_executors":$pHi,""" +
       s""""n_sec":$sec8,"n4_sec":$sec32,""" +
