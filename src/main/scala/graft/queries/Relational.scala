@@ -63,7 +63,9 @@ object Relational {
         col("l_orderkey").cast("string").as("okey_str"),
         col("l_linenumber").cast("long").as("ln"),
         floor(col("l_quantity")).cast("long").as("qty_int"))
-      .orderBy("okey_str", "ln")
+      // (okey_str, ln) is not unique in the synthetic lineitem — include
+      // qty_int so the output order is total and engine-independent
+      .orderBy("okey_str", "ln", "qty_int")
 
   /** R15 ColumnIndexer stats → grouped min/max/count aggregation. */
   def statsMinMax(spark: SparkSession, dir: String): DataFrame =

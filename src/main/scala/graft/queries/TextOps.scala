@@ -127,13 +127,15 @@ object TextOps {
       .orderBy("doc_id")
   }
 
-  /** MinHash + LSH near-duplicate detection. To make the result
-    * deterministic and non-empty on a corpus with no natural dups, the
-    * query plants mutated copies of every 10th doc (id + 10⁶) and the
-    * LSH must recover those pairs: 5-char shingles → 32 minhashes →
-    * 8 bands × 4 rows → bucket join → candidate pairs. Rows-only oracle
-    * (probabilistic recall), but self-evidently checkable: every emitted
-    * pair should be (id, id+10⁶). */
+  /** MinHash + LSH near-duplicate detection at threshold 0.8. The query
+    * plants mutated copies of every 10th doc (id + 10⁶, jaccard ~0.97 to
+    * the original); 5-char shingles → 128 minhashes → 32 bands × 4 rows
+    * (a pair at jaccard s collides in >=1 band with prob 1-(1-s⁴)³²:
+    * >0.9999999 at s=0.8, so recall at the threshold is deterministic in
+    * practice) → per-bucket candidate join with a width cap → exact
+    * shingle-Jaccard rerank >= 0.8. The exact rerank makes the output
+    * equal to the all-pairs jaccard>=0.8 set, which a DuckDB oracle
+    * computes directly from 5-char substring sets. */
   def minHashLsh(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val base = docs(spark, dir).select("doc_id", "text").as[(Long, String)]
@@ -141,8 +143,8 @@ object TextOps {
       .map { case (id, text) => (id + 1000000L, text + " mutated tail marker") }
     val corpus = base.union(planted)
 
-    val numHashes = 32
-    val bands = 8
+    val numHashes = 128
+    val bands = 32
     val rowsPerBand = numHashes / bands
     val sigs = corpus.flatMap { case (id, text) =>
       // 5-char shingles, FNV-1a base hash, splitmix64 per-seed remix
@@ -175,9 +177,18 @@ object TextOps {
         (b, bandHash, id)
       }
     }.toDF("band", "band_hash", "doc_id")
+      .persist() // feeds both join sides — shingle+minhash pass runs once
 
-    val a = sigs.as("a")
-    val b = sigs.as("b")
+    // Per-bucket width cap: one hot band bucket (boilerplate text) would
+    // degenerate to quadratic pairwise work; a capped bucket's true pairs
+    // are still caught by the other 31 independent bands.
+    val cap = 10000L
+    val sized = sigs.join(
+      sigs.groupBy("band", "band_hash").agg(count(lit(1)).as("width")),
+      Seq("band", "band_hash"))
+      .filter(col("width") <= cap)
+    val a = sized.as("a")
+    val b = sized.as("b")
     val candidates = a.join(b, col("a.band") === col("b.band") &&
         col("a.band_hash") === col("b.band_hash") &&
         col("a.doc_id") < col("b.doc_id"))
@@ -190,6 +201,9 @@ object TextOps {
     val verified = candidates
       .join(texts.select(col("doc_id").as("doc_a"), col("text").as("text_a")), "doc_a")
       .join(texts.select(col("doc_id").as("doc_b"), col("text").as("text_b")), "doc_b")
+      // joins move the key column first — select explicitly so the tuple
+      // positions are (doc_a, doc_b, text_a, text_b), not join order
+      .select(col("doc_a"), col("doc_b"), col("text_a"), col("text_b"))
       .as[(Long, Long, String, String)]
       .map { case (ida, idb, ta, tb) =>
         def sh(t: String): Set[Long] = {
@@ -211,9 +225,13 @@ object TextOps {
         (ida, idb, if (union == 0) 1.0 else inter.toDouble / union)
       }
       .toDF("doc_a", "doc_b", "jaccard")
-    verified.filter(col("jaccard") >= 0.5)
+    val result = verified.filter(col("jaccard") >= 0.8)
       .withColumn("jaccard", round(col("jaccard"), 6))
       .orderBy("doc_a", "doc_b")
+      .cache()
+    result.count() // materialize before unpersisting the signature table
+    sigs.unpersist()
+    result
   }
 
   /** N-gram Jaccard similarity for adjacent doc pairs (exact, not
@@ -239,8 +257,8 @@ object TextOps {
     val b = withNext.filter(col("doc_id") % 2 === 1).as("b")
     a.join(b, col("a.pair") === col("b.pair"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        (size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
-          size(array_union(col("a.sh"), col("b.sh"))).cast("double")).as("jaccard"))
+        round(size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
+          size(array_union(col("a.sh"), col("b.sh"))).cast("double"), 6).as("jaccard"))
       .orderBy("doc_a")
   }
 }
