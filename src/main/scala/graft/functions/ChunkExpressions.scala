@@ -5,22 +5,38 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
+/** Static kernels callable from both interpreted eval and Janino-compiled
+  * generated code (static forwarders make `ChunkExprKernels.encode(...)`
+  * a plain Java static call). */
+object ChunkExprKernels {
+  def encode(a: ArrayData): Array[Byte] = {
+    val arr = a.toIntArray()
+    Chunks.encodeInts(arr, 0, arr.length)
+  }
+  def decode(b: Array[Byte]): UnsafeArrayData =
+    UnsafeArrayData.fromPrimitiveArray(Chunks.decodeInts(b))
+  def codecName(b: Array[Byte]): UTF8String =
+    UTF8String.fromString(Chunks.codecName(b))
+}
+
 /** SQL-visible codec surface: `encode_chunk(array<int>) -> binary`,
   * `decode_chunk(binary) -> array<int>`, `chunk_codec(binary) -> string`.
   *
-  * Catalyst `Expression`s (not Scala UDFs): inputs arrive as `ArrayData`/
-  * byte arrays with a single bulk copy, no per-element boxing, and nulls
-  * short-circuit via `UnaryExpression.eval`. The kernels are the same
-  * auto-selecting chunk codecs the pipeline uses (SURVEY.md §2.1 E1-E9).
+  * Catalyst `Expression`s (not Scala UDFs) WITH `doGenCode`: inputs
+  * arrive as `ArrayData`/byte arrays with a single bulk copy, no
+  * per-element boxing, nulls short-circuit in the generated code, and
+  * the surrounding stage stays inside whole-stage codegen (round 1 used
+  * CodegenFallback, paying an interpreted eval per row). The kernels are
+  * the same auto-selecting chunk codecs the pipeline uses
+  * (SURVEY.md §2.1 E1-E9).
   */
-case class EncodeChunk(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+case class EncodeChunk(child: Expression) extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult =
     child.dataType match {
       case ArrayType(IntegerType, _) => TypeCheckResult.TypeCheckSuccess
@@ -28,16 +44,16 @@ case class EncodeChunk(child: Expression)
     }
   override def dataType: DataType = BinaryType
   override def prettyName: String = "encode_chunk"
-  override protected def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData].toIntArray()
-    Chunks.encodeInts(arr, 0, arr.length)
-  }
+  override protected def nullSafeEval(input: Any): Any =
+    ChunkExprKernels.encode(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.ChunkExprKernels.encode($c);")
   override protected def withNewChildInternal(newChild: Expression): EncodeChunk =
     copy(child = newChild)
 }
 
-case class DecodeChunk(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+case class DecodeChunk(child: Expression) extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult =
     child.dataType match {
       case BinaryType => TypeCheckResult.TypeCheckSuccess
@@ -46,13 +62,15 @@ case class DecodeChunk(child: Expression)
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def prettyName: String = "decode_chunk"
   override protected def nullSafeEval(input: Any): Any =
-    UnsafeArrayData.fromPrimitiveArray(Chunks.decodeInts(input.asInstanceOf[Array[Byte]]))
+    ChunkExprKernels.decode(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.ChunkExprKernels.decode($c);")
   override protected def withNewChildInternal(newChild: Expression): DecodeChunk =
     copy(child = newChild)
 }
 
-case class ChunkCodec(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+case class ChunkCodec(child: Expression) extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult =
     child.dataType match {
       case BinaryType => TypeCheckResult.TypeCheckSuccess
@@ -61,7 +79,10 @@ case class ChunkCodec(child: Expression)
   override def dataType: DataType = StringType
   override def prettyName: String = "chunk_codec"
   override protected def nullSafeEval(input: Any): Any =
-    UTF8String.fromString(Chunks.codecName(input.asInstanceOf[Array[Byte]]))
+    ChunkExprKernels.codecName(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.ChunkExprKernels.codecName($c);")
   override protected def withNewChildInternal(newChild: Expression): ChunkCodec =
     copy(child = newChild)
 }

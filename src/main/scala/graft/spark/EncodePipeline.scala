@@ -97,11 +97,17 @@ object EncodePipeline {
     // stable cuts), and a 200k-key driver-side sort is trivial
     val targetSamples = math.min(math.max(numParts.toLong * 200, 200000L), 2000000L)
     val sampleFraction = math.min(1.0, targetSamples.toDouble / total.toDouble)
+    // Sort the sample in UTF8 BYTE order (UTF8String.compareTo), matching
+    // the executor-side sort and the PartIdForBounds assignment — Java
+    // String ordering diverges for supplementary-plane code points and
+    // would skew bounds vs. actual partition contents.
     val sample = slim
       .sample(withReplacement = false, sampleFraction, seed = 42L)
       .collect()
-      .map(r => (r.getString(0), r.getInt(1).toLong))
-      .sortBy(_._1)
+      .map(r => (org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(0)),
+        r.getInt(1).toLong))
+      .sortBy(_._1)(Ordering.comparatorToOrdering(
+        java.util.Comparator.naturalOrder[org.apache.spark.unsafe.types.UTF8String]()))
     if (sample.isEmpty) return Array.empty
     val totalMass = sample.map(_._2).sum.toDouble
     val perPart = totalMass / numParts
@@ -111,7 +117,7 @@ object EncodePipeline {
     for ((id, mass) <- sample if bounds.length < numParts - 1) {
       acc += mass
       if (acc >= nextCut) {
-        bounds += id
+        bounds += id.toString
         nextCut += perPart
       }
     }
@@ -119,23 +125,20 @@ object EncodePipeline {
   }
 
   /** Assign part_id by binary search over persisted bounds — stable across
-    * runs, which is what makes checkpoint resume idempotent. Column-level
-    * (UDF on doc_id only): the row never round-trips through Scala
-    * objects, Catalyst just appends an int column. */
+    * runs, which is what makes checkpoint resume idempotent. A codegen'd
+    * Catalyst expression over broadcast UTF8 bounds: the doc_id is
+    * compared as UTF8 bytes without ever materializing a Java String, and
+    * the projection stays inside whole-stage codegen (the round-1 Scala
+    * UDF broke the codegen span on every input row of every encode job).
+    */
   def withPartId(ds: Dataset[TokenRow], bounds: Array[String]): DataFrame = {
     val spark = ds.sparkSession
-    val bc = spark.sparkContext.broadcast(bounds)
-    val assign = udf { (docId: String) =>
-      val b = bc.value
-      var lo = 0
-      var hi = b.length
-      while (lo < hi) {
-        val mid = (lo + hi) >>> 1
-        if (docId > b(mid)) lo = mid + 1 else hi = mid
-      }
-      lo
-    }
-    ds.toDF().withColumn("part_id", assign(col("doc_id")))
+    val bc = spark.sparkContext.broadcast(
+      bounds.map(org.apache.spark.unsafe.types.UTF8String.fromString))
+    ds.toDF().withColumn("part_id",
+      org.apache.spark.sql.graftbridge.ColumnBridge.column(
+        graft.functions.PartIdForBounds(
+          org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute("doc_id"), bc)))
   }
 
   // ----------------------------------------------------------------- encode
