@@ -347,30 +347,58 @@ object EncodePipeline {
     * assignment stable so re-encoded output is byte-identical
     * (deterministic generator + stable assignment).
     */
+  /** First existing complete metrics table among current / staging / old
+    * (the staging and old names exist transiently during the swap below;
+    * a crash inside the swap window leaves exactly one complete copy). */
+  private def liveMetricsPath(hfs: org.apache.hadoop.fs.FileSystem,
+                              metricsPath: String): Option[String] =
+    Seq(metricsPath, metricsPath + ".staging", metricsPath + ".old")
+      .find(p => hfs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
+
   def encodeCheckpointed(spark: SparkSession, ds: Dataset[TokenRow], numParts: Int,
                          dir: String,
                          tokensPerChunk: Int = DefaultTokensPerChunk): DataFrame = {
     import spark.implicits._
-    val fs = new java.io.File(dir)
-    fs.mkdirs()
-    val boundsFile = new java.io.File(fs, "bounds.txt")
+    // All checkpoint metadata I/O goes through the Hadoop FileSystem API,
+    // so `dir` can be any URI (file:, hdfs:, s3a:). Round 1 used
+    // java.io.File for bounds + existence checks — on an object store the
+    // driver-local checks were always false and resume silently never
+    // resumed.
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val hfs = dirPath.getFileSystem(hconf)
+    hfs.mkdirs(dirPath)
+    val boundsPath = new org.apache.hadoop.fs.Path(dirPath, "bounds.txt")
     val bounds: Array[String] =
-      if (boundsFile.exists()) {
-        val src = scala.io.Source.fromFile(boundsFile, "UTF-8")
-        try src.getLines().toArray finally src.close()
+      if (hfs.exists(boundsPath)) {
+        val in = hfs.open(boundsPath)
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toArray
+        finally in.close()
       } else {
         val b = massBalancedBounds(ds, numParts)
-        java.nio.file.Files.write(boundsFile.toPath,
-          b.mkString("\n").getBytes(UTF_8))
+        val out = hfs.create(boundsPath, true)
+        try out.write(b.mkString("\n").getBytes(UTF_8)) finally out.close()
         b
       }
     val metricsPath = s"$dir/metrics"
+    // Crash recovery: if the last run died inside the swap window, the
+    // only complete copy may sit under .staging or .old — promote it to
+    // the current name BEFORE any lazy reads reference it, then operate
+    // on the current table only.
+    liveMetricsPath(hfs, metricsPath).foreach { p =>
+      if (p != metricsPath) {
+        hfs.delete(new org.apache.hadoop.fs.Path(metricsPath), true)
+        hfs.rename(new org.apache.hadoop.fs.Path(p),
+          new org.apache.hadoop.fs.Path(metricsPath))
+      }
+    }
+    val liveMetrics = liveMetricsPath(hfs, metricsPath)
     val done: Set[Int] =
-      if (new java.io.File(metricsPath).exists())
-        spark.read.parquet(metricsPath)
+      liveMetrics.map { p =>
+        spark.read.parquet(p)
           .filter(col("status") === "ok")
           .select("part_id").as[Int].collect().toSet
-      else Set.empty
+      }.getOrElse(Set.empty)
     val assigned = withPartId(ds, bounds)
     val todo =
       if (done.isEmpty) assigned
@@ -390,7 +418,7 @@ object EncodePipeline {
     val written = spark.read.parquet(s"$dir/chunks")
     val prevAttempt: Int =
       if (done.nonEmpty)
-        spark.read.parquet(metricsPath).agg(max("attempt")).head().getInt(0)
+        spark.read.parquet(liveMetrics.get).agg(max("attempt")).head().getInt(0)
       else 0
     val freshMetrics = written
       .filter(if (done.isEmpty) lit(true) else !col("part_id").isin(done.toSeq: _*))
@@ -410,16 +438,24 @@ object EncodePipeline {
     // history is lineage); only re-encoded parts get a new row
     val metrics =
       if (done.isEmpty) freshMetrics
-      else spark.read.parquet(metricsPath)
+      else spark.read.parquet(liveMetrics.get)
         .filter(col("part_id").isin(done.toSeq: _*))
         .unionByName(freshMetrics)
+    // Swap with no unprotected window: write staging, move the current
+    // table aside, promote staging, then drop the old copy. A crash at
+    // any point leaves at least one complete table that liveMetricsPath
+    // finds on the next resume (round 1 did delete-then-rename, where a
+    // crash between the two wiped the lineage).
     val staging = metricsPath + ".staging"
+    val mPath = new org.apache.hadoop.fs.Path(metricsPath)
+    val sPath = new org.apache.hadoop.fs.Path(staging)
+    val oPath = new org.apache.hadoop.fs.Path(metricsPath + ".old")
+    hfs.delete(sPath, true)
     metrics.write.mode("overwrite").parquet(staging)
-    // atomic-ish swap so a crash mid-write never truncates the table
-    val fsPath = new org.apache.hadoop.fs.Path(metricsPath)
-    val hfs = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    hfs.delete(fsPath, true)
-    hfs.rename(new org.apache.hadoop.fs.Path(staging), fsPath)
+    hfs.delete(oPath, true)
+    if (hfs.exists(mPath)) hfs.rename(mPath, oPath)
+    hfs.rename(sPath, mPath)
+    hfs.delete(oPath, true)
     spark.read.parquet(metricsPath)
   }
 

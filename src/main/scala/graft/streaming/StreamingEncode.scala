@@ -7,17 +7,19 @@ import org.apache.spark.sql.streaming.StreamingQuery
 
 /** Structured Streaming ingest: a stream of token rows is encoded
   * micro-batch-wise with the layout-aligned path (no exchange inside a
-  * batch) and appended to the chunk table. Streaming's own checkpoint
-  * (WAL + batch id) provides exactly-once appends — the streaming analog
-  * of the batch job's per-partition resume. The reference has no
-  * streaming runtime (SURVEY.md §2.6); this is engine-native capability.
+  * batch) and written to the chunk table under a batch_id partition.
+  * foreachBatch alone is only at-least-once — a batch replayed after a
+  * crash between the parquet write and the streaming-checkpoint commit
+  * would duplicate chunks — so the sink is made idempotent per batchId:
+  * each batch dynamically OVERWRITES its own batch_id partition, and a
+  * replay rewrites identical bytes (the aligned encode is deterministic
+  * in the batch content). Chunk identity for a streamed table is
+  * (batch_id, chunk_id); batch_id is a Long column, never truncated.
+  * The reference has no streaming runtime (SURVEY.md §2.6); this is
+  * engine-native capability.
   */
 object StreamingEncode {
 
-  /** Start the encode sink on a streaming Dataset of token rows.
-    * Chunk part_ids are offset by batch id so chunk identity stays unique
-    * across the stream's lifetime.
-    */
   def start(spark: SparkSession, source: DataFrame, chunkDir: String,
             checkpointDir: String,
             tokensPerChunk: Int = EncodePipeline.DefaultTokensPerChunk,
@@ -28,8 +30,12 @@ object StreamingEncode {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[TokenRow], batchId: Long) =>
         EncodePipeline
-          .encodeAligned(batch, tokensPerChunk, blockCodec, partIdOffset = (batchId * 100000L).toInt)
-          .write.mode("append").parquet(chunkDir)
+          .encodeAligned(batch, tokensPerChunk, blockCodec)
+          .withColumn("batch_id", org.apache.spark.sql.functions.lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(chunkDir)
         ()
       }
       .start()

@@ -187,6 +187,36 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("checkpoint metadata goes through Hadoop FS: file: URI works end-to-end") {
+    import spark.implicits._
+    val dir = "file:" + java.nio.file.Files.createTempDirectory("graft-ckpt-uri").toString
+    val src = TokenTableGen.generate(spark, 1500, 4)
+    val m1 = EncodePipeline.encodeCheckpointed(spark, src, 4, dir, tokensPerChunk = 64 * 1024)
+    assert(m1.selectExpr("sum(num_rows)").head().getLong(0) == 1500L)
+    // resume over the same URI: nothing re-encodes, attempt stays 1
+    val m2 = EncodePipeline.encodeCheckpointed(spark, src, 4, dir, tokensPerChunk = 64 * 1024)
+    assert(m2.selectExpr("max(attempt)").head().getInt(0) == 1)
+    val decoded = EncodePipeline.decode(spark.read.parquet(s"$dir/chunks").as[EncodedChunk])
+    assert(EncodePipeline.verifyRoundTrip(src, decoded) == 0L)
+  }
+
+  test("metrics swap window: a crash leaving only .staging still resumes") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt-crash").toString
+    val src = TokenTableGen.generate(spark, 1500, 4)
+    EncodePipeline.encodeCheckpointed(spark, src, 4, dir, tokensPerChunk = 64 * 1024)
+    // simulate dying between "metrics -> old" and "staging -> metrics":
+    // only a complete .staging copy survives
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    val m = new org.apache.hadoop.fs.Path(s"$dir/metrics")
+    val s = new org.apache.hadoop.fs.Path(s"$dir/metrics.staging")
+    assert(fs.rename(m, s))
+    val m2 = EncodePipeline.encodeCheckpointed(spark, src, 4, dir, tokensPerChunk = 64 * 1024)
+    // recovery promoted the staging copy; no partition was re-encoded
+    assert(m2.selectExpr("max(attempt)").head().getInt(0) == 1)
+    assert(m2.selectExpr("sum(num_rows)").head().getLong(0) == 1500L)
+  }
+
   test("checkpointed encode resumes idempotently") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
