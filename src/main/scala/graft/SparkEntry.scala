@@ -38,6 +38,7 @@ object SparkEntry {
     "q_rt_tokens_pipeline" -> ((s, d) => RoundTrips.tokensPipeline(s, d)),
     "q_rt_tokens_zstd" -> ((s, d) => RoundTrips.tokensPipelineZstd(s, d)),
     "q_rt_expr_sql" -> ((s, d) => RoundTrips.exprSqlRoundTrip(s, d)),
+    "q_rt_nullable" -> ((s, d) => RoundTrips.nullableRoundTrip(s, d)),
     "q_codec_stats" -> ((s, d) => RoundTrips.codecStats(s, d)),
     // --- relational / dataflow operators ---
     "q_filter" -> ((s, d) => Relational.filter(s, d)),
@@ -93,6 +94,16 @@ object SparkEntry {
       "SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber FROM lineitem ORDER BY l_orderkey, l_linenumber",
     "q_rt_expr_sql" ->
       "SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber FROM lineitem ORDER BY l_orderkey, l_linenumber",
+    // Nullable round-trip: NULLs must survive the chunk bitmaps exactly;
+    // Spark sorts NULLS FIRST on ascending keys, restated explicitly for
+    // DuckDB (whose default is NULLS LAST).
+    "q_rt_nullable" ->
+      """SELECT lpad(CAST(l_orderkey AS VARCHAR), 10, '0') || '-' || lpad(CAST(l_linenumber AS VARCHAR), 4, '0') AS doc_id,
+        |       CASE WHEN l_discount > 0.08 THEN -1 ELSE 2 END AS n_tok,
+        |       CASE WHEN l_returnflag = 'N' THEN NULL ELSE l_returnflag END AS source,
+        |       CASE WHEN l_discount > 0.08 THEN NULL ELSE CAST(l_linenumber + floor(l_quantity) AS BIGINT) END AS tok_sum
+        |FROM lineitem
+        |ORDER BY doc_id, n_tok, source NULLS FIRST, tok_sum NULLS FIRST""".stripMargin,
     "q_filter" ->
       "SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_quantity FROM lineitem WHERE l_quantity >= 49.0 AND l_discount > 0.05 ORDER BY l_orderkey, l_linenumber",
     "q_transform" ->

@@ -32,6 +32,7 @@ object Codecs {
   final val RleBool = 14
   final val PagedInt = 15
   final val ForInt = 16 // frame-of-reference + bit-pack (no delta)
+  final val NullableWrap = 17 // row-null bitmap wrapper around any chunk
 
   val names: Map[Int, String] = Map(
     PlainInt -> "PLAIN", RleInt -> "RLE", DeltaInt -> "DELTA_BINARY_PACKED",
@@ -40,7 +41,7 @@ object Codecs {
     DeltaBytes -> "DELTA_BYTE_ARRAY", FsstBytes -> "FSST", DictBytes -> "RLE_DICTIONARY",
     PlainDouble -> "PLAIN", BssDouble -> "BYTE_STREAM_SPLIT",
     PlainBool -> "PLAIN", RleBool -> "RLE", PagedInt -> "PAGED",
-    ForInt -> "FOR_BIT_PACKED")
+    ForInt -> "FOR_BIT_PACKED", NullableWrap -> "NULLABLE")
 }
 
 final case class IntStats(n: Int, min: Long, max: Long, runs: Int, sorted: Boolean,
@@ -485,4 +486,51 @@ object Chunks {
   }
 
   def codecName(bytes: Array[Byte]): String = Codecs.names.getOrElse(bytes(0) & 0xFF, "UNKNOWN")
+
+  // -------------------------------------------------------------- nullables
+
+  /** Row-null bitmap wrapper (the engine's definition levels — reference
+    * semantics: null kernels null.go:22-60, optional-column write path
+    * column_buffer_go18.go:90-140). The inner chunk encodes only the
+    * non-null values; bit set = NULL. Frame:
+    * [17][uvarint n][uvarint null_count][bitmap ceil(n/8)][inner chunk].
+    */
+  def wrapNullable(nullFlags: Array[Boolean], n: Int, nullCount: Int,
+                   inner: Array[Byte]): Array[Byte] = {
+    val bitmap = new Array[Byte]((n + 7) >> 3)
+    var i = 0
+    while (i < n) {
+      if (nullFlags(i)) bitmap(i >> 3) = (bitmap(i >> 3) | (1 << (i & 7))).toByte
+      i += 1
+    }
+    val out = new ByteWriter(16 + bitmap.length + inner.length)
+    out.writeByte(Codecs.NullableWrap)
+    out.writeUvarint(n)
+    out.writeUvarint(nullCount)
+    out.writeBytes(bitmap)
+    out.writeBytes(inner)
+    out.toArray
+  }
+
+  /** Split a possibly-wrapped chunk into (nullFlags, innerBytes).
+    * nullFlags is null when the chunk carries no nulls (fast path: the
+    * wrapper is only written when null_count > 0). */
+  def unwrapNullable(bytes: Array[Byte]): (Array[Boolean], Array[Byte]) = {
+    if ((bytes(0) & 0xFF) != Codecs.NullableWrap) return (null, bytes)
+    val r = new ByteReader(bytes, 1)
+    val n = r.readUvarint().toInt
+    val nullCount = r.readUvarint().toInt
+    val bitmap = r.readBytes((n + 7) >> 3)
+    val flags = new Array[Boolean](n)
+    var i = 0
+    var c = 0
+    while (i < n) {
+      val f = ((bitmap(i >> 3) >> (i & 7)) & 1) == 1
+      flags(i) = f
+      if (f) c += 1
+      i += 1
+    }
+    require(c == nullCount, s"null bitmap mismatch: $c vs declared $nullCount")
+    (flags, java.util.Arrays.copyOfRange(r.buf, r.pos, r.buf.length))
+  }
 }

@@ -194,4 +194,31 @@ object RoundTrips {
       .agg(count(lit(1)).as("chunks"), sum("num_values").as("values"))
       .orderBy("column", "codec")
   }
+
+  /** Nullable columns through the FULL pipeline (exchange + chunk encode +
+    * decode): tokens NULL where l_discount > 0.08 (decoded back as null
+    * with the n_tok = -1 convention) and source NULL where
+    * l_returnflag = 'N'. Nulls ride per-chunk bitmaps (codec 17) with
+    * null counts in the chunk row; the oracle restates the construction
+    * in SQL, so any bitmap slip is a hash mismatch. Reference semantics:
+    * null.go:22-60, column_buffer_go18.go:90-140. */
+  def nullableRoundTrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val src = table(spark, dir, "lineitem")
+      .select(
+        concat(lpad(col("l_orderkey").cast("string"), 10, "0"), lit("-"),
+          lpad(col("l_linenumber").cast("string"), 4, "0")).as("doc_id"),
+        when(col("l_discount") > 0.08, lit(null))
+          .otherwise(array(col("l_linenumber"),
+            floor(col("l_quantity")).cast("int"))).as("tokens"),
+        when(col("l_discount") > 0.08, lit(-1)).otherwise(lit(2)).as("n_tok"),
+        when(col("l_returnflag") === "N", lit(null).cast("string"))
+          .otherwise(col("l_returnflag")).as("source"))
+      .as[TokenRow]
+    val decoded = EncodePipeline.decode(EncodePipeline.encode(src, numParts = 4))
+    decoded.toDF()
+      .select(col("doc_id"), col("n_tok"), col("source"),
+        expr("aggregate(tokens, CAST(0 AS BIGINT), (acc, x) -> acc + x)").as("tok_sum"))
+      .orderBy("doc_id", "n_tok", "source", "tok_sum")
+  }
 }

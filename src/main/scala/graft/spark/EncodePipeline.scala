@@ -17,6 +17,8 @@ final case class EncodedChunk(
     chunk_id: Long,
     num_rows: Int,
     num_tokens: Long,
+    tokens_nulls: Int,
+    source_nulls: Int,
     first_doc_id: String,
     last_doc_id: String,
     tokens_codec: String,
@@ -105,7 +107,7 @@ object EncodePipeline {
       .sample(withReplacement = false, sampleFraction, seed = 42L)
       .collect()
       .map(r => (org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(0)),
-        r.getInt(1).toLong))
+        math.max(0L, r.getInt(1).toLong))) // null-token rows carry n_tok=-1: zero mass
       .sortBy(_._1)(Ordering.comparatorToOrdering(
         java.util.Comparator.naturalOrder[org.apache.spark.unsafe.types.UTF8String]()))
     if (sample.isEmpty) return Array.empty
@@ -149,36 +151,66 @@ object EncodePipeline {
   private final class PartitionEncoder(partId: Int, tokensPerChunk: Int, blockCodec: Int) {
     private var tokenBuf = new Array[Int](math.min(tokensPerChunk + 8192, 1 << 22))
     private var nTokens = 0
-    private val lens = new scala.collection.mutable.ArrayBuffer[Int](4096)
+    private val lens = new scala.collection.mutable.ArrayBuffer[Int](4096) // non-null rows only
+    private val tokNull = new scala.collection.mutable.ArrayBuffer[Boolean](4096) // per row
     private val docIds = new scala.collection.mutable.ArrayBuffer[Array[Byte]](4096)
-    private val sources = new scala.collection.mutable.ArrayBuffer[Array[Byte]](4096)
+    private val sources = new scala.collection.mutable.ArrayBuffer[Array[Byte]](4096) // null entries allowed
     private var chunkSeq = 0L
 
+    /** `tokens` and `source` may be null (nullable columns; stored via a
+      * per-chunk null bitmap). `docId` is the partition/sort key and must
+      * be non-null. */
     def add(docId: Array[Byte], tokens: Array[Int], source: Array[Byte],
             flushTo: EncodedChunk => Unit): Unit = {
-      if (nTokens + tokens.length > tokenBuf.length)
-        tokenBuf = java.util.Arrays.copyOf(tokenBuf,
-          math.max(tokenBuf.length * 2, nTokens + tokens.length))
-      System.arraycopy(tokens, 0, tokenBuf, nTokens, tokens.length)
-      nTokens += tokens.length
-      lens += tokens.length
+      require(docId != null, "doc_id is the partition key and must be non-null")
+      if (tokens == null) tokNull += true
+      else {
+        if (nTokens + tokens.length > tokenBuf.length)
+          tokenBuf = java.util.Arrays.copyOf(tokenBuf,
+            math.max(tokenBuf.length * 2, nTokens + tokens.length))
+        System.arraycopy(tokens, 0, tokenBuf, nTokens, tokens.length)
+        nTokens += tokens.length
+        lens += tokens.length
+        tokNull += false
+      }
       docIds += docId
       sources += source
       if (nTokens >= tokensPerChunk) flushTo(flush())
     }
 
-    def nonEmpty: Boolean = lens.nonEmpty
+    def nonEmpty: Boolean = docIds.nonEmpty
 
     def flush(): EncodedChunk = {
       val tFlush0 = System.nanoTime()
-      val nRows = lens.length
+      val nRows = docIds.length
       val lensArr = lens.toArray
+      val tokNullArr = tokNull.toArray
       val docArr = docIds.toArray
       val srcArr = sources.toArray
-      val (tokensBin0, tokensCodec) = StreamedTokens.encode(tokenBuf, lensArr, nRows, nTokens)
-      val lensBin0 = Chunks.encodeInts(lensArr, 0, nRows)
+      val tokensNulls = nRows - lensArr.length
+      val srcNulls = {
+        var c = 0; var i = 0
+        while (i < nRows) { if (srcArr(i) == null) c += 1; i += 1 }
+        c
+      }
+      var (tokensBin0, tokensCodec) = StreamedTokens.encode(tokenBuf, lensArr, lensArr.length, nTokens)
+      if (tokensNulls > 0)
+        tokensBin0 = Chunks.wrapNullable(tokNullArr, nRows, tokensNulls, tokensBin0)
+      val lensBin0 = Chunks.encodeInts(lensArr, 0, lensArr.length)
       val docBin0 = Chunks.encodeStrings(docArr, 0, nRows)
-      val srcBin0 = Chunks.encodeStrings(srcArr, 0, nRows)
+      val srcBin0 =
+        if (srcNulls == 0) Chunks.encodeStrings(srcArr, 0, nRows)
+        else {
+          val flags = new Array[Boolean](nRows)
+          val dense = new Array[Array[Byte]](nRows - srcNulls)
+          var d = 0; var i = 0
+          while (i < nRows) {
+            if (srcArr(i) == null) flags(i) = true
+            else { dense(d) = srcArr(i); d += 1 }
+            i += 1
+          }
+          Chunks.wrapNullable(flags, nRows, srcNulls, Chunks.encodeStrings(dense, 0, d))
+        }
       val lensCodec = Chunks.codecName(lensBin0)
       val docCodec = Chunks.codecName(docBin0)
       val srcCodec = Chunks.codecName(srcBin0)
@@ -200,13 +232,16 @@ object EncodePipeline {
       crc.update(lensBin)
       crc.update(docBin)
       crc.update(srcBin)
-      val rawBytes = 4L * nTokens + 4L * nRows +
-        docArr.map(_.length.toLong).sum + srcArr.map(_.length.toLong).sum
+      val rawBytes = 4L * nTokens + 4L * lensArr.length +
+        docArr.map(_.length.toLong).sum +
+        srcArr.map(s => if (s == null) 0L else s.length.toLong).sum
       val chunk = EncodedChunk(
         part_id = partId,
         chunk_id = (partId.toLong << 32) | chunkSeq,
         num_rows = nRows,
         num_tokens = nTokens.toLong,
+        tokens_nulls = tokensNulls,
+        source_nulls = srcNulls,
         first_doc_id = new String(docArr(0), UTF_8),
         last_doc_id = new String(docArr(nRows - 1), UTF_8),
         tokens_codec = tokensCodec,
@@ -226,6 +261,7 @@ object EncodePipeline {
       chunkSeq += 1
       nTokens = 0
       lens.clear()
+      tokNull.clear()
       docIds.clear()
       sources.clear()
       chunk
@@ -271,8 +307,8 @@ object EncodePipeline {
       iter.foreach { row =>
         enc.add(
           row.getUTF8String(0).getBytes,
-          row.getArray(1).toIntArray(),
-          row.getUTF8String(3).getBytes,
+          if (row.isNullAt(1)) null else row.getArray(1).toIntArray(),
+          if (row.isNullAt(3)) null else row.getUTF8String(3).getBytes,
           out += _)
       }
       if (enc.nonEmpty) out += enc.flush()
@@ -300,8 +336,8 @@ object EncodePipeline {
       }
       enc.add(
         row.getUTF8String(0).getBytes,
-        row.getArray(1).toIntArray(),
-        row.getUTF8String(3).getBytes,
+        if (row.isNullAt(1)) null else row.getArray(1).toIntArray(),
+        if (row.isNullAt(3)) null else row.getUTF8String(3).getBytes,
         out += _)
     }
     if (enc != null && enc.nonEmpty) out += enc.flush()
@@ -317,24 +353,44 @@ object EncodePipeline {
     chunks.flatMap(decodeChunk)
   }
 
+  /** Null-aware decode: rows whose tokens were NULL come back with
+    * `tokens = null, n_tok = -1`; NULL sources come back null. */
   def decodeChunk(c: EncodedChunk): Iterator[TokenRow] = {
     val crc = new java.util.zip.CRC32()
     crc.update(c.tokens_bin); crc.update(c.lens_bin)
     crc.update(c.docid_bin); crc.update(c.source_bin)
     require(crc.getValue == c.crc32, s"chunk ${c.chunk_id}: CRC mismatch")
     val lens = Chunks.decodeInts(BlockCompression.decompress(c.lens_bin))
-    val tokens = StreamedTokens.decode(BlockCompression.decompress(c.tokens_bin), lens)
+    val (tokFlags, tokensInner) = Chunks.unwrapNullable(BlockCompression.decompress(c.tokens_bin))
+    val tokens = StreamedTokens.decode(tokensInner, lens)
     val docIds = Chunks.decodeStrings(BlockCompression.decompress(c.docid_bin))
-    val sources = Chunks.decodeStrings(BlockCompression.decompress(c.source_bin))
+    val (srcFlags, srcInner) = Chunks.unwrapNullable(BlockCompression.decompress(c.source_bin))
+    val srcDense = Chunks.decodeStrings(srcInner)
     val offsets = new Array[Int](lens.length + 1)
     var i = 0
     while (i < lens.length) { offsets(i + 1) = offsets(i) + lens(i); i += 1 }
-    Iterator.tabulate(lens.length) { r =>
+    var tokCursor = 0
+    var srcCursor = 0
+    Iterator.tabulate(c.num_rows) { r =>
+      val tokensOut =
+        if (tokFlags != null && tokFlags(r)) null
+        else {
+          val k = tokCursor
+          tokCursor += 1
+          java.util.Arrays.copyOfRange(tokens, offsets(k), offsets(k + 1))
+        }
+      val sourceOut =
+        if (srcFlags != null && srcFlags(r)) null
+        else {
+          val s = srcDense(srcCursor)
+          srcCursor += 1
+          new String(s, UTF_8)
+        }
       TokenRow(
         new String(docIds(r), UTF_8),
-        java.util.Arrays.copyOfRange(tokens, offsets(r), offsets(r + 1)),
-        lens(r),
-        new String(sources(r), UTF_8))
+        tokensOut,
+        if (tokensOut == null) -1 else tokensOut.length,
+        sourceOut)
     }
   }
 
@@ -473,7 +529,7 @@ object EncodePipeline {
       .filter(col("tokens_min") <= tokenId && col("tokens_max") >= tokenId)
       .flatMap { c =>
         decodeChunk(c).collect {
-          case row if row.tokens.contains(tokenId) => row.doc_id
+          case row if row.tokens != null && row.tokens.contains(tokenId) => row.doc_id
         }
       }
   }
@@ -499,14 +555,16 @@ object EncodePipeline {
   def verifyRoundTrip(source: Dataset[TokenRow], decoded: Dataset[TokenRow]): Long = {
     val spark = source.sparkSession
     import spark.implicits._
-    val a = source.map(r => (r.doc_id, r.tokens.toSeq, r.n_tok, r.source))
-    val b = decoded.map(r => (r.doc_id, r.tokens.toSeq, r.n_tok, r.source))
+    val a = source.map(r => (r.doc_id, Option(r.tokens).map(_.toSeq), r.n_tok, Option(r.source)))
+    val b = decoded.map(r => (r.doc_id, Option(r.tokens).map(_.toSeq), r.n_tok, Option(r.source)))
+    // null-safe (<=>) comparisons: nullable tokens/source round-trip as
+    // nulls, which must compare EQUAL, while a dropped row still fails
+    // via the full-outer join's unmatched side
     val mism = a.toDF("doc_id", "tokens", "n_tok", "source")
       .join(b.toDF("doc_id", "tokens2", "n_tok2", "source2"), Seq("doc_id"), "full_outer")
       .filter(
-        col("tokens2").isNull || col("tokens").isNull ||
-          col("tokens") =!= col("tokens2") ||
-          col("n_tok") =!= col("n_tok2") || col("source") =!= col("source2"))
+        !(col("tokens") <=> col("tokens2")) ||
+          !(col("n_tok") <=> col("n_tok2")) || !(col("source") <=> col("source2")))
     mism.count()
   }
 }

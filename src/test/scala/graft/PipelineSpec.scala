@@ -187,6 +187,31 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("nullable tokens and source round-trip via per-chunk null bitmaps") {
+    import spark.implicits._
+    val rows = spark.range(0, 3000, 1, 4).as[Long].map { i =>
+      val tokens = if (i % 7 == 0) null else Array.tabulate(10)(k => (i + k).toInt)
+      val source = if (i % 5 == 0) null else s"src${i % 3}"
+      TokenRow(f"doc/$i%012d", tokens, if (tokens == null) -1 else tokens.length, source)
+    }
+    val chunks = EncodePipeline.encode(rows, numParts = 4, tokensPerChunk = 8 * 1024).cache()
+    // null counts are chunk-level stats
+    val agg = chunks.selectExpr("sum(tokens_nulls)", "sum(source_nulls)", "sum(num_rows)").head()
+    assert(agg.getLong(0) == (0 until 3000).count(_ % 7 == 0))
+    assert(agg.getLong(1) == (0 until 3000).count(_ % 5 == 0))
+    assert(agg.getLong(2) == 3000L)
+    assert(EncodePipeline.verifyRoundTrip(rows, EncodePipeline.decode(chunks)) == 0L)
+    chunks.unpersist()
+  }
+
+  test("all-null tokens chunk still round-trips") {
+    import spark.implicits._
+    val rows = spark.range(0, 200, 1, 2).as[Long]
+      .map(i => TokenRow(f"doc/$i%012d", null, -1, null))
+    val decoded = EncodePipeline.decode(EncodePipeline.encode(rows, 2))
+    assert(EncodePipeline.verifyRoundTrip(rows, decoded) == 0L)
+  }
+
   test("checkpoint metadata goes through Hadoop FS: file: URI works end-to-end") {
     import spark.implicits._
     val dir = "file:" + java.nio.file.Files.createTempDirectory("graft-ckpt-uri").toString
