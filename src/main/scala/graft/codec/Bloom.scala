@@ -1,0 +1,84 @@
+package graft.codec
+
+/** Split-block bloom filter for per-chunk token membership.
+  *
+  * Structure follows the public parquet bloom-filter spec (also the
+  * reference's split-block blooms, bloom/block.go:16-28, probed on read
+  * in bloom.go:16-70): the filter is an array of 256-bit blocks (8 x
+  * 32-bit words); a 64-bit hash picks the block with its high bits, and
+  * the low 32 bits set/check one bit per word via 8 odd salts. An insert
+  * or probe touches exactly one cache line. Hashing is splitmix64 —
+  * engine-internal, no byte compatibility required.
+  */
+object Bloom {
+
+  private final val Salt: Array[Int] = Array(
+    0x47b6137b, 0x44974d91, 0x8824ad5b, 0xa2b7289d,
+    0x705495c7, 0x2df1424b, 0x9efc4947, 0x5c6bfb31)
+
+  final val WordsPerBlock = 8
+  final val BytesPerBlock = 32
+
+  /** Filter size in bytes for a chunk with `numTokens` values: ~2 bits
+    * per raw token (duplicates are free, so the effective bits-per-
+    * DISTINCT ratio is far higher on zipf-ish token data), clamped to
+    * [64 B, 32 KiB] and rounded to a power of two so the block index is
+    * a mask. At the 32 KiB cap a fully-distinct 1M-token chunk degrades
+    * gracefully (min/max pruning still applies). */
+  def sizeBytes(numTokens: Int): Int = {
+    val target = math.max(64L, math.min(32L * 1024, numTokens.toLong / 4))
+    Integer.highestOneBit(target.toInt) match {
+      case p if p < target => p << 1
+      case p => p
+    }
+  }
+
+  @inline def hashInt(v: Int): Long =
+    graft.spark.TokenTableGen.splitmix64(v.toLong)
+
+  @inline private def blockIndex(h: Long, numBlocks: Int): Int =
+    (((h >>> 32) * numBlocks) >>> 32).toInt // multiply-shift: unbiased, no modulo
+
+  /** Insert into a word-array filter (build-time representation). */
+  def insert(words: Array[Int], v: Int): Unit = {
+    val h = hashInt(v)
+    val block = blockIndex(h, words.length / WordsPerBlock) * WordsPerBlock
+    val x = h.toInt
+    var i = 0
+    while (i < WordsPerBlock) {
+      words(block + i) |= 1 << ((x * Salt(i)) >>> 27)
+      i += 1
+    }
+  }
+
+  /** Probe the serialized (little-endian) filter. */
+  def mightContain(bytes: Array[Byte], v: Int): Boolean = {
+    if (bytes == null || bytes.length < BytesPerBlock) return true // no filter => can't prune
+    val h = hashInt(v)
+    val blockOff = blockIndex(h, bytes.length / BytesPerBlock) * BytesPerBlock
+    val x = h.toInt
+    var i = 0
+    while (i < WordsPerBlock) {
+      val off = blockOff + i * 4
+      val word = (bytes(off) & 0xFF) | ((bytes(off + 1) & 0xFF) << 8) |
+        ((bytes(off + 2) & 0xFF) << 16) | ((bytes(off + 3) & 0xFF) << 24)
+      if ((word & (1 << ((x * Salt(i)) >>> 27))) == 0) return false
+      i += 1
+    }
+    true
+  }
+
+  def serialize(words: Array[Int]): Array[Byte] = {
+    val out = new Array[Byte](words.length * 4)
+    var i = 0
+    while (i < words.length) {
+      val w = words(i)
+      out(i * 4) = w.toByte
+      out(i * 4 + 1) = (w >>> 8).toByte
+      out(i * 4 + 2) = (w >>> 16).toByte
+      out(i * 4 + 3) = (w >>> 24).toByte
+      i += 1
+    }
+    out
+  }
+}

@@ -31,6 +31,7 @@ final case class EncodedChunk(
     enc_bytes: Long,
     encode_ms: Long,
     crc32: Long,
+    tokens_bloom: Array[Byte],
     tokens_bin: Array[Byte],
     lens_bin: Array[Byte],
     docid_bin: Array[Byte],
@@ -220,18 +221,24 @@ object EncodePipeline {
       val srcBin = BlockCompression.maybeCompress(blockCodec, srcBin0)
       var mn = Int.MaxValue
       var mx = Int.MinValue
+      // split-block bloom over the chunk's tokens, built in the same pass
+      // as min/max (reference builds blooms at write, bloom.go:16-70)
+      val bloomWords = new Array[Int](Bloom.sizeBytes(nTokens) / 4)
       var i = 0
       while (i < nTokens) {
         val v = tokenBuf(i)
         if (v < mn) mn = v
         if (v > mx) mx = v
+        Bloom.insert(bloomWords, v)
         i += 1
       }
       val crc = new java.util.zip.CRC32()
+      val bloomBin = Bloom.serialize(bloomWords)
       crc.update(tokensBin)
       crc.update(lensBin)
       crc.update(docBin)
       crc.update(srcBin)
+      crc.update(bloomBin) // a corrupt bloom would silently drop search hits
       val rawBytes = 4L * nTokens + 4L * lensArr.length +
         docArr.map(_.length.toLong).sum +
         srcArr.map(s => if (s == null) 0L else s.length.toLong).sum
@@ -251,9 +258,13 @@ object EncodePipeline {
         tokens_min = if (nTokens == 0) 0 else mn,
         tokens_max = if (nTokens == 0) 0 else mx,
         raw_bytes = rawBytes,
-        enc_bytes = tokensBin.length.toLong + lensBin.length + docBin.length + srcBin.length,
+        // bloom counted: the compressed-size claim includes ALL bytes a
+        // reader needs (the bloom is ~1-2% of a full chunk)
+        enc_bytes = tokensBin.length.toLong + lensBin.length + docBin.length +
+          srcBin.length + bloomBin.length,
         encode_ms = (System.nanoTime() - tFlush0) / 1000000,
         crc32 = crc.getValue,
+        tokens_bloom = bloomBin,
         tokens_bin = tokensBin,
         lens_bin = lensBin,
         docid_bin = docBin,
@@ -359,6 +370,7 @@ object EncodePipeline {
     val crc = new java.util.zip.CRC32()
     crc.update(c.tokens_bin); crc.update(c.lens_bin)
     crc.update(c.docid_bin); crc.update(c.source_bin)
+    crc.update(c.tokens_bloom)
     require(crc.getValue == c.crc32, s"chunk ${c.chunk_id}: CRC mismatch")
     val lens = Chunks.decodeInts(BlockCompression.decompress(c.lens_bin))
     val (tokFlags, tokensInner) = Chunks.unwrapNullable(BlockCompression.decompress(c.tokens_bin))
@@ -515,12 +527,14 @@ object EncodePipeline {
     spark.read.parquet(metricsPath)
   }
 
-  /** Stats-pruned search over the chunk table: only chunks whose
-    * persisted [tokens_min, tokens_max] interval can contain `tokenId`
-    * are decoded (the engine-side analog of the reference's column-index
-    * page pruning, search.go:31-101 — a plain Catalyst filter on the
-    * stats columns does the skipping, and parquet row-group stats prune
-    * the chunk file scan itself). Returns doc_ids containing the token.
+  /** Stats- and bloom-pruned search over the chunk table: chunks are
+    * skipped first by the persisted [tokens_min, tokens_max] interval (a
+    * plain Catalyst filter — parquet row-group stats prune the file scan
+    * itself), then by the per-chunk split-block bloom, so only chunks
+    * that very probably contain `tokenId` are decoded. The engine-side
+    * analog of the reference's column-index pruning (search.go:31-101)
+    * plus bloom probe (bloom.go:16-70). Returns doc_ids containing the
+    * token.
     */
   def searchToken(chunks: Dataset[EncodedChunk], tokenId: Int): Dataset[String] = {
     val spark = chunks.sparkSession
@@ -528,7 +542,8 @@ object EncodePipeline {
     chunks
       .filter(col("tokens_min") <= tokenId && col("tokens_max") >= tokenId)
       .flatMap { c =>
-        decodeChunk(c).collect {
+        if (!Bloom.mightContain(c.tokens_bloom, tokenId)) Iterator.empty
+        else decodeChunk(c).collect {
           case row if row.tokens != null && row.tokens.contains(tokenId) => row.doc_id
         }
       }

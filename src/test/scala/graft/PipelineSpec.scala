@@ -148,6 +148,32 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     chunks.unpersist()
   }
 
+  test("bloom pruning: mid-range token skips chunks min/max cannot") {
+    import spark.implicits._
+    // every row spans [0, 2_000_000] so min/max pruning is useless for a
+    // mid-range probe; only rows 1000-1019 actually CONTAIN the probe
+    val probe = 999999
+    val rows = spark.range(0, 4000, 1, 4).as[Long].map { i =>
+      val extra = if (i >= 1000 && i < 1020) probe else (i * 31 % 500000).toInt + 7
+      TokenRow(f"doc/$i%012d", Array(0, extra, 2000000), 3, "web")
+    }
+    val chunks = EncodePipeline.encode(rows, 4, tokensPerChunk = 1024).cache()
+    val statsCand = chunks
+      .filter(org.apache.spark.sql.functions.col("tokens_min") <= probe &&
+        org.apache.spark.sql.functions.col("tokens_max") >= probe).count()
+    val bloomCand = chunks.collect()
+      .count(c => c.tokens_min <= probe && c.tokens_max >= probe &&
+        graft.codec.Bloom.mightContain(c.tokens_bloom, probe))
+    assert(statsCand == chunks.count(), "stats pruning should be useless here by construction")
+    assert(bloomCand.toLong <= statsCand / 4,
+      s"bloom pruned too little: $bloomCand of $statsCand candidates")
+    val hits = EncodePipeline.searchToken(chunks, probe).collect().toSet
+    val expected = rows.collect().filter(_.tokens.contains(probe)).map(_.doc_id).toSet
+    assert(hits == expected)
+    assert(hits.nonEmpty)
+    chunks.unpersist()
+  }
+
   test("corrupted chunk payload fails CRC check loudly") {
     import spark.implicits._
     val src = TokenTableGen.generate(spark, 200, 2)
