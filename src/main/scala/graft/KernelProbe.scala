@@ -30,7 +30,30 @@ object KernelProbe {
       }
       time(s"encode-delta-$i", total)(Chunks.encodeInts(flat, 0, flat.length, Codecs.DeltaInt))
       time(s"encode-dict-$i", total)(Chunks.encodeInts(flat, 0, flat.length, Codecs.DictInt))
+      // dict per 64Ki page — the shape the pipeline actually runs (per-
+      // page dictionaries stay cache-resident; whole-buffer dict above is
+      // the worst case, not the production path)
+      time(s"encode-dict-paged-$i", total) {
+        val out = new ByteWriter(flat.length)
+        var o = 0
+        while (o < flat.length) {
+          val pn = math.min(Chunks.DefaultPageValues, flat.length - o)
+          Chunks.encodeIntsInto(flat, o, pn, Codecs.DictInt, out)
+          o += pn
+        }
+      }
       time(s"encode-plain-$i", total)(Chunks.encodeInts(flat, 0, flat.length, Codecs.PlainInt))
+      // dict on a vocab-range stream — what the family separation feeds
+      // the selector (zipf ids < 50k => direct-map fast path)
+      if (i == 1) {
+        val zipf = data.filter(r => r.tokens.nonEmpty && r.tokens.forall(t => t >= 0 && t < 50000))
+        val zTotal = zipf.map(_.tokens.length.toLong).sum
+        val zFlat = new Array[Int](zTotal.toInt)
+        var zo = 0
+        zipf.foreach { r => System.arraycopy(r.tokens, 0, zFlat, zo, r.tokens.length); zo += r.tokens.length }
+        for (k <- 1 to 3)
+          time(s"encode-dict-vocab-$k", zTotal)(Chunks.encodeInts(zFlat, 0, zFlat.length, Codecs.DictInt))
+      }
       val enc = Chunks.encodeInts(flat, 0, flat.length)
       time(s"decode-$i", total)(Chunks.decodeInts(enc))
     }

@@ -6,9 +6,15 @@ package graft.codec
   * writer.go:318-321). JVM codecs shipped with Spark are wrapped, not
   * reimplemented (SURVEY.md §2.3: "wrap, don't write").
   *
-  * Wrapper frame: [0xC2][inner codec byte][uvarint rawLen][compressed].
-  * `maybeCompress` keeps the wrapper only when it actually wins ≥ ~6%,
-  * mirroring the selector's never-lose rule.
+  * Wrapper frame: [0xC2][inner codec byte][uvarint rawLen][body].
+  * `maybeCompress` keeps a COMPRESSED body only when it wins ≥ ~6%
+  * (the selector's never-lose rule), but when a block codec is requested
+  * the result is ALWAYS framed (codec None for the kept-raw case) — the
+  * compressed-ness is recorded in the frame, never inferred by sniffing
+  * payload bytes. Unframed inputs are passed through for the default
+  * uncompressed path, which is unambiguous because no chunk stream
+  * starts with 0xC2 (codec ids <= 17, streamed-token magic 0xA7 — see
+  * `Codecs`; asserted in CodecSpec).
   */
 object BlockCompression {
   final val Magic = 0xC2
@@ -40,18 +46,19 @@ object BlockCompression {
     w.toArray
   }
 
-  def isCompressed(bytes: Array[Byte]): Boolean =
-    bytes.length >= 2 && (bytes(0) & 0xFF) == Magic &&
-      ((bytes(1) & 0xFF) == Lz4 || (bytes(1) & 0xFF) == Zstd)
+  def isFramed(bytes: Array[Byte]): Boolean =
+    bytes.length >= 2 && (bytes(0) & 0xFF) == Magic && (bytes(1) & 0xFF) <= Zstd
 
-  /** Transparently unwrap if compressed, else return as-is. */
+  /** Transparently unwrap if framed, else return as-is (the default
+    * uncompressed path writes chunk streams unframed). */
   def decompress(bytes: Array[Byte]): Array[Byte] = {
-    if (!isCompressed(bytes)) return bytes
+    if (!isFramed(bytes)) return bytes
     val r = new ByteReader(bytes)
     r.readByte()
     val codec = r.readByte()
     val rawLen = r.readUvarint().toInt
     codec match {
+      case None => r.readBytes(rawLen)
       case Lz4 =>
         val d = net.jpountz.lz4.LZ4Factory.fastestInstance().fastDecompressor()
         val out = new Array[Byte](rawLen)
@@ -67,10 +74,12 @@ object BlockCompression {
   }
 
   /** Compress only if it pays (≥6% smaller), like the selector's
-    * PLAIN-floor rule. */
+    * PLAIN-floor rule; when a codec was requested the output is always
+    * framed so compressed-ness is recorded, never sniffed. */
   def maybeCompress(codec: Int, raw: Array[Byte]): Array[Byte] = {
     if (codec == None) return raw
     val c = compress(codec, raw)
-    if (c.length.toLong * 16 <= raw.length.toLong * 15) c else raw
+    if (c.length.toLong * 16 <= raw.length.toLong * 15) c
+    else frame(None, raw.length, raw, raw.length)
   }
 }

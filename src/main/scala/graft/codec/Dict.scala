@@ -78,26 +78,61 @@ final class IntDict(initialCapacity: Int = 1024) {
   }
 }
 
-/** Byte-array symbol table (reference: dictionary.go:673-743 uses a Go map
-  * + arena; here a String-keyed map with insertion-ordered symbol list).
+/** Byte-array symbol table: open-addressing over the raw bytes — no
+  * String materialization, no boxing, FNV-1a hash cached per symbol so
+  * growth never re-reads key bytes (reference: dictionary.go:673-743
+  * uses a Go map + arena; the round-1 JVM version allocated a String per
+  * PROBE, which dominated the source/doc_id encode cost).
   */
 final class BytesDict {
-  private val map = new java.util.HashMap[String, Integer]()
+  private var cap = 1024
+  private var table = new Array[Int](cap) // dense idx + 1; 0 = absent
   private val syms = new scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+  private var hashes = new Array[Int](1024)
 
   def size: Int = syms.length
   def symbols: Array[Array[Byte]] = syms.toArray
 
-  def probe(b: Array[Byte]): Int = {
-    val k = new String(b, java.nio.charset.StandardCharsets.ISO_8859_1)
-    val existing = map.get(k)
-    if (existing != null) existing.intValue()
-    else {
-      val idx = syms.length
-      map.put(k, Integer.valueOf(idx))
-      syms += b
-      idx
+  @inline private def hash(b: Array[Byte]): Int = {
+    var h = 0x811C9DC5
+    var i = 0
+    while (i < b.length) { h = (h ^ b(i)) * 0x01000193; i += 1 }
+    // finalize: FNV alone clusters on short keys under power-of-two masks
+    h ^= h >>> 16; h *= 0x85EBCA6B; h ^= h >>> 13
+    h
+  }
+
+  private def grow(): Unit = {
+    cap <<= 1
+    table = new Array[Int](cap)
+    var i = 0
+    while (i < syms.length) {
+      var slot = hashes(i) & (cap - 1)
+      while (table(slot) != 0) slot = (slot + 1) & (cap - 1)
+      table(slot) = i + 1
+      i += 1
     }
+  }
+
+  def probe(b: Array[Byte]): Int = {
+    val h = hash(b)
+    var slot = h & (cap - 1)
+    while (true) {
+      val e = table(slot)
+      if (e == 0) {
+        val idx = syms.length
+        if (idx >= hashes.length) hashes = java.util.Arrays.copyOf(hashes, idx * 2)
+        hashes(idx) = h
+        syms += b
+        table(slot) = idx + 1
+        if ((idx + 1) * 10 >= cap * 7) grow()
+        return idx
+      }
+      val idx = e - 1
+      if (hashes(idx) == h && java.util.Arrays.equals(syms(idx), b)) return idx
+      slot = (slot + 1) & (cap - 1)
+    }
+    -1 // unreachable
   }
 }
 
@@ -108,16 +143,70 @@ final class BytesDict {
   */
 object DictIntCodec {
 
+  /** Direct-map fast-path bound: when the value RANGE fits here, symbol
+    * assignment is one dense-array access (≤512 KiB lookup, L2-resident)
+    * instead of a hash probe — the dominant case for vocab-id token
+    * pages. The reference's analog lever is cache-sized insert chunking
+    * (dictionary.go:256-270, its measured 1.6x); on the JVM the bigger
+    * win is skipping hashing entirely. */
+  private final val DirectMapRange = 1 << 17
+
   def encode(src: Array[Int], off: Int, n: Int, out: ByteWriter): Unit = {
-    val dict = new IntDict(1024)
     val indexes = new Array[Int](n)
-    var i = 0
-    while (i < n) { indexes(i) = dict.probe(src(off + i)); i += 1 }
-    val syms = dict.symbols
-    out.writeUvarint(syms.length)
-    Plain.encodeInts(syms, 0, syms.length, out)
+    var symsArr: Array[Int] = new Array[Int](0)
+    var symCount = 0
+    if (n > 0) {
+      var mn = src(off)
+      var mx = mn
+      var i = 1
+      while (i < n) {
+        val v = src(off + i)
+        if (v < mn) mn = v
+        if (v > mx) mx = v
+        i += 1
+      }
+      if (mx.toLong - mn.toLong < DirectMapRange) {
+        // dense lookup: value -> dense idx + 1 (0 = absent)
+        val lookup = new Array[Int]((mx - mn) + 1)
+        val syms = new Array[Int](math.min(n, lookup.length))
+        i = 0
+        while (i < n) {
+          val v = src(off + i)
+          var idx = lookup(v - mn) - 1
+          if (idx < 0) {
+            idx = symCount
+            syms(symCount) = v
+            symCount += 1
+            lookup(v - mn) = idx + 1
+          }
+          indexes(i) = idx
+          i += 1
+        }
+        symsArr = java.util.Arrays.copyOf(syms, symCount)
+      } else {
+        // hash path: run-skip (repeated values reuse the last index — RLE
+        // pages are run-heavy by construction) + right-sized table
+        val dict = new IntDict(math.min(math.max(16, n), 1 << 16))
+        var prev = src(off) + 1 // differs from first value
+        var prevIdx = -1
+        i = 0
+        while (i < n) {
+          val v = src(off + i)
+          if (v != prev || prevIdx < 0) {
+            prevIdx = dict.probe(v)
+            prev = v
+          }
+          indexes(i) = prevIdx
+          i += 1
+        }
+        symsArr = dict.symbols
+        symCount = symsArr.length
+      }
+    }
+    out.writeUvarint(symCount)
+    Plain.encodeInts(symsArr, 0, symCount, out)
     out.writeUvarint(n)
-    val bw = if (syms.length <= 1) 0 else BitPack.widthOfUnsignedInt(syms.length - 1)
+    val bw = if (symCount <= 1) 0 else BitPack.widthOfUnsignedInt(symCount - 1)
     out.writeByte(bw)
     Rle.encode(indexes, 0, n, bw, out)
   }

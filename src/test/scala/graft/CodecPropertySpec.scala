@@ -101,6 +101,19 @@ class CodecPropertySpec extends AnyFunSuite {
       assert(BlockCompression.decompress(c).toSeq == raw.toSeq)
       val m = BlockCompression.maybeCompress(codec, raw)
       assert(BlockCompression.decompress(m).toSeq == raw.toSeq)
+      // when a codec was requested the result is ALWAYS framed — the
+      // frame records compressed-ness, it is never sniffed from payload
+      assert(BlockCompression.isFramed(m))
     }
+  }
+
+  test("no chunk stream can collide with the compression frame magic") {
+    // decompress() passes unframed bytes through by checking the first
+    // byte against 0xC2 — sound only while no chunk stream starts there
+    assert(graft.codec.Codecs.names.keys.max < 0xC2)
+    val ints = Chunks.encodeInts(Array(1, 2, 3), 0, 3)
+    val strs = Chunks.encodeStrings(Array("ab".getBytes, "cd".getBytes), 0, 2)
+    val (toks, _) = StreamedTokens.encode(Array(1, 2, 3), Array(3), 1, 3)
+    for (b <- Seq(ints, strs, toks)) assert((b(0) & 0xFF) != BlockCompression.Magic)
   }
 }
