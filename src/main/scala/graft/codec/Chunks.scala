@@ -154,24 +154,37 @@ object Chunks {
     encodeIntsPagedWithStats(src, off, n, pageValues)._1
 
   /** Paged encode that also reports the distinct page codecs chosen (for
-    * the chunk metrics row) without a decode pass. */
+    * the chunk metrics row) without a decode pass.
+    *
+    * Frame: [PagedInt][uvarint n][uvarint numPages][uvarint pageValues]
+    * [uvarint byteLen x numPages][pages]. The per-page byte lengths are
+    * the OFFSET INDEX (reference: file.go:684-709 seeks via the page
+    * offset index): a reader slicing a value range skips non-covering
+    * pages by bytes without touching their payloads. */
   def encodeIntsPagedWithStats(src: Array[Int], off: Int, n: Int,
                                pageValues: Int = DefaultPageValues): (Array[Byte], String) = {
-    val out = new ByteWriter(math.max(64, n))
-    out.writeByte(PagedInt)
-    out.writeUvarint(n)
     val numPages = if (n == 0) 0 else (n + pageValues - 1) / pageValues
-    out.writeUvarint(numPages)
+    val body = new ByteWriter(math.max(64, n))
+    val pageLens = new Array[Int](numPages)
     val seen = scala.collection.mutable.LinkedHashSet[String]()
     var p = 0
     while (p < numPages) {
       val pOff = p * pageValues
       val pN = math.min(pageValues, n - pOff)
-      val pageStart = out.length
-      encodeIntsInto(src, off + pOff, pN, -1, out)
-      seen += Codecs.names.getOrElse(out.raw(pageStart) & 0xFF, "UNKNOWN")
+      val pageStart = body.length
+      encodeIntsInto(src, off + pOff, pN, -1, body)
+      pageLens(p) = body.length - pageStart
+      seen += Codecs.names.getOrElse(body.raw(pageStart) & 0xFF, "UNKNOWN")
       p += 1
     }
+    val out = new ByteWriter(body.length + 16 + numPages * 3)
+    out.writeByte(PagedInt)
+    out.writeUvarint(n)
+    out.writeUvarint(numPages)
+    out.writeUvarint(pageValues)
+    p = 0
+    while (p < numPages) { out.writeUvarint(pageLens(p)); p += 1 }
+    out.writeBytes(body.raw, 0, body.length)
     (out.toArray, if (seen.isEmpty) "PAGED" else seen.mkString("+"))
   }
 
@@ -241,8 +254,11 @@ object Chunks {
         dst
       case PagedInt =>
         val numPages = r.readUvarint().toInt
-        val dst = new Array[Int](n)
+        r.readUvarint() // pageValues (used by slice reads)
         var p = 0
+        while (p < numPages) { r.readUvarint(); p += 1 } // offset index
+        val dst = new Array[Int](n)
+        p = 0
         var pos = 0
         while (p < numPages) {
           val page = decodeIntsFrom(r)
@@ -256,22 +272,75 @@ object Chunks {
     }
   }
 
-  /** Distinct page codec names inside a chunk (metrics). */
+  /** Distinct page codec names inside a chunk (metrics) — skips page
+    * payloads via the offset index, no decoding. */
   def pageCodecNames(bytes: Array[Byte]): String = {
     val r = new ByteReader(bytes)
     val codec = r.readByte()
     if (codec != PagedInt) return Codecs.names.getOrElse(codec, "UNKNOWN")
-    val n = r.readUvarint().toInt
+    r.readUvarint() // n
     val numPages = r.readUvarint().toInt
-    val seen = scala.collection.mutable.LinkedHashSet[String]()
+    r.readUvarint() // pageValues
+    val pageLens = new Array[Int](numPages)
     var p = 0
+    while (p < numPages) { pageLens(p) = r.readUvarint().toInt; p += 1 }
+    val seen = scala.collection.mutable.LinkedHashSet[String]()
+    p = 0
     while (p < numPages) {
       seen += Codecs.names.getOrElse(r.buf(r.pos) & 0xFF, "UNKNOWN")
-      decodeIntsFrom(r) // skip by decoding (metrics path only)
+      r.skip(pageLens(p))
       p += 1
     }
-    val _ = n
     seen.mkString("+")
+  }
+
+  /** Slice [from, from+count) out of an int chunk. For a PAGED chunk only
+    * the covering pages are decoded — non-covering pages are skipped by
+    * BYTES via the offset index (the reference's SeekToRow mechanism,
+    * file.go:684-709). Non-paged codecs fall back to full decode + copy.
+    * Returns (values, pagesDecoded, pagesTotal) so callers (and specs)
+    * can see the skipping. */
+  def decodeIntsSlice(bytes: Array[Byte], from: Int, count: Int): (Array[Int], Int, Int) =
+    decodeIntsSliceFrom(new ByteReader(bytes), from, count)
+
+  /** Reader variant: consumes exactly one chunk from `r` (by bytes when
+    * pages are skipped). */
+  def decodeIntsSliceFrom(r: ByteReader, from: Int, count: Int): (Array[Int], Int, Int) = {
+    if ((r.buf(r.pos) & 0xFF) != PagedInt) {
+      val all = decodeIntsFrom(r)
+      return (java.util.Arrays.copyOfRange(all, from, from + count), 1, 1)
+    }
+    r.readByte()
+    val n = r.readUvarint().toInt
+    require(from >= 0 && count >= 0 && from + count <= n, s"slice [$from,+$count) of $n")
+    val numPages = r.readUvarint().toInt
+    val pageValues = r.readUvarint().toInt
+    val pageLens = new Array[Int](numPages)
+    var p = 0
+    while (p < numPages) { pageLens(p) = r.readUvarint().toInt; p += 1 }
+    val dst = new Array[Int](count)
+    if (count == 0) {
+      p = 0
+      while (p < numPages) { r.skip(pageLens(p)); p += 1 }
+      return (dst, 0, numPages)
+    }
+    val firstPage = from / pageValues
+    val lastPage = (from + count - 1) / pageValues
+    p = 0
+    while (p < firstPage) { r.skip(pageLens(p)); p += 1 }
+    var written = 0
+    while (p <= lastPage) {
+      val page = decodeIntsFrom(r)
+      val pStart = p * pageValues
+      val s = math.max(from, pStart) - pStart
+      val e = math.min(from + count, pStart + page.length) - pStart
+      System.arraycopy(page, s, dst, written, e - s)
+      written += e - s
+      p += 1
+    }
+    while (p < numPages) { r.skip(pageLens(p)); p += 1 } // leave r at chunk end
+    require(written == count, s"slice decoded $written of $count")
+    (dst, lastPage - firstPage + 1, numPages)
   }
 
   def intCodecOf(bytes: Array[Byte]): Int = bytes(0) & 0xFF

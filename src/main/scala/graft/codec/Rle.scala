@@ -102,6 +102,10 @@ object Rle {
       val h = r.readUvarint()
       if ((h & 1L) == 0L) {
         val count = (h >>> 1).toInt
+        // never trust the wire header (reference caps runs, rle.go:21-29):
+        // a corrupt/hostile count must fail loudly, not drive a giant fill
+        require(count >= 0 && count <= n - produced,
+          s"RLE run of $count values overruns chunk (${n - produced} left)")
         var v = 0
         var k = 0
         while (k < valueBytes) { v |= (r.readByte() << (8 * k)); k += 1 }
@@ -109,6 +113,8 @@ object Rle {
         produced += count
       } else {
         val groups = (h >>> 1).toInt
+        require(groups >= 0 && groups.toLong <= (n - produced + 7L) / 8L,
+          s"RLE bit-pack run of $groups groups overruns chunk (${n - produced} left)")
         var g = 0
         while (g < groups) {
           val want = math.min(8, n - produced)

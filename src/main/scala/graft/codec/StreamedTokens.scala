@@ -120,4 +120,57 @@ object StreamedTokens {
     }
     flat
   }
+
+  /** Partial decode: only rows [fromRow, toRow). The tiny row-level maps
+    * (families + lens) locate each family's needed value range, and each
+    * family stream decodes ONLY its covering pages — pages before/after
+    * are skipped by bytes via the paged offset index (the reference's
+    * SeekToRow, file.go:684-709). Returns (flat tokens of the selected
+    * rows, pagesDecoded, pagesTotal). */
+  def decodeRows(bytes: Array[Byte], lens: Array[Int],
+                 fromRow: Int, toRow: Int): (Array[Int], Int, Int) = {
+    val r0 = new ByteReader(bytes)
+    val magic = r0.readByte()
+    require(magic == Magic, s"not a streamed-token chunk: $magic")
+    val numRows = r0.readUvarint().toInt
+    r0.readUvarint() // nTokens
+    require(numRows == lens.length, s"lens mismatch: $numRows vs ${lens.length}")
+    require(fromRow >= 0 && fromRow <= toRow && toRow <= numRows, s"rows [$fromRow,$toRow)")
+    val families = Chunks.decodeIntsFrom(r0)
+    val startOff = new Array[Int](NumFamilies)
+    val count = new Array[Int](NumFamilies)
+    var r = 0
+    while (r < fromRow) { startOff(families(r)) += lens(r); r += 1 }
+    var outLen = 0
+    while (r < toRow) { count(families(r)) += lens(r); outLen += lens(r); r += 1 }
+    val slices = new Array[Array[Int]](NumFamilies)
+    var pagesDecoded = 0
+    var pagesTotal = 0
+    var f = 0
+    while (f < NumFamilies) {
+      val byteLen = r0.readUvarint().toInt
+      val end = r0.pos + byteLen
+      if (count(f) == 0) { slices(f) = new Array[Int](0); r0.pos = end } // skip stream by bytes
+      else {
+        val (vals, pd, pt) = Chunks.decodeIntsSliceFrom(r0, startOff(f), count(f))
+        slices(f) = vals
+        pagesDecoded += pd
+        pagesTotal += pt
+        require(r0.pos == end, s"stream $f: frame length mismatch")
+      }
+      f += 1
+    }
+    val flat = new Array[Int](outLen)
+    val cursor = new Array[Int](NumFamilies)
+    var off = 0
+    r = fromRow
+    while (r < toRow) {
+      val fam = families(r)
+      System.arraycopy(slices(fam), cursor(fam), flat, off, lens(r))
+      cursor(fam) += lens(r)
+      off += lens(r)
+      r += 1
+    }
+    (flat, pagesDecoded, pagesTotal)
+  }
 }

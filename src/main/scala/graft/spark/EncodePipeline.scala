@@ -406,6 +406,87 @@ object EncodePipeline {
     }
   }
 
+  /** Partial chunk decode: only rows [fromRow, toRow) of one chunk. Token
+    * pages outside the range are skipped by bytes via the paged offset
+    * index (reference SeekToRow, file.go:684-709); the row-level streams
+    * (lens, doc_id, source — a few % of chunk bytes) decode fully. */
+  def decodeChunkRows(c: EncodedChunk, fromRow: Int, toRow: Int): Iterator[TokenRow] = {
+    require(fromRow >= 0 && fromRow <= toRow && toRow <= c.num_rows,
+      s"rows [$fromRow,$toRow) of ${c.num_rows}")
+    val lens = Chunks.decodeInts(BlockCompression.decompress(c.lens_bin))
+    val (tokFlags, tokensInner) = Chunks.unwrapNullable(BlockCompression.decompress(c.tokens_bin))
+    // map chunk rows -> non-null token-row indices
+    var nnStart = 0
+    var r = 0
+    while (r < fromRow) { if (tokFlags == null || !tokFlags(r)) nnStart += 1; r += 1 }
+    var nnEnd = nnStart
+    while (r < toRow) { if (tokFlags == null || !tokFlags(r)) nnEnd += 1; r += 1 }
+    val (flat, _, _) = StreamedTokens.decodeRows(tokensInner, lens, nnStart, nnEnd)
+    val docIds = Chunks.decodeStrings(BlockCompression.decompress(c.docid_bin))
+    val (srcFlags, srcInner) = Chunks.unwrapNullable(BlockCompression.decompress(c.source_bin))
+    val srcDense = Chunks.decodeStrings(srcInner)
+    var srcCursor = 0
+    r = 0
+    while (r < fromRow) { if (srcFlags == null || !srcFlags(r)) srcCursor += 1; r += 1 }
+    var tokRow = nnStart
+    var flatOff = 0
+    var row = fromRow
+    Iterator.continually {
+      val cur = row
+      row += 1
+      val tokensOut =
+        if (tokFlags != null && tokFlags(cur)) null
+        else {
+          val n = lens(tokRow)
+          tokRow += 1
+          val a = java.util.Arrays.copyOfRange(flat, flatOff, flatOff + n)
+          flatOff += n
+          a
+        }
+      val sourceOut =
+        if (srcFlags != null && srcFlags(cur)) null
+        else {
+          val s = srcDense(srcCursor)
+          srcCursor += 1
+          new String(s, UTF_8)
+        }
+      TokenRow(new String(docIds(cur), UTF_8), tokensOut,
+        if (tokensOut == null) -1 else tokensOut.length, sourceOut)
+    }.take(toRow - fromRow)
+  }
+
+  /** Seek by global row offset in the chunk table's canonical order
+    * (part_id, chunk_id, row-in-chunk): a metadata-only prefix sum picks
+    * the covering chunks, and each decodes only its needed row range —
+    * reading 10 rows of a 10^9-row table touches one or two chunks and
+    * within them only the covering token pages. */
+  def seekToRows(chunks: Dataset[EncodedChunk], start: Long, count: Long): Dataset[TokenRow] = {
+    val spark = chunks.sparkSession
+    import spark.implicits._
+    val metas = chunks.select(col("part_id"), col("chunk_id"), col("num_rows"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getInt(2)))
+      .sortBy(m => (m._1, m._2))
+    val ranges = scala.collection.mutable.HashMap.empty[Long, (Int, Int)]
+    var pos = 0L
+    for ((_, id, n) <- metas) {
+      val lo = math.max(start, pos)
+      val hi = math.min(start + count, pos + n)
+      if (lo < hi) ranges(id) = ((lo - pos).toInt, (hi - pos).toInt)
+      pos += n
+    }
+    val bc = spark.sparkContext.broadcast(ranges.toMap)
+    chunks
+      // Column-level filter (not a typed closure): the candidate id set is
+      // tiny, pushes into the parquet scan, and never deserializes the
+      // chunk payloads of non-covering chunks
+      .filter(col("chunk_id").isin(ranges.keys.toSeq.map(Long.box): _*))
+      .flatMap { c =>
+        val (from, to) = bc.value(c.chunk_id)
+        decodeChunkRows(c, from, to)
+      }
+  }
+
   // ------------------------------------------------------------- checkpoint
 
   /** Encode with checkpoint/resume: chunks land under `dir/chunks`
@@ -562,6 +643,74 @@ object EncodePipeline {
       .map(d => spark.read.parquet(d).as[EncodedChunk])
       .reduce(_ unionByName _)
     encodeCheckpointed(spark, decode(all), numParts, outDir, tokensPerChunk)
+  }
+
+  /** Sorted-run-aware compaction: merge several chunk tables while
+    * re-encoding ONLY chunks whose doc_id ranges overlap a chunk from
+    * another (or the same) run. Non-overlapping chunks pass through with
+    * their payload bytes untouched — at 100 TB this is the difference
+    * between compaction as a metadata shuffle and compaction as a full
+    * rewrite (reference merges sorted runs with a k-way heap instead of
+    * re-sorting, merge.go:177-273).
+    *
+    * Grouping is a driver-side sweep over chunk [first,last] doc_id
+    * intervals in UTF8 byte order (metadata only — O(#chunks), never row
+    * data): transitively-overlapping chunks form a group; singleton
+    * groups pass through, multi-chunk groups decode + merge + re-encode.
+    * Output part_ids are group ordinals, so the compacted table's
+    * partition ranges are disjoint and globally ordered. Use `compact`
+    * instead when a fresh globally mass-balanced layout is wanted.
+    */
+  def compactSorted(spark: SparkSession, chunkDirs: Seq[String], outDir: String,
+                    tokensPerChunk: Int = DefaultTokensPerChunk): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.unsafe.types.UTF8String
+    val all: Dataset[(Int, EncodedChunk)] = chunkDirs.zipWithIndex.map { case (d, i) =>
+      spark.read.parquet(d).as[EncodedChunk].map(c => (i, c))
+    }.reduce(_ union _)
+    val meta = all.map { case (run, c) => (run, c.chunk_id, c.first_doc_id, c.last_doc_id) }
+      .collect()
+      .map { case (run, id, f, l) => (run, id, UTF8String.fromString(f), UTF8String.fromString(l)) }
+    val utf8Ord = Ordering.comparatorToOrdering(
+      java.util.Comparator.naturalOrder[UTF8String]())
+    val sorted = meta.sortBy(m => (m._3, m._2))(Ordering.Tuple2(utf8Ord, Ordering.Long))
+    val assign = scala.collection.mutable.HashMap.empty[(Int, Long), Int]
+    val groupSize = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var end: UTF8String = null
+    for ((run, id, first, last) <- sorted) {
+      if (end == null || first.compareTo(end) > 0) { // new group starts past the sweep end
+        groupSize += 0
+        end = last
+      } else if (last.compareTo(end) > 0) end = last
+      assign((run, id)) = groupSize.length - 1
+      groupSize(groupSize.length - 1) += 1
+    }
+    val passGroups = groupSize.zipWithIndex.collect { case (1, g) => g }.toSet
+    val bcAssign = spark.sparkContext.broadcast(assign.toMap)
+    val bcPass = spark.sparkContext.broadcast(passGroups)
+
+    // singleton groups: payload bytes untouched; only the table keys move
+    val pass = all
+      .filter(t => bcPass.value.contains(bcAssign.value((t._1, t._2.chunk_id))))
+      .map { case (run, c) =>
+        val g = bcAssign.value((run, c.chunk_id))
+        c.copy(part_id = g, chunk_id = (g.toLong << 32) | (c.chunk_id & 0xFFFFFFFFL))
+      }
+    // overlapping groups: decode, co-partition by group, merge-sort, re-encode
+    val rows = all
+      .filter(t => !bcPass.value.contains(bcAssign.value((t._1, t._2.chunk_id))))
+      .flatMap { case (run, c) =>
+        val g = bcAssign.value((run, c.chunk_id))
+        decodeChunk(c).map(r => (r.doc_id, r.tokens, r.n_tok, r.source, g))
+      }
+      .toDF("doc_id", "tokens", "n_tok", "source", "part_id")
+      .repartition(col("part_id"))
+      .sortWithinPartitions("part_id", "doc_id")
+    val reencoded = spark.createDataset(
+      rows.queryExecution.toRdd.mapPartitions(encodePartition(_, tokensPerChunk)))
+    pass.toDF().unionByName(reencoded.toDF())
+      .write.mode("overwrite").parquet(outDir)
+    spark.read.parquet(outDir)
   }
 
   /** Round-trip validation: decoded rows must match the source exactly

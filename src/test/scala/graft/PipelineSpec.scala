@@ -268,6 +268,78 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(m2.selectExpr("sum(num_rows)").head().getLong(0) == 1500L)
   }
 
+  test("seekToRows: row-offset reads decode only covering pages") {
+    import spark.implicits._
+    val src = TokenTableGen.generate(spark, 4000, 4)
+    val chunks = EncodePipeline.encode(src, 4, tokensPerChunk = 1 << 20).cache()
+    // canonical order reference: full decode sorted by (part_id, chunk, row)
+    val metas = chunks.collect().sortBy(c => (c.part_id, c.chunk_id))
+    val fullOrdered = metas.flatMap(c => EncodePipeline.decodeChunk(c).toSeq)
+    for (start <- Seq(0L, 17L, 1999L, 3990L)) {
+      val got = EncodePipeline.seekToRows(chunks, start, 10).collect()
+        .sortBy(_.doc_id)
+      val want = fullOrdered.slice(start.toInt, start.toInt + 10).sortBy(_.doc_id)
+      assert(got.map(_.doc_id).toSeq == want.map(_.doc_id).toSeq, s"start=$start")
+      assert(got.zip(want).forall { case (a, b) => a.tokens.sameElements(b.tokens) })
+    }
+    // page skipping: a 10-row read of a ~2M-token chunk touches a small
+    // fraction of its token pages
+    val bigSrc = TokenTableGen.generate(spark, 10000, 2)
+    val big = EncodePipeline.encodeAligned(bigSrc.repartition(1), tokensPerChunk = 1 << 22)
+      .collect().maxBy(_.num_tokens)
+    val lens = graft.codec.Chunks.decodeInts(
+      graft.codec.BlockCompression.decompress(big.lens_bin))
+    val (_, decoded, total) = graft.codec.StreamedTokens.decodeRows(
+      graft.codec.BlockCompression.decompress(big.tokens_bin), lens,
+      big.num_rows / 2, big.num_rows / 2 + 10)
+    assert(total >= 8, s"chunk too small to evidence skipping: $total pages")
+    assert(decoded * 2 <= total, s"decoded $decoded of $total pages")
+    chunks.unpersist()
+  }
+
+  test("sorted-run compaction re-encodes only overlapping chunks") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, md5}
+    val base = java.nio.file.Files.createTempDirectory("graft-compact-sorted").toString
+    def doc(i: Long, suffix: String = "") = f"doc/$i%012d$suffix"
+    def rows(range: Range, suffix: String = "") =
+      spark.createDataset(range.map(i =>
+        TokenRow(doc(i.toLong, suffix), Array.tabulate(40)(k => i + k), 40, "web")))
+    // two disjoint sorted runs + a small run overlapping their boundary
+    val a = rows(0 until 1000)
+    val b = rows(1000 until 2000)
+    val c = rows(995 until 1005, "-x") // doc/...995-x sorts inside a's tail / b's head
+    EncodePipeline.encode(a, 4, tokensPerChunk = 8 * 1024).write.parquet(s"$base/runA")
+    EncodePipeline.encode(b, 4, tokensPerChunk = 8 * 1024).write.parquet(s"$base/runB")
+    EncodePipeline.encode(c, 1, tokensPerChunk = 8 * 1024).write.parquet(s"$base/runC")
+    val out = EncodePipeline.compactSorted(
+      spark, Seq(s"$base/runA", s"$base/runB", s"$base/runC"), s"$base/merged",
+      tokensPerChunk = 8 * 1024)
+    // content is exact
+    val full = a.union(b).union(c)
+    val decoded = EncodePipeline.decode(out.as[EncodedChunk])
+    assert(EncodePipeline.verifyRoundTrip(full, decoded) == 0L)
+    // non-overlapping chunks passed through byte-identical (>= 2x less
+    // encode work: far more than half the chunks are untouched)
+    val inHashes = Seq("runA", "runB", "runC")
+      .flatMap(r => spark.read.parquet(s"$base/$r")
+        .select(md5(col("tokens_bin"))).as[String].collect())
+    val outHashes = out.select(md5(col("tokens_bin"))).as[String].collect()
+    val passed = outHashes.count(inHashes.toSet)
+    assert(passed.toDouble >= outHashes.length * 0.5,
+      s"only $passed of ${outHashes.length} chunks passed through")
+    assert(passed < outHashes.length, "expected SOME re-encoded chunks at the overlap")
+    // compacted partition ranges are disjoint and ordered
+    val ranges = out.select("part_id", "first_doc_id", "last_doc_id")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2)))
+      .groupBy(_._1).map { case (p, cs) => (p, cs.map(_._2).min, cs.map(_._3).max) }
+      .toSeq.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, _, aLast), (_, bFirst, _)) => assert(aLast <= bFirst, s"$aLast > $bFirst")
+      case _ =>
+    }
+  }
+
   test("checkpointed encode resumes idempotently") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
