@@ -34,8 +34,11 @@ object Bench {
 
   /** Child-JVM mode: measure one parallelism level, print one line.
     * Input is the pre-materialized parquet table (the north rule's
-    * Iceberg-style source), scanned by Spark's vectorized reader. */
-  private def runLevel(cores: Int, inputPath: String, boundsPath: String): Unit = {
+    * Iceberg-style source), scanned by Spark's vectorized reader.
+    * `encodeOnly` skips the decode/aligned passes (used for the low
+    * parallelism level, where every pass costs 4x the wall time). */
+  private def runLevel(cores: Int, inputPath: String, boundsPath: String,
+                       encodeOnly: Boolean): Unit = {
     val spark = newSession(s"local[$cores]", cores)
     import spark.implicits._
     val bounds = {
@@ -60,28 +63,32 @@ object Bench {
       val sec = (System.nanoTime() - t0) / 1e9
       if (sec < best) { best = sec; toks = row.getLong(0); enc = row.getLong(1); raw = row.getLong(2) }
     }
-    // layout-aligned encode (no exchange — input already range-laid-out)
-    var bestAligned = Double.MaxValue
-    for (_ <- 1 to 2) {
-      val t0 = System.nanoTime()
-      EncodePipeline.encodeAligned(src).agg(sum("num_tokens")).collect()
-      val sec = (System.nanoTime() - t0) / 1e9
-      if (sec < bestAligned) bestAligned = sec
+    var bestAligned = -1.0
+    var bestDec = -1.0
+    if (!encodeOnly) {
+      // layout-aligned encode (no exchange — input already range-laid-out)
+      bestAligned = Double.MaxValue
+      for (_ <- 1 to 2) {
+        val t0 = System.nanoTime()
+        EncodePipeline.encodeAligned(src).agg(sum("num_tokens")).collect()
+        val sec = (System.nanoTime() - t0) / 1e9
+        if (sec < bestAligned) bestAligned = sec
+      }
+      // decode path: chunk table (materialized once) → token rows
+      val chunkPath = s"/dev/shm/graft-bench-chunks-$cores"
+      EncodePipeline.encode(src, NumParts, boundsOverride = Some(bounds))
+        .write.mode("overwrite").parquet(chunkPath)
+      val chunkTbl = spark.read.parquet(chunkPath).as[graft.spark.EncodedChunk]
+      bestDec = Double.MaxValue
+      for (_ <- 1 to 2) {
+        val t0 = System.nanoTime()
+        EncodePipeline.decode(chunkTbl)
+          .toDF().agg(sum("n_tok")).collect()
+        val sec = (System.nanoTime() - t0) / 1e9
+        if (sec < bestDec) bestDec = sec
+      }
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(chunkPath))
     }
-    // decode path: chunk table (materialized once) → token rows
-    val chunkPath = s"/dev/shm/graft-bench-chunks-$cores"
-    EncodePipeline.encode(src, NumParts, boundsOverride = Some(bounds))
-      .write.mode("overwrite").parquet(chunkPath)
-    val chunkTbl = spark.read.parquet(chunkPath).as[graft.spark.EncodedChunk]
-    var bestDec = Double.MaxValue
-    for (_ <- 1 to 2) {
-      val t0 = System.nanoTime()
-      EncodePipeline.decode(chunkTbl)
-        .toDF().agg(sum("n_tok")).collect()
-      val sec = (System.nanoTime() - t0) / 1e9
-      if (sec < bestDec) bestDec = sec
-    }
-    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(chunkPath))
     println(s"GRAFT_LEVEL $cores $toks $enc $raw $best $bestDec $bestAligned")
     spark.stop()
   }
@@ -123,8 +130,35 @@ object Bench {
     (bestLo, bestHi)
   }
 
+  /** Parallel memcpy envelope at T threads (aggregate GB/s): this box's
+    * effective bandwidth curve. On a real cluster N→4N executors add
+    * aggregate DRAM bandwidth; a single shared-memory box does not, so
+    * encode scaling is bounded by THIS curve, not by 4x — reported so
+    * the efficiency numbers can be read against the hardware ceiling. */
+  private def memcpyEnvelope(threads: Int): Double = {
+    val bytes = 64 << 20
+    val iters = 8
+    val srcs = Array.fill(threads)(new Array[Byte](bytes))
+    val dsts = Array.fill(threads)(new Array[Byte](bytes))
+    def run(): Double = {
+      val t0 = System.nanoTime()
+      val ts = (0 until threads).map { t =>
+        val th = new Thread(() => {
+          var i = 0
+          while (i < iters) { System.arraycopy(srcs(t), 0, dsts(t), 0, bytes); i += 1 }
+        })
+        th.start(); th
+      }
+      ts.foreach(_.join())
+      threads.toDouble * iters * bytes / ((System.nanoTime() - t0) / 1e9) / 1e9
+    }
+    run() // warm (faults the pages)
+    math.max(run(), run())
+  }
+
   /** Fork a fresh JVM running `runLevel`. */
-  private def forkLevel(cores: Int, inputPath: String, boundsPath: String): (Long, Long, Long, Double, Double, Double) = {
+  private def forkLevel(cores: Int, inputPath: String, boundsPath: String,
+                        encodeOnly: Boolean = false): (Long, Long, Long, Double, Double, Double) = {
     val javaBin = System.getProperty("java.home") + "/bin/java"
     val opens = Seq(
       "java.base/java.lang", "java.base/java.lang.invoke",
@@ -157,7 +191,8 @@ object Bench {
         // (fewer kernel-side bytes copied beats the compress CPU)
         "-Dspark.shuffle.compress=" + sys.env.getOrElse("GRAFT_SHUFFLE_COMPRESS", "true"),
         "-cp", System.getProperty("java.class.path"),
-        "graft.Bench", "encode-level", cores.toString, inputPath, boundsPath)
+        "graft.Bench", "encode-level", cores.toString, inputPath, boundsPath,
+        if (encodeOnly) "enc" else "full")
     val pb = new ProcessBuilder(cmd: _*)
     pb.redirectErrorStream(true)
     val proc = pb.start()
@@ -174,7 +209,7 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     if (args.length >= 4 && args(0) == "encode-level") {
-      runLevel(args(1).toInt, args(2), args(3))
+      runLevel(args(1).toInt, args(2), args(3), args.length > 4 && args(4) == "enc")
       return
     }
 
@@ -223,17 +258,34 @@ object Bench {
         f.getAbsolutePath
       } finally s.stop()
     }
+    // Two N→4N pairs, transparently: 8→32 saturates this box's DRAM
+    // bandwidth (measured memcpy envelope is only 1.25x from 8 to 32
+    // procs — see BASELINE.md), so 2→8 is ALSO measured, where the
+    // hardware can actually express compute scaling. On a real cluster
+    // N→4N adds aggregate memory bandwidth with the executors; a single
+    // shared-memory box does not.
     val pLo = sys.env.getOrElse("GRAFT_BENCH_N", "8").toInt
     val pHi = pLo * 4
+    val pXlo = math.max(1, pLo / 4)
+    val (tokX, _, _, secX, _, _) = forkLevel(pXlo, inputPath, boundsPath, encodeOnly = true)
     val (tok8, _, _, sec8, dec8, al8) = forkLevel(pLo, inputPath, boundsPath)
     val (tok32, enc32, raw32, sec32, dec32, al32) = forkLevel(pHi, inputPath, boundsPath)
+    val thrX = tokX / secX
     val thr8 = tok8 / sec8
     val thr32 = tok32 / sec32
     val eff = (thr32 / thr8) / 4.0
+    val effLo = (thr8 / thrX) / (pLo.toDouble / pXlo)
 
     // 3. raw kernel thread-scaling (no Spark): per-chunk encode at N and
     //    4N threads — isolates the codec engine from exchange overheads
     val (kThrLo, kThrHi) = kernelScaling(pLo, pHi)
+
+    // 4. hardware envelope: what N→4N can even show on one box
+    val memLo = memcpyEnvelope(pXlo)
+    val memN = memcpyEnvelope(pLo)
+    val memN4 = memcpyEnvelope(pHi)
+    val effVsEnvelope = (thr32 / thr8) / (memN4 / memN)
+    val effLoVsEnvelope = (thr8 / thrX) / (memN / memLo)
 
     // free the tmpfs bench artifacts (shared 128 GiB with heaps/shuffle)
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(inputPath))
@@ -250,6 +302,11 @@ object Bench {
       s""""n_sec":$sec8,"n4_sec":$sec32,""" +
       s""""n_tokens_per_sec":$thr8,"n4_tokens_per_sec":$thr32,""" +
       s""""scaling_efficiency":$eff,""" +
+      s""""lo_executors":$pXlo,"lo_sec":$secX,"lo_tokens_per_sec":$thrX,""" +
+      s""""scaling_efficiency_lo_pair":$effLo,""" +
+      s""""memcpy_gbps":{"$pXlo":$memLo,"$pLo":$memN,"$pHi":$memN4},""" +
+      s""""scaling_efficiency_vs_envelope":$effVsEnvelope,""" +
+      s""""scaling_efficiency_lo_vs_envelope":$effLoVsEnvelope,""" +
       s""""decode_n_sec":$dec8,"decode_n4_sec":$dec32,""" +
       s""""aligned_n_sec":$al8,"aligned_n4_sec":$al32,""" +
       s""""aligned_scaling_efficiency":${(al8 / al32) / 4.0},""" +

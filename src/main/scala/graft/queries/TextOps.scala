@@ -146,8 +146,11 @@ object TextOps {
     val numHashes = 128
     val bands = 32
     val rowsPerBand = numHashes / bands
-    val sigs = corpus.flatMap { case (id, text) =>
-      // 5-char shingles, FNV-1a base hash, splitmix64 per-seed remix
+    // 5-char shingles hashed ONCE per doc into a sorted array — both the
+    // minhash pass and the exact rerank read this table (round 1 rebuilt
+    // each doc's shingle set once per candidate PAIR, which dominated
+    // wall time on wide candidate sets)
+    val shingleSets = corpus.map { case (id, text) =>
       val shingles = new scala.collection.mutable.HashSet[Long]()
       var i = 0
       val n = text.length
@@ -158,14 +161,23 @@ object TextOps {
         shingles += h
         i += 1
       }
+      val arr = shingles.toArray
+      java.util.Arrays.sort(arr)
+      (id, arr)
+    }.toDF("doc_id", "sh").persist()
+
+    val sigs = shingleSets.as[(Long, Array[Long])].flatMap { case (id, shingles) =>
       val mins = Array.fill(numHashes)(Long.MaxValue)
-      shingles.foreach { s =>
+      var s = 0
+      while (s < shingles.length) {
         var k = 0
         while (k < numHashes) {
-          val h = graft.spark.TokenTableGen.splitmix64(s ^ (k.toLong * 0x9E3779B97F4A7C15L))
+          val h = graft.spark.TokenTableGen.splitmix64(
+            shingles(s) ^ (k.toLong * 0x9E3779B97F4A7C15L))
           if (h < mins(k)) mins(k) = h
           k += 1
         }
+        s += 1
       }
       (0 until bands).iterator.map { b =>
         var bandHash = 0xcbf29ce484222325L
@@ -177,7 +189,7 @@ object TextOps {
         (b, bandHash, id)
       }
     }.toDF("band", "band_hash", "doc_id")
-      .persist() // feeds both join sides — shingle+minhash pass runs once
+      .persist() // feeds both join sides — the minhash pass runs once
 
     // Per-bucket width cap: one hot band bucket (boilerplate text) would
     // degenerate to quadratic pairwise work; a capped bucket's true pairs
@@ -194,34 +206,25 @@ object TextOps {
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    // rerank: exact shingle-Jaccard on the candidate pairs only (the LSH
-    // pass bounds the pairwise work; word-salad corpora produce many
-    // spurious bucket collisions that the exact pass rejects)
-    val texts = corpus.toDF("doc_id", "text")
+    // rerank: exact shingle-Jaccard on the candidate pairs only, via the
+    // precomputed sorted shingle arrays (merge-intersection, O(|a|+|b|))
     val verified = candidates
-      .join(texts.select(col("doc_id").as("doc_a"), col("text").as("text_a")), "doc_a")
-      .join(texts.select(col("doc_id").as("doc_b"), col("text").as("text_b")), "doc_b")
+      .join(shingleSets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(shingleSets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
       // joins move the key column first — select explicitly so the tuple
-      // positions are (doc_a, doc_b, text_a, text_b), not join order
-      .select(col("doc_a"), col("doc_b"), col("text_a"), col("text_b"))
-      .as[(Long, Long, String, String)]
-      .map { case (ida, idb, ta, tb) =>
-        def sh(t: String): Set[Long] = {
-          val out = scala.collection.mutable.HashSet[Long]()
-          var i = 0
-          while (i + 5 <= t.length) {
-            var h = 0xcbf29ce484222325L
-            var j = i
-            while (j < i + 5) { h = (h ^ t.charAt(j)) * 0x100000001b3L; j += 1 }
-            out += h
-            i += 1
-          }
-          out.toSet
+      // positions are (doc_a, doc_b, sh_a, sh_b), not join order
+      .select(col("doc_a"), col("doc_b"), col("sh_a"), col("sh_b"))
+      .as[(Long, Long, Array[Long], Array[Long])]
+      .map { case (ida, idb, sa, sb) =>
+        var i = 0
+        var j = 0
+        var inter = 0
+        while (i < sa.length && j < sb.length) {
+          if (sa(i) == sb(j)) { inter += 1; i += 1; j += 1 }
+          else if (sa(i) < sb(j)) i += 1
+          else j += 1
         }
-        val sa = sh(ta)
-        val sb = sh(tb)
-        val inter = sa.intersect(sb).size
-        val union = sa.size + sb.size - inter
+        val union = sa.length + sb.length - inter
         (ida, idb, if (union == 0) 1.0 else inter.toDouble / union)
       }
       .toDF("doc_a", "doc_b", "jaccard")
@@ -229,8 +232,9 @@ object TextOps {
       .withColumn("jaccard", round(col("jaccard"), 6))
       .orderBy("doc_a", "doc_b")
       .cache()
-    result.count() // materialize before unpersisting the signature table
+    result.count() // materialize before unpersisting the shared tables
     sigs.unpersist()
+    shingleSets.unpersist()
     result
   }
 

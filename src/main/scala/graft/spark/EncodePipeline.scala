@@ -83,36 +83,53 @@ object EncodePipeline {
   // ------------------------------------------------------------ partitioning
 
   /** Range boundaries over doc_id balancing *token mass*, not row count.
-    * Sampled, sorted, then cut at equal cumulative-mass quantiles.
+    * ONE column-pruned pass (round 1 paid a count() plus a sample() —
+    * two scans): each input split keeps a deterministic systematic
+    * sample via stride doubling (keep every row until the buffer fills,
+    * then thin to every 2nd, 4th, ... — no RNG, so bounds are
+    * reproducible for checkpoint resume), each kept key weighted by its
+    * stride. Driver-side work stays bounded by the per-split cap at any
+    * input scale; cuts fall at equal cumulative (weighted) token mass.
+    * Keys sort in UTF8 BYTE order to match the executor-side sort and
+    * PartIdForBounds assignment.
     */
   def massBalancedBounds(ds: Dataset[TokenRow], numParts: Int): Array[String] = {
+    import org.apache.spark.unsafe.types.UTF8String
     if (numParts <= 1) return Array.empty
-    // Column-pruned count (cheap on a real columnar source) sizes the
-    // sample to ~200 keys/partition capped at 2M keys total, so the
-    // driver-side sort stays bounded at any input scale (at 10^12 rows
-    // the fraction is ~2e-6; an Iceberg deployment would instead sample
-    // from file-level metadata without the scan).
-    val slim = ds.select(col("doc_id"), col("n_tok"))
-    val total = slim.count()
-    if (total == 0) return Array.empty
-    // floor of 200k keys: mass quantiles need the heavy TAIL sampled
-    // densely (a 1%-of-rows / 70%-of-mass tail needs ~10^3 tail hits for
-    // stable cuts), and a 200k-key driver-side sort is trivial
+    // schema: doc_id(0), n_tok(1)
+    val rdd = ds.select(col("doc_id"), col("n_tok")).queryExecution.toRdd
+    val nInput = math.max(1, rdd.getNumPartitions)
+    // floor of 200k keys total: mass quantiles need the heavy TAIL
+    // sampled densely; a 200k-key driver-side sort is trivial
     val targetSamples = math.min(math.max(numParts.toLong * 200, 200000L), 2000000L)
-    val sampleFraction = math.min(1.0, targetSamples.toDouble / total.toDouble)
-    // Sort the sample in UTF8 BYTE order (UTF8String.compareTo), matching
-    // the executor-side sort and the PartIdForBounds assignment — Java
-    // String ordering diverges for supplementary-plane code points and
-    // would skew bounds vs. actual partition contents.
-    val sample = slim
-      .sample(withReplacement = false, sampleFraction, seed = 42L)
-      .collect()
-      .map(r => (org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(0)),
-        math.max(0L, r.getInt(1).toLong))) // null-token rows carry n_tok=-1: zero mass
-      .sortBy(_._1)(Ordering.comparatorToOrdering(
-        java.util.Comparator.naturalOrder[org.apache.spark.unsafe.types.UTF8String]()))
+    val cap = math.max(256, (2L * targetSamples / nInput).toInt)
+    val parts = rdd.mapPartitions { it =>
+      val buf = new scala.collection.mutable.ArrayBuffer[(UTF8String, Long)](cap)
+      var stride = 1L
+      var seen = 0L
+      while (it.hasNext) {
+        val row = it.next() // InternalRow is reused by the scan: copy out
+        if (seen % stride == 0) {
+          // null-token rows carry n_tok = -1: zero mass
+          buf += ((row.getUTF8String(0).clone(), math.max(0L, row.getInt(1).toLong)))
+          if (buf.length >= 2 * cap) {
+            val thinned = buf.zipWithIndex.collect { case (v, i) if (i & 1) == 0 => v }
+            buf.clear()
+            buf ++= thinned
+            stride *= 2
+          }
+        }
+        seen += 1
+      }
+      Iterator.single((buf.toArray, stride))
+    }.collect()
+    val sample = parts.flatMap { case (samples, stride) =>
+      samples.map { case (id, mass) => (id, mass * stride) }
+    }.sortBy(_._1)(Ordering.comparatorToOrdering(
+      java.util.Comparator.naturalOrder[UTF8String]()))
     if (sample.isEmpty) return Array.empty
     val totalMass = sample.map(_._2).sum.toDouble
+    if (totalMass <= 0) return Array.empty
     val perPart = totalMass / numParts
     val bounds = new scala.collection.mutable.ArrayBuffer[String](numParts - 1)
     var acc = 0L
