@@ -82,8 +82,9 @@ object Bench {
       bestDec = Double.MaxValue
       for (_ <- 1 to 2) {
         val t0 = System.nanoTime()
-        EncodePipeline.decode(chunkTbl)
-          .toDF().agg(sum("n_tok")).collect()
+        // InternalRow decode path (the DataFrame scan surface); the typed
+        // decode() is exercised by the driver queries
+        EncodePipeline.decodeDF(chunkTbl).agg(sum("n_tok")).collect()
         val sec = (System.nanoTime() - t0) / 1e9
         if (sec < bestDec) bestDec = sec
       }
@@ -280,10 +281,17 @@ object Bench {
     //    4N threads — isolates the codec engine from exchange overheads
     val (kThrLo, kThrHi) = kernelScaling(pLo, pHi)
 
-    // 4. hardware envelope: what N→4N can even show on one box
-    val memLo = memcpyEnvelope(pXlo)
-    val memN = memcpyEnvelope(pLo)
-    val memN4 = memcpyEnvelope(pHi)
+    // 4. hardware envelope: what N→4N can even show on one box.
+    //    Interleaved best-of-2 per level so a host-weather burst hits all
+    //    levels instead of poisoning one ratio.
+    var memLo = 0.0
+    var memN = 0.0
+    var memN4 = 0.0
+    for (_ <- 1 to 2) {
+      memLo = math.max(memLo, memcpyEnvelope(pXlo))
+      memN = math.max(memN, memcpyEnvelope(pLo))
+      memN4 = math.max(memN4, memcpyEnvelope(pHi))
+    }
     val effVsEnvelope = (thr32 / thr8) / (memN4 / memN)
     val effLoVsEnvelope = (thr8 / thrX) / (memN / memLo)
 

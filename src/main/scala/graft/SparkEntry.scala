@@ -39,6 +39,7 @@ object SparkEntry {
     "q_rt_tokens_zstd" -> ((s, d) => RoundTrips.tokensPipelineZstd(s, d)),
     "q_rt_expr_sql" -> ((s, d) => RoundTrips.exprSqlRoundTrip(s, d)),
     "q_rt_nullable" -> ((s, d) => RoundTrips.nullableRoundTrip(s, d)),
+    "q_rt_generic" -> ((s, d) => RoundTrips.genericRoundTrip(s, d)),
     "q_codec_stats" -> ((s, d) => RoundTrips.codecStats(s, d)),
     // --- relational / dataflow operators ---
     "q_filter" -> ((s, d) => Relational.filter(s, d)),
@@ -104,6 +105,13 @@ object SparkEntry {
         |       CASE WHEN l_discount > 0.08 THEN NULL ELSE CAST(l_linenumber + floor(l_quantity) AS BIGINT) END AS tok_sum
         |FROM lineitem
         |ORDER BY doc_id, n_tok, source NULLS FIRST, tok_sum NULLS FIRST""".stripMargin,
+    "q_rt_generic" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity,
+        |       CASE WHEN l_returnflag = 'N' THEN NULL ELSE l_returnflag END AS flag,
+        |       l_discount > 0.05 AS discounted,
+        |       CAST(l_linenumber + floor(l_quantity) AS BIGINT) AS pair_sum
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, pair_sum, discounted, flag NULLS FIRST""".stripMargin,
     "q_filter" ->
       "SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_quantity FROM lineitem WHERE l_quantity >= 49.0 AND l_discount > 0.05 ORDER BY l_orderkey, l_linenumber",
     "q_transform" ->

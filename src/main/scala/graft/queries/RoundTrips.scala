@@ -195,6 +195,29 @@ object RoundTrips {
       .orderBy("column", "codec")
   }
 
+  /** ARBITRARY-schema encode (GenericWriter/GenericReader analog,
+    * column_buffer_go18.go:241-287): a 6-column mixed-type lineitem
+    * projection (long, int, double, nullable string, boolean, array<int>)
+    * goes through the generic per-column chunk encoder and back; the
+    * oracle restates the projection, so every typed codec path is
+    * value-checked. */
+  def genericRoundTrip(spark: SparkSession, dir: String): DataFrame = {
+    val src = table(spark, dir, "lineitem").select(
+      col("l_orderkey"),
+      col("l_linenumber"),
+      col("l_quantity"),
+      when(col("l_returnflag") === "N", lit(null).cast("string"))
+        .otherwise(col("l_returnflag")).as("flag"),
+      (col("l_discount") > 0.05).as("discounted"),
+      array(col("l_linenumber"), floor(col("l_quantity")).cast("int")).as("pair"))
+    val chunks = graft.spark.GenericEncode.encode(src, rowsPerChunk = 16 * 1024)
+    graft.spark.GenericEncode.decode(spark, chunks)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("flag"), col("discounted"),
+        expr("aggregate(pair, CAST(0 AS BIGINT), (a, x) -> a + x)").as("pair_sum"))
+      .orderBy("l_orderkey", "l_linenumber", "l_quantity", "pair_sum", "discounted", "flag")
+  }
+
   /** Nullable columns through the FULL pipeline (exchange + chunk encode +
     * decode): tokens NULL where l_discount > 0.08 (decoded back as null
     * with the n_tok = -1 convention) and source NULL where

@@ -423,6 +423,85 @@ object EncodePipeline {
     }
   }
 
+  private val TokenRowSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("doc_id",
+      org.apache.spark.sql.types.StringType, nullable = false),
+    org.apache.spark.sql.types.StructField("tokens",
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.IntegerType,
+        containsNull = false), nullable = true),
+    org.apache.spark.sql.types.StructField("n_tok",
+      org.apache.spark.sql.types.IntegerType, nullable = false),
+    org.apache.spark.sql.types.StructField("source",
+      org.apache.spark.sql.types.StringType, nullable = true)))
+
+  /** Decode straight to InternalRows: no TokenRow/String allocation and
+    * no Scala->Catalyst encoder pass per row. The typed `decode` is the
+    * API for Dataset consumers; THIS is the scan path for SQL/DataFrame
+    * consumers — at local[32] the typed path is GC-bound (one String +
+    * case class + encoder round-trip per row across 32 threads), while
+    * this one allocates only the token array and two UTF8String wrappers.
+    */
+  def decodeDF(chunks: Dataset[EncodedChunk]): DataFrame = {
+    val spark = chunks.sparkSession
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    // explicit projection pins column positions regardless of the chunk
+    // table's on-disk column order (e.g. streamed tables add batch_id)
+    val proj = chunks.toDF().select(
+      "num_rows", "crc32", "tokens_bloom", "tokens_bin", "lens_bin",
+      "docid_bin", "source_bin", "chunk_id")
+    val rdd = proj.queryExecution.toRdd.mapPartitions { it =>
+      it.flatMap { row =>
+        // getBinary copies out of the (reused) scan row
+        val numRows = row.getInt(0)
+        val crcWant = row.getLong(1)
+        val bloom = row.getBinary(2)
+        val tokensBin = row.getBinary(3)
+        val lensBin = row.getBinary(4)
+        val docBin = row.getBinary(5)
+        val srcBin = row.getBinary(6)
+        val chunkId = row.getLong(7)
+        val crc = new java.util.zip.CRC32()
+        crc.update(tokensBin); crc.update(lensBin)
+        crc.update(docBin); crc.update(srcBin)
+        crc.update(bloom)
+        require(crc.getValue == crcWant, s"chunk $chunkId: CRC mismatch")
+        val lens = Chunks.decodeInts(BlockCompression.decompress(lensBin))
+        val (tokFlags, tokensInner) = Chunks.unwrapNullable(BlockCompression.decompress(tokensBin))
+        val tokens = StreamedTokens.decode(tokensInner, lens)
+        val docIds = Chunks.decodeStrings(BlockCompression.decompress(docBin))
+        val (srcFlags, srcInner) = Chunks.unwrapNullable(BlockCompression.decompress(srcBin))
+        val srcDense = Chunks.decodeStrings(srcInner)
+        var tokCursor = 0
+        var flatOff = 0
+        var srcCursor = 0
+        Iterator.tabulate(numRows) { r =>
+          val vals = new Array[Any](4)
+          vals(0) = UTF8String.fromBytes(docIds(r))
+          if (tokFlags != null && tokFlags(r)) {
+            vals(1) = null
+            vals(2) = -1
+          } else {
+            val n = lens(tokCursor)
+            tokCursor += 1
+            vals(1) = UnsafeArrayData.fromPrimitiveArray(
+              java.util.Arrays.copyOfRange(tokens, flatOff, flatOff + n))
+            flatOff += n
+            vals(2) = n
+          }
+          if (srcFlags != null && srcFlags(r)) vals(3) = null
+          else {
+            vals(3) = UTF8String.fromBytes(srcDense(srcCursor))
+            srcCursor += 1
+          }
+          new GenericInternalRow(vals): org.apache.spark.sql.catalyst.InternalRow
+        }
+      }
+    }
+    org.apache.spark.sql.graftbridge.ColumnBridge.internalCreateDataFrame(spark, rdd, TokenRowSchema)
+  }
+
   /** Partial chunk decode: only rows [fromRow, toRow) of one chunk. Token
     * pages outside the range are skipped by bytes via the paged offset
     * index (reference SeekToRow, file.go:684-709); the row-level streams

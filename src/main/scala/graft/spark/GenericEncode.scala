@@ -1,0 +1,248 @@
+package graft.spark
+
+import graft.codec._
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.types._
+import java.nio.charset.StandardCharsets.UTF_8
+
+/** One encoded chunk of an ARBITRARY flat schema: per-column codec
+  * payloads side by side, schema recorded in the chunk row. The engine
+  * analog of the reference's GenericWriter/GenericReader over any Go
+  * struct (column_buffer_go18.go:241-287, convert.go:49-345) — here the
+  * Catalyst schema replaces Go reflection, and every column reuses the
+  * same auto-selecting codec kernels as the token pipeline.
+  */
+final case class GenericChunk(
+    part_id: Int,
+    chunk_id: Long,
+    num_rows: Int,
+    col_names: Seq[String],
+    col_types: Seq[String],
+    col_codecs: Seq[String],
+    col_nulls: Seq[Int],
+    enc_bytes: Long,
+    crc32: Long,
+    cols_bin: Seq[Array[Byte]])
+
+/** Encode/decode ANY flat DataFrame whose columns are int / long /
+  * double / string / boolean / array<int> to a chunk table and back.
+  * Layout follows the input partitioning (use repartition/sort upstream
+  * for range layouts); each partition cuts chunks at a row budget.
+  */
+object GenericEncode {
+
+  final val DefaultRowsPerChunk: Int = 64 * 1024
+
+  private val Supported: Set[DataType] =
+    Set(IntegerType, LongType, DoubleType, StringType, BooleanType,
+      ArrayType(IntegerType, containsNull = false),
+      ArrayType(IntegerType, containsNull = true))
+
+  def encode(df: DataFrame, rowsPerChunk: Int = DefaultRowsPerChunk): Dataset[GenericChunk] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val schema = df.schema
+    schema.fields.foreach { f =>
+      require(Supported.contains(f.dataType),
+        s"generic encode: unsupported column type ${f.dataType} (${f.name})")
+    }
+    val names = schema.fields.map(_.name).toSeq
+    val types = schema.fields.map(_.dataType.simpleString).toSeq
+    val rdd = df.queryExecution.toRdd.mapPartitionsWithIndex { (pid, iter) =>
+      new GenericPartitionEncoder(pid, schema, names, types, rowsPerChunk, iter)
+    }
+    spark.createDataset(rdd)
+  }
+
+  /** Per-partition chunk cutter: buffers each column as a typed builder,
+    * flushes every `rowsPerChunk` rows. */
+  private final class GenericPartitionEncoder(
+      pid: Int, schema: StructType, names: Seq[String], types: Seq[String],
+      rowsPerChunk: Int, iter: Iterator[InternalRow]) extends Iterator[GenericChunk] {
+    private val fields = schema.fields
+    private var chunkSeq = 0L
+    private var done = false
+    private var pending: GenericChunk = _
+
+    override def hasNext: Boolean = {
+      if (pending == null && !done) pending = readChunk()
+      pending != null
+    }
+    override def next(): GenericChunk = {
+      if (!hasNext) throw new NoSuchElementException
+      val c = pending
+      pending = null
+      c
+    }
+
+    private def readChunk(): GenericChunk = {
+      if (!iter.hasNext) { done = true; return null }
+      val n = fields.length
+      val bufs = Array.fill(n)(new scala.collection.mutable.ArrayBuffer[Any](1024))
+      var rows = 0
+      while (iter.hasNext && rows < rowsPerChunk) {
+        val row = iter.next()
+        var c = 0
+        while (c < n) {
+          val buf = bufs(c)
+          if (row.isNullAt(c)) buf += null
+          else fields(c).dataType match {
+            case IntegerType => buf += row.getInt(c)
+            case LongType => buf += row.getLong(c)
+            case DoubleType => buf += row.getDouble(c)
+            case BooleanType => buf += row.getBoolean(c)
+            case StringType => buf += row.getUTF8String(c).getBytes
+            case _: ArrayType => buf += row.getArray(c).toIntArray()
+          }
+          c += 1
+        }
+        rows += 1
+      }
+      if (!iter.hasNext) done = true
+      // encode each column: nullable wrap over the dense payload
+      val bins = new Array[Array[Byte]](n)
+      val codecs = new Array[String](n)
+      val nulls = new Array[Int](n)
+      var c = 0
+      while (c < n) {
+        val buf = bufs(c)
+        val nullCount = buf.count(_ == null)
+        nulls(c) = nullCount
+        val dense = if (nullCount == 0) buf else buf.filter(_ != null)
+        val inner = fields(c).dataType match {
+          case IntegerType =>
+            val a = new Array[Int](dense.length)
+            var i = 0; dense.foreach { v => a(i) = v.asInstanceOf[Int]; i += 1 }
+            Chunks.encodeInts(a, 0, a.length)
+          case LongType =>
+            val a = new Array[Long](dense.length)
+            var i = 0; dense.foreach { v => a(i) = v.asInstanceOf[Long]; i += 1 }
+            Chunks.encodeLongs(a, 0, a.length)
+          case DoubleType =>
+            val a = new Array[Double](dense.length)
+            var i = 0; dense.foreach { v => a(i) = v.asInstanceOf[Double]; i += 1 }
+            Chunks.encodeDoubles(a, 0, a.length)
+          case BooleanType =>
+            val a = new Array[Boolean](dense.length)
+            var i = 0; dense.foreach { v => a(i) = v.asInstanceOf[Boolean]; i += 1 }
+            Chunks.encodeBooleans(a, 0, a.length)
+          case StringType =>
+            Chunks.encodeStrings(dense.map(_.asInstanceOf[Array[Byte]]).toArray, 0, dense.length)
+          case _: ArrayType =>
+            // values flattened + per-row lengths, like the token pipeline
+            val arrays = dense.map(_.asInstanceOf[Array[Int]])
+            val lens = arrays.map(_.length).toArray
+            val total = lens.sum
+            val flat = new Array[Int](total)
+            var off = 0
+            arrays.foreach { a => System.arraycopy(a, 0, flat, off, a.length); off += a.length }
+            val w = new ByteWriter(64 + total)
+            val lensBin = Chunks.encodeInts(lens, 0, lens.length)
+            w.writeUvarint(lensBin.length)
+            w.writeBytes(lensBin)
+            w.writeBytes(StreamedTokens.encode(flat, lens, lens.length, total)._1)
+            w.toArray
+        }
+        bins(c) =
+          if (nullCount == 0) inner
+          else {
+            val flags = new Array[Boolean](rows)
+            var i = 0
+            buf.foreach { v => flags(i) = v == null; i += 1 }
+            Chunks.wrapNullable(flags, rows, nullCount, inner)
+          }
+        codecs(c) = Chunks.codecName(bins(c))
+        c += 1
+      }
+      val crc = new java.util.zip.CRC32()
+      bins.foreach(crc.update)
+      val chunk = GenericChunk(
+        part_id = pid,
+        chunk_id = (pid.toLong << 32) | chunkSeq,
+        num_rows = rows,
+        col_names = names,
+        col_types = types,
+        col_codecs = codecs.toSeq,
+        col_nulls = nulls.toSeq,
+        enc_bytes = bins.map(_.length.toLong).sum,
+        crc32 = crc.getValue,
+        cols_bin = bins.toSeq)
+      chunkSeq += 1
+      chunk
+    }
+  }
+
+  /** Chunk table → rows with the original schema (schema is read from
+    * the chunks themselves — the reader needs no side channel). */
+  def decode(spark: SparkSession, chunks: Dataset[GenericChunk]): DataFrame = {
+    val head = chunks.limit(1).collect()
+    if (head.isEmpty) return spark.emptyDataFrame
+    val schema = StructType(head(0).col_names.zip(head(0).col_types).map {
+      case (n, t) => StructField(n, parseType(t), nullable = true)
+    })
+    val rowRdd = chunks.rdd.flatMap(decodeChunk)
+    spark.createDataFrame(rowRdd, schema)
+  }
+
+  private def parseType(s: String): DataType = s match {
+    case "int" => IntegerType
+    case "bigint" => LongType
+    case "double" => DoubleType
+    case "boolean" => BooleanType
+    case "string" => StringType
+    case "array<int>" => ArrayType(IntegerType)
+    case other => throw new IllegalArgumentException(s"generic decode: $other")
+  }
+
+  def decodeChunk(c: GenericChunk): Iterator[Row] = {
+    val crc = new java.util.zip.CRC32()
+    c.cols_bin.foreach(crc.update)
+    require(crc.getValue == c.crc32, s"generic chunk ${c.chunk_id}: CRC mismatch")
+    val n = c.col_names.length
+    val cols = new Array[Array[Any]](n)
+    var ci = 0
+    while (ci < n) {
+      val (flags, inner) = Chunks.unwrapNullable(c.cols_bin(ci))
+      val dense: Array[Any] = c.col_types(ci) match {
+        case "int" => Chunks.decodeInts(inner).map(v => v: Any)
+        case "bigint" => Chunks.decodeLongs(inner).map(v => v: Any)
+        case "double" => Chunks.decodeDoubles(inner).map(v => v: Any)
+        case "boolean" => Chunks.decodeBooleans(inner).map(v => v: Any)
+        case "string" => Chunks.decodeStrings(inner).map(b => new String(b, UTF_8): Any)
+        case "array<int>" =>
+          val r = new ByteReader(inner)
+          val lensLen = r.readUvarint().toInt
+          val lens = Chunks.decodeInts(r.readBytes(lensLen))
+          val flat = StreamedTokens.decode(
+            java.util.Arrays.copyOfRange(r.buf, r.pos, r.buf.length), lens)
+          val out = new Array[Any](lens.length)
+          var off = 0
+          var i = 0
+          while (i < lens.length) {
+            out(i) = java.util.Arrays.copyOfRange(flat, off, off + lens(i)).toSeq
+            off += lens(i)
+            i += 1
+          }
+          out
+        case other => throw new IllegalArgumentException(s"generic decode: $other")
+      }
+      cols(ci) =
+        if (flags == null) dense
+        else {
+          val out = new Array[Any](c.num_rows)
+          var d = 0
+          var i = 0
+          while (i < c.num_rows) {
+            if (!flags(i)) { out(i) = dense(d); d += 1 }
+            i += 1
+          }
+          out
+        }
+      ci += 1
+    }
+    Iterator.tabulate(c.num_rows) { r =>
+      Row.fromSeq(Seq.tabulate(n)(ci => cols(ci)(r)))
+    }
+  }
+}

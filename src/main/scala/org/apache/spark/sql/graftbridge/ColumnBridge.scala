@@ -1,15 +1,24 @@
 package org.apache.spark.sql.graftbridge
 
-import org.apache.spark.sql.Column
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types.StructType
 
 /** Spark 4's Column API no longer exposes an Expression constructor
-  * publicly; `classic.ExpressionUtils.column` is `private[sql]`. This
-  * shim lives in a subpackage of org.apache.spark.sql solely to bridge
-  * graft's custom Catalyst expressions into DataFrame code — no Spark
-  * internals are modified.
+  * publicly; `classic.ExpressionUtils.column` and
+  * `SparkSession.internalCreateDataFrame` are `private[sql]`. This shim
+  * lives in a subpackage of org.apache.spark.sql solely to bridge
+  * graft's custom Catalyst expressions and InternalRow-producing decode
+  * kernels into DataFrame code — no Spark internals are modified.
   */
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
+
+  def internalCreateDataFrame(spark: SparkSession, rdd: RDD[InternalRow],
+                              schema: StructType): DataFrame =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema)
 }

@@ -213,6 +213,22 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("decodeDF (InternalRow path) matches typed decode exactly") {
+    import spark.implicits._
+    val rows = spark.range(0, 2000, 1, 4).as[Long].map { i =>
+      val tokens = if (i % 7 == 0) null else Array.tabulate(12)(k => (i + k).toInt)
+      val source = if (i % 5 == 0) null else s"src${i % 3}"
+      TokenRow(f"doc/$i%012d", tokens, if (tokens == null) -1 else tokens.length, source)
+    }
+    val chunks = EncodePipeline.encode(rows, 4, tokensPerChunk = 4096).cache()
+    val typed = EncodePipeline.decode(chunks)
+    val df = EncodePipeline.decodeDF(chunks)
+    import spark.implicits._
+    assert(EncodePipeline.verifyRoundTrip(typed, df.as[TokenRow]) == 0L)
+    assert(df.count() == 2000)
+    chunks.unpersist()
+  }
+
   test("nullable tokens and source round-trip via per-chunk null bitmaps") {
     import spark.implicits._
     val rows = spark.range(0, 3000, 1, 4).as[Long].map { i =>
@@ -266,6 +282,40 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     // recovery promoted the staging copy; no partition was re-encoded
     assert(m2.selectExpr("max(attempt)").head().getInt(0) == 1)
     assert(m2.selectExpr("sum(num_rows)").head().getLong(0) == 1500L)
+  }
+
+  test("generic encode round-trips an arbitrary flat schema with nulls") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, when, lit, array, concat_ws}
+    val df = spark.range(0, 5000, 1, 4).toDF("id")
+      .select(
+        col("id"),
+        col("id").cast("int").as("i"),
+        (col("id") * 1.5).as("d"),
+        when(col("id") % 7 === 0, lit(null).cast("string"))
+          .otherwise(concat_ws("-", lit("s"), col("id"))).as("s"),
+        (col("id") % 2 === 0).as("b"),
+        when(col("id") % 11 === 0, lit(null))
+          .otherwise(array(col("id").cast("int"), lit(42))).as("arr"))
+    val chunks = graft.spark.GenericEncode.encode(df, rowsPerChunk = 1024).cache()
+    assert(chunks.count() > 1) // multiple chunks exercised
+    val back = graft.spark.GenericEncode.decode(spark, chunks)
+    assert(back.schema.fieldNames.toSeq == df.schema.fieldNames.toSeq)
+    val a = df.orderBy("id").collect().map(_.toSeq.map {
+      case x: Seq[_] => x.toList
+      case x => x
+    })
+    val b = back.orderBy("id").collect().map(_.toSeq.map {
+      case x: Seq[_] => x.toList
+      case x => x
+    })
+    assert(a.length == b.length)
+    a.zip(b).foreach { case (x, y) => assert(x == y, s"$x vs $y") }
+    // null counts surfaced per column
+    val nulls = chunks.collect().map(_.col_nulls.toVector).toVector.transpose.map(_.sum)
+    assert(nulls(3) == (0 until 5000).count(_ % 7 == 0))
+    assert(nulls(5) == (0 until 5000).count(_ % 11 == 0))
+    chunks.unpersist()
   }
 
   test("seekToRows: row-offset reads decode only covering pages") {
