@@ -40,6 +40,7 @@ object SparkEntry {
     "q_rt_expr_sql" -> ((s, d) => RoundTrips.exprSqlRoundTrip(s, d)),
     "q_rt_nullable" -> ((s, d) => RoundTrips.nullableRoundTrip(s, d)),
     "q_rt_generic" -> ((s, d) => RoundTrips.genericRoundTrip(s, d)),
+    "q_rt_generic_temporal" -> ((s, d) => RoundTrips.genericTemporalRoundTrip(s, d)),
     "q_codec_stats" -> ((s, d) => RoundTrips.codecStats(s, d)),
     // --- relational / dataflow operators ---
     "q_filter" -> ((s, d) => Relational.filter(s, d)),
@@ -112,6 +113,12 @@ object SparkEntry {
         |       CAST(l_linenumber + floor(l_quantity) AS BIGINT) AS pair_sum
         |FROM lineitem
         |ORDER BY l_orderkey, l_linenumber, l_quantity, pair_sum, discounted, flag NULLS FIRST""".stripMargin,
+    "q_rt_generic_temporal" ->
+      """SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
+        |       strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day_str,
+        |       CAST(value AS FLOAT) AS fval,
+        |       CAST(value * 2 AS FLOAT) AS f2
+        |FROM events ORDER BY event_id, ts_str""".stripMargin,
     "q_filter" ->
       "SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_quantity FROM lineitem WHERE l_quantity >= 49.0 AND l_discount > 0.05 ORDER BY l_orderkey, l_linenumber",
     "q_transform" ->

@@ -33,6 +33,7 @@ object Codecs {
   final val PagedInt = 15
   final val ForInt = 16 // frame-of-reference + bit-pack (no delta)
   final val NullableWrap = 17 // row-null bitmap wrapper around any chunk
+  final val BssFloat = 18
 
   val names: Map[Int, String] = Map(
     PlainInt -> "PLAIN", RleInt -> "RLE", DeltaInt -> "DELTA_BINARY_PACKED",
@@ -41,7 +42,8 @@ object Codecs {
     DeltaBytes -> "DELTA_BYTE_ARRAY", FsstBytes -> "FSST", DictBytes -> "RLE_DICTIONARY",
     PlainDouble -> "PLAIN", BssDouble -> "BYTE_STREAM_SPLIT",
     PlainBool -> "PLAIN", RleBool -> "RLE", PagedInt -> "PAGED",
-    ForInt -> "FOR_BIT_PACKED", NullableWrap -> "NULLABLE")
+    ForInt -> "FOR_BIT_PACKED", NullableWrap -> "NULLABLE",
+    BssFloat -> "BYTE_STREAM_SPLIT")
 }
 
 final case class IntStats(n: Int, min: Long, max: Long, runs: Int, sorted: Boolean,
@@ -508,6 +510,29 @@ object Chunks {
       case PlainDouble => Plain.decodeDoubles(r, n)
       case BssDouble => ByteStreamSplit.decodeDoubles(r, n)
       case other => throw new IllegalArgumentException(s"not a double codec: $other")
+    }
+  }
+
+  // ---------------------------------------------------------------- floats
+
+  /** float32 chunks use BYTE_STREAM_SPLIT (same size as PLAIN, strictly
+    * more compressible under a block codec; reference float path:
+    * bytestreamsplit.go:23-51). */
+  def encodeFloats(src: Array[Float], off: Int, n: Int): Array[Byte] = {
+    val out = new ByteWriter(16 + 4 * n)
+    out.writeByte(BssFloat)
+    out.writeUvarint(n)
+    ByteStreamSplit.encodeFloats(src, off, n, out)
+    out.toArray
+  }
+
+  def decodeFloats(bytes: Array[Byte]): Array[Float] = {
+    val r = new ByteReader(bytes)
+    val codec = r.readByte()
+    val n = r.readUvarint().toInt
+    codec match {
+      case BssFloat => ByteStreamSplit.decodeFloats(r, n)
+      case other => throw new IllegalArgumentException(s"not a float codec: $other")
     }
   }
 

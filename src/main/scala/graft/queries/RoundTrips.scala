@@ -218,6 +218,30 @@ object RoundTrips {
       .orderBy("l_orderkey", "l_linenumber", "l_quantity", "pair_sum", "discounted", "flag")
   }
 
+  /** Temporal + float type breadth through the generic encoder: events
+    * (timestamp, date, float, array<float>) round-trip with an identity
+    * oracle — covers the chunk format's physical-type reach beyond the
+    * token schema (reference type.go:20-31 physical kinds). */
+  def genericTemporalRoundTrip(spark: SparkSession, dir: String): DataFrame = {
+    val src = table(spark, dir, "events").select(
+      col("event_id"),
+      col("ts"),
+      col("ts").cast("date").as("day"),
+      col("value").cast("float").as("fval"),
+      array(col("value").cast("float"), (col("value") * 2.0d).cast("float")).as("fpair"))
+    val chunks = graft.spark.GenericEncode.encode(src, rowsPerChunk = 16 * 1024)
+    // temporal columns comparison-projected to strings: pandas/duckdb
+    // normalize DATE/TIMESTAMP objects differently, the VALUES are what
+    // the oracle checks (the round-trip itself ran on the native types)
+    graft.spark.GenericEncode.decode(spark, chunks)
+      .select(col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_str"),
+        date_format(col("day"), "yyyy-MM-dd").as("day_str"),
+        col("fval"),
+        element_at(col("fpair"), 2).as("f2"))
+      .orderBy("event_id", "ts_str")
+  }
+
   /** Nullable columns through the FULL pipeline (exchange + chunk encode +
     * decode): tokens NULL where l_discount > 0.08 (decoded back as null
     * with the n_tok = -1 convention) and source NULL where

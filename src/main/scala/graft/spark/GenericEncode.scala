@@ -35,9 +35,12 @@ object GenericEncode {
   final val DefaultRowsPerChunk: Int = 64 * 1024
 
   private val Supported: Set[DataType] =
-    Set(IntegerType, LongType, DoubleType, StringType, BooleanType,
+    Set(IntegerType, LongType, DoubleType, FloatType, StringType, BooleanType,
+      DateType, TimestampType, TimestampNTZType,
       ArrayType(IntegerType, containsNull = false),
-      ArrayType(IntegerType, containsNull = true))
+      ArrayType(IntegerType, containsNull = true),
+      ArrayType(FloatType, containsNull = false),
+      ArrayType(FloatType, containsNull = true))
 
   def encode(df: DataFrame, rowsPerChunk: Int = DefaultRowsPerChunk): Dataset[GenericChunk] = {
     val spark = df.sparkSession
@@ -88,11 +91,14 @@ object GenericEncode {
           val buf = bufs(c)
           if (row.isNullAt(c)) buf += null
           else fields(c).dataType match {
-            case IntegerType => buf += row.getInt(c)
-            case LongType => buf += row.getLong(c)
+            case IntegerType | DateType => buf += row.getInt(c) // date = days since epoch
+            case LongType | TimestampType | TimestampNTZType =>
+              buf += row.getLong(c) // ts = micros
             case DoubleType => buf += row.getDouble(c)
+            case FloatType => buf += row.getFloat(c)
             case BooleanType => buf += row.getBoolean(c)
             case StringType => buf += row.getUTF8String(c).getBytes
+            case ArrayType(FloatType, _) => buf += row.getArray(c).toFloatArray()
             case _: ArrayType => buf += row.getArray(c).toIntArray()
           }
           c += 1
@@ -111,11 +117,11 @@ object GenericEncode {
         nulls(c) = nullCount
         val dense = if (nullCount == 0) buf else buf.filter(_ != null)
         val inner = fields(c).dataType match {
-          case IntegerType =>
+          case IntegerType | DateType =>
             val a = new Array[Int](dense.length)
             var i = 0; dense.foreach { v => a(i) = v.asInstanceOf[Int]; i += 1 }
             Chunks.encodeInts(a, 0, a.length)
-          case LongType =>
+          case LongType | TimestampType | TimestampNTZType =>
             val a = new Array[Long](dense.length)
             var i = 0; dense.foreach { v => a(i) = v.asInstanceOf[Long]; i += 1 }
             Chunks.encodeLongs(a, 0, a.length)
@@ -123,12 +129,31 @@ object GenericEncode {
             val a = new Array[Double](dense.length)
             var i = 0; dense.foreach { v => a(i) = v.asInstanceOf[Double]; i += 1 }
             Chunks.encodeDoubles(a, 0, a.length)
+          case FloatType =>
+            val a = new Array[Float](dense.length)
+            var i = 0; dense.foreach { v => a(i) = v.asInstanceOf[Float]; i += 1 }
+            Chunks.encodeFloats(a, 0, a.length)
           case BooleanType =>
             val a = new Array[Boolean](dense.length)
             var i = 0; dense.foreach { v => a(i) = v.asInstanceOf[Boolean]; i += 1 }
             Chunks.encodeBooleans(a, 0, a.length)
           case StringType =>
             Chunks.encodeStrings(dense.map(_.asInstanceOf[Array[Byte]]).toArray, 0, dense.length)
+          case ArrayType(FloatType, _) =>
+            // flattened floats (BSS) + per-row lengths — the embedding-
+            // column layout
+            val arrays = dense.map(_.asInstanceOf[Array[Float]])
+            val lens = arrays.map(_.length).toArray
+            val total = lens.sum
+            val flat = new Array[Float](total)
+            var off = 0
+            arrays.foreach { a => System.arraycopy(a, 0, flat, off, a.length); off += a.length }
+            val w = new ByteWriter(64 + total * 4)
+            val lensBin = Chunks.encodeInts(lens, 0, lens.length)
+            w.writeUvarint(lensBin.length)
+            w.writeBytes(lensBin)
+            w.writeBytes(Chunks.encodeFloats(flat, 0, total))
+            w.toArray
           case _: ArrayType =>
             // values flattened + per-row lengths, like the token pipeline
             val arrays = dense.map(_.asInstanceOf[Array[Int]])
@@ -189,9 +214,14 @@ object GenericEncode {
     case "int" => IntegerType
     case "bigint" => LongType
     case "double" => DoubleType
+    case "float" => FloatType
     case "boolean" => BooleanType
     case "string" => StringType
+    case "date" => DateType
+    case "timestamp" => TimestampType
+    case "timestamp_ntz" => TimestampNTZType
     case "array<int>" => ArrayType(IntegerType)
+    case "array<float>" => ArrayType(FloatType)
     case other => throw new IllegalArgumentException(s"generic decode: $other")
   }
 
@@ -208,14 +238,39 @@ object GenericEncode {
         case "int" => Chunks.decodeInts(inner).map(v => v: Any)
         case "bigint" => Chunks.decodeLongs(inner).map(v => v: Any)
         case "double" => Chunks.decodeDoubles(inner).map(v => v: Any)
+        case "float" => Chunks.decodeFloats(inner).map(v => v: Any)
         case "boolean" => Chunks.decodeBooleans(inner).map(v => v: Any)
         case "string" => Chunks.decodeStrings(inner).map(b => new String(b, UTF_8): Any)
+        case "date" =>
+          Chunks.decodeInts(inner)
+            .map(d => org.apache.spark.sql.catalyst.util.DateTimeUtils.toJavaDate(d): Any)
+        case "timestamp" =>
+          Chunks.decodeLongs(inner)
+            .map(t => org.apache.spark.sql.catalyst.util.DateTimeUtils.toJavaTimestamp(t): Any)
+        case "timestamp_ntz" =>
+          Chunks.decodeLongs(inner)
+            .map(t => org.apache.spark.sql.catalyst.util.DateTimeUtils.microsToLocalDateTime(t): Any)
         case "array<int>" =>
           val r = new ByteReader(inner)
           val lensLen = r.readUvarint().toInt
           val lens = Chunks.decodeInts(r.readBytes(lensLen))
           val flat = StreamedTokens.decode(
             java.util.Arrays.copyOfRange(r.buf, r.pos, r.buf.length), lens)
+          val out = new Array[Any](lens.length)
+          var off = 0
+          var i = 0
+          while (i < lens.length) {
+            out(i) = java.util.Arrays.copyOfRange(flat, off, off + lens(i)).toSeq
+            off += lens(i)
+            i += 1
+          }
+          out
+        case "array<float>" =>
+          val r = new ByteReader(inner)
+          val lensLen = r.readUvarint().toInt
+          val lens = Chunks.decodeInts(r.readBytes(lensLen))
+          val flat = Chunks.decodeFloats(
+            java.util.Arrays.copyOfRange(r.buf, r.pos, r.buf.length))
           val out = new Array[Any](lens.length)
           var off = 0
           var i = 0

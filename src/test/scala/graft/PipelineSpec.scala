@@ -318,6 +318,31 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     chunks.unpersist()
   }
 
+  test("generic encode covers float / date / timestamp / array<float>") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit, when, array, to_date, to_timestamp}
+    val df = spark.range(0, 2000, 1, 3).toDF("id")
+      .select(
+        col("id"),
+        (col("id") * 0.25).cast("float").as("f"),
+        to_timestamp(lit("2026-01-01 00:00:00")).as("base_ts"),
+        to_date(lit("2026-03-01")).as("base_day"),
+        when(col("id") % 9 === 0, lit(null))
+          .otherwise(array((col("id") * 0.5).cast("float"), lit(1.5f))).as("fa"))
+    val back = graft.spark.GenericEncode.decode(
+      spark, graft.spark.GenericEncode.encode(df, rowsPerChunk = 512))
+    val a = df.orderBy("id").collect().map(_.toSeq.map {
+      case x: Seq[_] => x.toList
+      case x => x
+    })
+    val b = back.orderBy("id").collect().map(_.toSeq.map {
+      case x: Seq[_] => x.toList
+      case x => x
+    })
+    assert(a.length == b.length)
+    a.zip(b).foreach { case (x, y) => assert(x == y, s"$x vs $y") }
+  }
+
   test("seekToRows: row-offset reads decode only covering pages") {
     import spark.implicits._
     val src = TokenTableGen.generate(spark, 4000, 4)
