@@ -40,9 +40,74 @@ object GenericEncode {
       ArrayType(IntegerType, containsNull = false),
       ArrayType(IntegerType, containsNull = true),
       ArrayType(FloatType, containsNull = false),
-      ArrayType(FloatType, containsNull = true))
+      ArrayType(FloatType, containsNull = true),
+      ArrayType(StringType, containsNull = false),
+      ArrayType(StringType, containsNull = true))
 
-  def encode(df: DataFrame, rowsPerChunk: Int = DefaultRowsPerChunk): Dataset[GenericChunk] = {
+  /** Leaf separator for flattened struct columns. '.' would collide with
+    * user column names too easily; '' cannot appear in a sane name. */
+  private final val Sep = "\u0001"
+  private final val DefinedSuffix = Sep + "defined"
+
+  /** Struct columns are handled by schema-tree flattening around the flat
+    * engine (the Spark-native replacement for the reference's rep/def
+    * shredding of nested schemas, node.go:149-177): each struct leaf
+    * becomes a column named parentleaf, a nullable struct gains a
+    * boolean presence leaf, and `decode` rebuilds the nesting from the
+    * names. Arbitrary depth via recursion. */
+  private def flatten(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col => c}
+    def expand(prefix: String, path: String, t: StructType, nullable: Boolean): Seq[org.apache.spark.sql.Column] = {
+      val presence =
+        if (nullable) Seq(c(path).isNotNull.as(prefix + DefinedSuffix)) else Seq.empty
+      presence ++ t.fields.flatMap { f =>
+        f.dataType match {
+          case st: StructType =>
+            expand(prefix + Sep + f.name, s"$path.`${f.name}`", st, f.nullable)
+          case _ =>
+            Seq(c(s"$path.`${f.name}`").as(prefix + Sep + f.name))
+        }
+      }
+    }
+    val cols = df.schema.fields.flatMap { f =>
+      f.dataType match {
+        case st: StructType => expand(f.name, s"`${f.name}`", st, f.nullable)
+        case _ => Seq(c(s"`${f.name}`"))
+      }
+    }
+    df.select(cols.toIndexedSeq: _*)
+  }
+
+  /** Rebuild nested structs from flattened leaf names. */
+  private def unflatten(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col => c, struct, when}
+    // group top-level: names without Sep stay; names with Sep nest
+    def build(names: Seq[String], prefix: String): org.apache.spark.sql.Column = {
+      val defined = names.contains(prefix + DefinedSuffix)
+      val children = names.filter(n => n != prefix + DefinedSuffix)
+      val colPos: String => Int = n => df.columns.indexOf(n)
+      val byChild = children.groupBy(_.stripPrefix(prefix + Sep).split(Sep, 2)(0))
+      val fields = byChild.toSeq
+        .sortBy { case (_, ns) => ns.map(colPos).min }
+        .map { case (child, ns) =>
+          if (ns == Seq(prefix + Sep + child))
+            c("`" + prefix + Sep + child + "`").as(child)
+          else build(ns, prefix + Sep + child).as(child)
+        }
+      val st = struct(fields: _*)
+      if (defined) when(c("`" + prefix + DefinedSuffix + "`"), st) else st
+    }
+    val tops = df.columns.map(_.split(Sep, 2)(0)).distinct
+    val cols = tops.map { top =>
+      val ns = df.columns.filter(n => n == top || n.startsWith(top + Sep)).toSeq
+      if (ns == Seq(top)) c("`" + top + "`")
+      else build(ns, top).as(top)
+    }
+    df.select(cols.toIndexedSeq: _*)
+  }
+
+  def encode(df0: DataFrame, rowsPerChunk: Int = DefaultRowsPerChunk): Dataset[GenericChunk] = {
+    val df = if (df0.schema.fields.exists(_.dataType.isInstanceOf[StructType])) flatten(df0) else df0
     val spark = df.sparkSession
     import spark.implicits._
     val schema = df.schema
@@ -99,6 +164,16 @@ object GenericEncode {
             case BooleanType => buf += row.getBoolean(c)
             case StringType => buf += row.getUTF8String(c).getBytes
             case ArrayType(FloatType, _) => buf += row.getArray(c).toFloatArray()
+            case ArrayType(StringType, _) =>
+              val ad = row.getArray(c)
+              val strs = new Array[Array[Byte]](ad.numElements())
+              var k = 0
+              while (k < strs.length) {
+                require(!ad.isNullAt(k), "generic encode: null array<string> element")
+                strs(k) = ad.getUTF8String(k).getBytes
+                k += 1
+              }
+              buf += strs
             case _: ArrayType => buf += row.getArray(c).toIntArray()
           }
           c += 1
@@ -154,6 +229,16 @@ object GenericEncode {
             w.writeBytes(lensBin)
             w.writeBytes(Chunks.encodeFloats(flat, 0, total))
             w.toArray
+          case ArrayType(StringType, _) =>
+            val arrays = dense.map(_.asInstanceOf[Array[Array[Byte]]])
+            val lens = arrays.map(_.length).toArray
+            val flat = arrays.toArray.flatten
+            val w = new ByteWriter(256)
+            val lensBin = Chunks.encodeInts(lens, 0, lens.length)
+            w.writeUvarint(lensBin.length)
+            w.writeBytes(lensBin)
+            w.writeBytes(Chunks.encodeStrings(flat, 0, flat.length))
+            w.toArray
           case _: ArrayType =>
             // values flattened + per-row lengths, like the token pipeline
             val arrays = dense.map(_.asInstanceOf[Array[Int]])
@@ -199,7 +284,8 @@ object GenericEncode {
   }
 
   /** Chunk table → rows with the original schema (schema is read from
-    * the chunks themselves — the reader needs no side channel). */
+    * the chunks themselves — the reader needs no side channel; struct
+    * nesting rebuilds from the flattened leaf names). */
   def decode(spark: SparkSession, chunks: Dataset[GenericChunk]): DataFrame = {
     val head = chunks.limit(1).collect()
     if (head.isEmpty) return spark.emptyDataFrame
@@ -207,7 +293,8 @@ object GenericEncode {
       case (n, t) => StructField(n, parseType(t), nullable = true)
     })
     val rowRdd = chunks.rdd.flatMap(decodeChunk)
-    spark.createDataFrame(rowRdd, schema)
+    val flat = spark.createDataFrame(rowRdd, schema)
+    if (schema.fieldNames.exists(_.contains(Sep))) unflatten(flat) else flat
   }
 
   private def parseType(s: String): DataType = s match {
@@ -222,6 +309,7 @@ object GenericEncode {
     case "timestamp_ntz" => TimestampNTZType
     case "array<int>" => ArrayType(IntegerType)
     case "array<float>" => ArrayType(FloatType)
+    case "array<string>" => ArrayType(StringType)
     case other => throw new IllegalArgumentException(s"generic decode: $other")
   }
 
@@ -261,6 +349,22 @@ object GenericEncode {
           var i = 0
           while (i < lens.length) {
             out(i) = java.util.Arrays.copyOfRange(flat, off, off + lens(i)).toSeq
+            off += lens(i)
+            i += 1
+          }
+          out
+        case "array<string>" =>
+          val r = new ByteReader(inner)
+          val lensLen = r.readUvarint().toInt
+          val lens = Chunks.decodeInts(r.readBytes(lensLen))
+          val flat = Chunks.decodeStrings(
+            java.util.Arrays.copyOfRange(r.buf, r.pos, r.buf.length))
+          val out = new Array[Any](lens.length)
+          var off = 0
+          var i = 0
+          while (i < lens.length) {
+            out(i) = java.util.Arrays.copyOfRange(flat, off, off + lens(i))
+              .map(b => new String(b, UTF_8)).toSeq
             off += lens(i)
             i += 1
           }

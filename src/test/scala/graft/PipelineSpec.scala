@@ -318,6 +318,29 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     chunks.unpersist()
   }
 
+  test("generic encode flattens nested structs (incl. null structs) and array<string>") {
+    import org.apache.spark.sql.functions.{col, lit, when, struct, array, concat_ws}
+    val df = spark.range(0, 3000, 1, 3).toDF("id")
+      .select(
+        col("id"),
+        when(col("id") % 4 === 0, lit(null)).otherwise(
+          struct(
+            (col("id") * 2).as("a"),
+            struct(concat_ws("", lit("x"), col("id")).as("deep")).as("inner"))).as("meta"),
+        array(lit("t1"), concat_ws("", lit("tag"), (col("id") % 5))).as("tags"))
+    val back = graft.spark.GenericEncode.decode(
+      spark, graft.spark.GenericEncode.encode(df, rowsPerChunk = 512))
+    assert(back.schema.fieldNames.toSeq == Seq("id", "meta", "tags"))
+    assert(back.schema("meta").dataType.isInstanceOf[org.apache.spark.sql.types.StructType])
+    val norm = (d: org.apache.spark.sql.DataFrame) =>
+      d.selectExpr("id", "meta.a AS a", "meta.inner.deep AS deep",
+        "meta IS NULL AS meta_null", "tags[1] AS tag")
+        .orderBy("id").collect().map(_.toSeq)
+    val a = norm(df)
+    val b = norm(back)
+    a.zip(b).foreach { case (x, y) => assert(x == y, s"$x vs $y") }
+  }
+
   test("generic encode covers float / date / timestamp / array<float>") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, lit, when, array, to_date, to_timestamp}
