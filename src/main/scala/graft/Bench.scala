@@ -48,15 +48,19 @@ object Bench {
     val src = spark.read.parquet(inputPath).as[graft.spark.TokenRow]
     import org.apache.spark.sql.functions.sum
     // full-size untimed warm-ups (JIT + shuffle paths; one is not enough
-    // for C2 to finish on the codec kernels)
-    for (_ <- 1 to 2)
+    // for C2 to finish on the codec kernels). Encode-only forks are the
+    // second weather sample — they run lighter (1 warm + 2 timed) to keep
+    // total bench wall time bounded.
+    val warmups = if (encodeOnly) 1 else 2
+    val timed = if (encodeOnly) 2 else 3
+    for (_ <- 1 to warmups)
       EncodePipeline.encode(src, NumParts, boundsOverride = Some(bounds))
         .agg(sum("num_tokens")).collect()
     var best = Double.MaxValue
     var toks = 0L
     var enc = 0L
     var raw = 0L
-    for (_ <- 1 to 3) {
+    for (_ <- 1 to timed) {
       val t0 = System.nanoTime()
       val row = EncodePipeline.encode(src, NumParts, boundsOverride = Some(bounds))
         .agg(sum("num_tokens"), sum("enc_bytes"), sum("raw_bytes")).collect()(0)

@@ -44,6 +44,13 @@ object GenericEncode {
       ArrayType(StringType, containsNull = false),
       ArrayType(StringType, containsNull = true))
 
+  /** Decimals up to 18 digits ride the long codec as unscaled values
+    * (reference logical-type analog: FIXED/INT64 decimal, type.go:20-31). */
+  private def isSupported(dt: DataType): Boolean = dt match {
+    case d: DecimalType => d.precision <= 18
+    case t => Supported.contains(t)
+  }
+
   /** Leaf separator for flattened struct columns. '.' would collide with
     * user column names too easily; '' cannot appear in a sane name. */
   private final val Sep = "\u0001"
@@ -55,8 +62,18 @@ object GenericEncode {
     * becomes a column named parentleaf, a nullable struct gains a
     * boolean presence leaf, and `decode` rebuilds the nesting from the
     * names. Arbitrary depth via recursion. */
+  private final val MapKeysLeaf = "mkeys"
+  private final val MapValsLeaf = "mvals"
+
   private def flatten(df: DataFrame): DataFrame = {
-    import org.apache.spark.sql.functions.{col => c}
+    import org.apache.spark.sql.functions.{col => c, map_keys, map_values}
+    def mapLeaves(prefix: String, path: String, nullable: Boolean): Seq[org.apache.spark.sql.Column] = {
+      val presence =
+        if (nullable) Seq(c(path).isNotNull.as(prefix + DefinedSuffix)) else Seq.empty
+      presence ++ Seq(
+        map_keys(c(path)).as(prefix + Sep + MapKeysLeaf),
+        map_values(c(path)).as(prefix + Sep + MapValsLeaf))
+    }
     def expand(prefix: String, path: String, t: StructType, nullable: Boolean): Seq[org.apache.spark.sql.Column] = {
       val presence =
         if (nullable) Seq(c(path).isNotNull.as(prefix + DefinedSuffix)) else Seq.empty
@@ -64,6 +81,8 @@ object GenericEncode {
         f.dataType match {
           case st: StructType =>
             expand(prefix + Sep + f.name, s"$path.`${f.name}`", st, f.nullable)
+          case _: MapType =>
+            mapLeaves(prefix + Sep + f.name, s"$path.`${f.name}`", f.nullable)
           case _ =>
             Seq(c(s"$path.`${f.name}`").as(prefix + Sep + f.name))
         }
@@ -72,30 +91,38 @@ object GenericEncode {
     val cols = df.schema.fields.flatMap { f =>
       f.dataType match {
         case st: StructType => expand(f.name, s"`${f.name}`", st, f.nullable)
+        case _: MapType => mapLeaves(f.name, s"`${f.name}`", f.nullable)
         case _ => Seq(c(s"`${f.name}`"))
       }
     }
     df.select(cols.toIndexedSeq: _*)
   }
 
-  /** Rebuild nested structs from flattened leaf names. */
+  /** Rebuild nested structs and maps from flattened leaf names. */
   private def unflatten(df: DataFrame): DataFrame = {
-    import org.apache.spark.sql.functions.{col => c, struct, when}
+    import org.apache.spark.sql.functions.{col => c, struct, when, map_from_arrays}
     // group top-level: names without Sep stay; names with Sep nest
     def build(names: Seq[String], prefix: String): org.apache.spark.sql.Column = {
       val defined = names.contains(prefix + DefinedSuffix)
       val children = names.filter(n => n != prefix + DefinedSuffix)
       val colPos: String => Int = n => df.columns.indexOf(n)
       val byChild = children.groupBy(_.stripPrefix(prefix + Sep).split(Sep, 2)(0))
-      val fields = byChild.toSeq
-        .sortBy { case (_, ns) => ns.map(colPos).min }
-        .map { case (child, ns) =>
-          if (ns == Seq(prefix + Sep + child))
-            c("`" + prefix + Sep + child + "`").as(child)
-          else build(ns, prefix + Sep + child).as(child)
+      val node =
+        if (byChild.keySet == Set(MapKeysLeaf, MapValsLeaf))
+          map_from_arrays(
+            c("`" + prefix + Sep + MapKeysLeaf + "`"),
+            c("`" + prefix + Sep + MapValsLeaf + "`"))
+        else {
+          val fields = byChild.toSeq
+            .sortBy { case (_, ns) => ns.map(colPos).min }
+            .map { case (child, ns) =>
+              if (ns == Seq(prefix + Sep + child))
+                c("`" + prefix + Sep + child + "`").as(child)
+              else build(ns, prefix + Sep + child).as(child)
+            }
+          struct(fields: _*)
         }
-      val st = struct(fields: _*)
-      if (defined) when(c("`" + prefix + DefinedSuffix + "`"), st) else st
+      if (defined) when(c("`" + prefix + DefinedSuffix + "`"), node) else node
     }
     val tops = df.columns.map(_.split(Sep, 2)(0)).distinct
     val cols = tops.map { top =>
@@ -107,12 +134,16 @@ object GenericEncode {
   }
 
   def encode(df0: DataFrame, rowsPerChunk: Int = DefaultRowsPerChunk): Dataset[GenericChunk] = {
-    val df = if (df0.schema.fields.exists(_.dataType.isInstanceOf[StructType])) flatten(df0) else df0
+    val df =
+      if (df0.schema.fields.exists(f =>
+        f.dataType.isInstanceOf[StructType] || f.dataType.isInstanceOf[MapType]))
+        flatten(df0)
+      else df0
     val spark = df.sparkSession
     import spark.implicits._
     val schema = df.schema
     schema.fields.foreach { f =>
-      require(Supported.contains(f.dataType),
+      require(isSupported(f.dataType),
         s"generic encode: unsupported column type ${f.dataType} (${f.name})")
     }
     val names = schema.fields.map(_.name).toSeq
@@ -161,6 +192,8 @@ object GenericEncode {
               buf += row.getLong(c) // ts = micros
             case DoubleType => buf += row.getDouble(c)
             case FloatType => buf += row.getFloat(c)
+            case d: DecimalType =>
+              buf += row.getDecimal(c, d.precision, d.scale).toUnscaledLong
             case BooleanType => buf += row.getBoolean(c)
             case StringType => buf += row.getUTF8String(c).getBytes
             case ArrayType(FloatType, _) => buf += row.getArray(c).toFloatArray()
@@ -208,6 +241,10 @@ object GenericEncode {
             val a = new Array[Float](dense.length)
             var i = 0; dense.foreach { v => a(i) = v.asInstanceOf[Float]; i += 1 }
             Chunks.encodeFloats(a, 0, a.length)
+          case _: DecimalType => // unscaled longs (delta packs price-like series well)
+            val a = new Array[Long](dense.length)
+            var i = 0; dense.foreach { v => a(i) = v.asInstanceOf[Long]; i += 1 }
+            Chunks.encodeLongs(a, 0, a.length)
           case BooleanType =>
             val a = new Array[Boolean](dense.length)
             var i = 0; dense.foreach { v => a(i) = v.asInstanceOf[Boolean]; i += 1 }
@@ -310,6 +347,9 @@ object GenericEncode {
     case "array<int>" => ArrayType(IntegerType)
     case "array<float>" => ArrayType(FloatType)
     case "array<string>" => ArrayType(StringType)
+    case dec if dec.startsWith("decimal(") =>
+      val Array(p, sc) = dec.stripPrefix("decimal(").stripSuffix(")").split(",")
+      DecimalType(p.trim.toInt, sc.trim.toInt)
     case other => throw new IllegalArgumentException(s"generic decode: $other")
   }
 
@@ -327,6 +367,10 @@ object GenericEncode {
         case "bigint" => Chunks.decodeLongs(inner).map(v => v: Any)
         case "double" => Chunks.decodeDoubles(inner).map(v => v: Any)
         case "float" => Chunks.decodeFloats(inner).map(v => v: Any)
+        case dec if dec.startsWith("decimal(") =>
+          val scale = parseType(dec).asInstanceOf[DecimalType].scale
+          Chunks.decodeLongs(inner)
+            .map(u => java.math.BigDecimal.valueOf(u, scale): Any)
         case "boolean" => Chunks.decodeBooleans(inner).map(v => v: Any)
         case "string" => Chunks.decodeStrings(inner).map(b => new String(b, UTF_8): Any)
         case "date" =>

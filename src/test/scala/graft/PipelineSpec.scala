@@ -327,14 +327,20 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
           struct(
             (col("id") * 2).as("a"),
             struct(concat_ws("", lit("x"), col("id")).as("deep")).as("inner"))).as("meta"),
-        array(lit("t1"), concat_ws("", lit("tag"), (col("id") % 5))).as("tags"))
+        array(lit("t1"), concat_ws("", lit("tag"), (col("id") % 5))).as("tags"),
+        org.apache.spark.sql.functions.expr(
+          "map(concat('k', CAST(id % 3 AS STRING)), CAST(id AS STRING))").as("props"),
+        (col("id") * lit(0.01)).cast("decimal(12,4)").as("price"))
     val back = graft.spark.GenericEncode.decode(
       spark, graft.spark.GenericEncode.encode(df, rowsPerChunk = 512))
-    assert(back.schema.fieldNames.toSeq == Seq("id", "meta", "tags"))
+    assert(back.schema.fieldNames.toSeq == Seq("id", "meta", "tags", "props", "price"))
     assert(back.schema("meta").dataType.isInstanceOf[org.apache.spark.sql.types.StructType])
+    assert(back.schema("props").dataType.isInstanceOf[org.apache.spark.sql.types.MapType])
     val norm = (d: org.apache.spark.sql.DataFrame) =>
       d.selectExpr("id", "meta.a AS a", "meta.inner.deep AS deep",
-        "meta IS NULL AS meta_null", "tags[1] AS tag")
+        "meta IS NULL AS meta_null", "tags[1] AS tag",
+        "props[concat('k', CAST(id % 3 AS STRING))] AS prop",
+        "CAST(price AS STRING) AS price")
         .orderBy("id").collect().map(_.toSeq)
     val a = norm(df)
     val b = norm(back)
