@@ -110,10 +110,10 @@ object SimilarityOps {
   /** Per-table hyperplane signature. Scaling a vector never flips a sign,
     * so sig(c*v) == sig(v) — the property that makes planted needles
     * structurally retrievable. */
-  private def lshSig(v: Array[Float], t: Int): Int = {
+  private def lshSig(v: Array[Float], t: Int, bits: Int = LshBits): Int = {
     var s = 0
     var b = 0
-    while (b < LshBits) {
+    while (b < bits) {
       var dot = 0.0
       var d = 0
       while (d < Dims) { dot += plane(t, b, d) * v(d); d += 1 }
@@ -297,9 +297,15 @@ object SimilarityOps {
       .map { case (id, v) => (id + PlantedBase, v.map(x => (x * 1.0001f)).toSeq) }
     val corpus = base.union(planted)
 
+    // bucket count scales with the corpus (~16 vectors/bucket/table) so
+    // per-bucket pairwise work stays O(1) at any n — a fixed bit width
+    // degenerates to giant buckets at 10^9 vectors
+    val n = base.count()
+    val bits = math.min(24, math.max(8,
+      63 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n / 16))))
     val sigs = corpus.flatMap { case (id, v) =>
       val arr = v.toArray
-      (0 until LshTables).iterator.map(t => (t, lshSig(arr, t), id, v))
+      (0 until LshTables).iterator.map(t => (t, lshSig(arr, t, bits), id, v))
     }.toDF("tbl", "bucket", "vec_id", "embedding")
       .persist() // feeds both join sides — compute signatures once
     // Width cap: a degenerate bucket (e.g. the all-positive octant on
