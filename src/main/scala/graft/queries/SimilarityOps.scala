@@ -86,10 +86,15 @@ object SimilarityOps {
   /** Index tables live beside the data, keyed by the source dir — built
     * once, probed by every query (the judge-flagged fix for rebuilding
     * signatures/assignments per query). Deterministic rebuild if absent. */
+  /** Bump IndexVersion whenever the signature/cell layout changes — /tmp
+    * outlives processes, and a stale index from older code must never be
+    * probed by newer code. */
+  private final val IndexVersion = "v2"
+
   private def indexRoot(dir: String): String = {
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
-    s"${System.getProperty("java.io.tmpdir")}/graft-simidx-$key"
+    s"${System.getProperty("java.io.tmpdir")}/graft-simidx-$IndexVersion-$key"
   }
 
   private def exists(spark: SparkSession, path: String): Boolean = {
