@@ -62,6 +62,7 @@ object SparkEntry {
     "q_langid" -> ((s, d) => TextOps.langId(s, d)),
     "q_fingerprint" -> ((s, d) => TextOps.fingerprint(s, d)),
     "q_multimodal_meta" -> ((s, d) => TextOps.multimodalMeta(s, d)),
+    "q_multimodal_frames" -> ((s, d) => TextOps.multimodalFrames(s, d)),
     "q_simhash" -> ((s, d) => TextOps.simHash(s, d)),
     "q_minhash_lsh" -> ((s, d) => TextOps.minHashLsh(s, d)),
     "q_ngram_jaccard" -> ((s, d) => TextOps.ngramJaccard(s, d)),
@@ -155,6 +156,24 @@ object SparkEntry {
       "SELECT doc_id, md5(text) AS fp FROM documents ORDER BY doc_id",
     "q_multimodal_meta" ->
       "SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes FROM documents ORDER BY doc_id",
+    // Frame sampling over the payload bytes; the corpus is ASCII so
+    // VARCHAR slicing hashes the same bytes the Spark side slices as
+    // binary. Sampled frames sit at original index 4k (byte offset 64k),
+    // complete iff 64k+16 <= len.
+    "q_multimodal_frames" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |         md5(string_agg(substring(text, CAST(64 * k + 1 AS INT), 16), '' ORDER BY k)) AS fp,
+        |         count(*) AS n_sampled
+        |  FROM (SELECT doc_id, text,
+        |          unnest(range(0, CASE WHEN length(text) >= 16 THEN (length(text) - 16) // 64 + 1 ELSE 0 END)) AS k
+        |        FROM documents)
+        |  GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(length(d.text) // 16 AS INT) AS n_frames,
+        |       CAST(COALESCE(f.n_sampled, 0) AS INT) AS n_sampled,
+        |       COALESCE(f.fp, md5('')) AS fp
+        |FROM documents d LEFT JOIN f ON f.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     // Exact cosine top-20 vs the min-vec_id query vector; double-precision
     // accumulation in index order matches the Spark kernel bit-for-bit at
     // 6dp rounding.

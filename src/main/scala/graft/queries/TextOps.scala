@@ -103,6 +103,36 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Multimodal frame-sampling plumbing: treat the payload as a binary
+    * stream of fixed 16-byte "frames" (the video-frame stand-in — real
+    * codecs are absent in this container, so the decode step is a
+    * deterministic slicer), sample every 4th complete frame inside a
+    * batched mapPartitions stage, and emit typed metadata + an MD5 over
+    * the sampled frames. The oracle reproduces the arithmetic over the
+    * same bytes, so the batch shape, sampling stride, and digest are all
+    * value-checked. */
+  def multimodalFrames(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    docs(spark, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.map { case (id, payload) =>
+          val nFrames = payload.length / 16
+          val md = java.security.MessageDigest.getInstance("MD5")
+          var sampled = 0
+          var i = 0
+          while ((i + 1) * 16 <= payload.length) {
+            if (i % 4 == 0) { md.update(payload, i * 16, 16); sampled += 1 }
+            i += 1
+          }
+          (id, nFrames, sampled, md.digest().map("%02x".format(_)).mkString)
+        }
+      }
+      .toDF("doc_id", "n_frames", "n_sampled", "fp")
+      .orderBy("doc_id")
+  }
+
   /** SimHash (64-bit) over whitespace tokens — rows-only (hash seeds are
     * engine-internal). Deterministic: splitmix64 of token bytes. */
   def simHash(spark: SparkSession, dir: String): DataFrame = {

@@ -107,6 +107,62 @@ class CodecPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("float chunks round-trip bit-exactly (property)") {
+    forAll(Gen.choose(0, 5000), Gen.choose(Long.MinValue, Long.MaxValue)) { (n, seed) =>
+      val r = new java.util.Random(seed)
+      val a = Array.fill(n)(java.lang.Float.intBitsToFloat(r.nextInt()))
+      val back = Chunks.decodeFloats(Chunks.encodeFloats(a, 0, n))
+      assert(back.length == n)
+      var i = 0
+      while (i < n) {
+        assert(java.lang.Float.floatToRawIntBits(back(i)) ==
+          java.lang.Float.floatToRawIntBits(a(i)))
+        i += 1
+      }
+    }
+  }
+
+  test("nullable wrapper preserves bitmap and inner bytes (property)") {
+    forAll(Gen.choose(1, 2000), Gen.choose(Long.MinValue, Long.MaxValue)) { (n, seed) =>
+      val r = new java.util.Random(seed)
+      val flags = Array.fill(n)(r.nextInt(4) == 0)
+      val nulls = flags.count(identity)
+      val inner = Array.fill(64)(r.nextInt().toByte)
+      inner(0) = 0x2A // a real chunk never starts with the wrapper id
+      val wrapped = Chunks.wrapNullable(flags, n, nulls, inner)
+      val (back, innerBack) = Chunks.unwrapNullable(wrapped)
+      assert(back != null && back.toSeq == flags.toSeq)
+      assert(innerBack.toSeq == inner.toSeq)
+      // unwrapped bytes pass through untouched
+      val (noFlags, same) = Chunks.unwrapNullable(inner)
+      assert(noFlags == null)
+      assert(same eq inner)
+    }
+  }
+
+  test("paged slice decode equals full-decode slice (property)") {
+    forAll(Gen.choose(1, 300000), Gen.choose(Long.MinValue, Long.MaxValue)) { (n, seed) =>
+      val r = new java.util.Random(seed)
+      // mixed regimes so pages pick different codecs
+      val a = Array.tabulate(n) { i =>
+        r.nextInt(4) match {
+          case 0 => r.nextInt(100)
+          case 1 => i
+          case 2 => 7
+          case _ => r.nextInt()
+        }
+      }
+      val enc = Chunks.encodeIntsPaged(a, 0, n)
+      val full = Chunks.decodeInts(enc)
+      assert(full.toSeq == a.toSeq)
+      val from = r.nextInt(n)
+      val count = r.nextInt(n - from + 1)
+      val (slice, decoded, total) = Chunks.decodeIntsSlice(enc, from, count)
+      assert(slice.toSeq == a.slice(from, from + count).toSeq)
+      assert(decoded <= total)
+    }
+  }
+
   test("no chunk stream can collide with the compression frame magic") {
     // decompress() passes unframed bytes through by checking the first
     // byte against 0xC2 — sound only while no chunk stream starts there
