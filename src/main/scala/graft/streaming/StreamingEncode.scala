@@ -20,6 +20,19 @@ import org.apache.spark.sql.streaming.StreamingQuery
   */
 object StreamingEncode {
 
+  /** One micro-batch → its own batch_id partition, dynamically
+    * OVERWRITTEN: replaying the same batchId (at-least-once foreachBatch
+    * semantics) rewrites identical bytes instead of appending duplicates. */
+  def writeBatch(batch: org.apache.spark.sql.Dataset[TokenRow], batchId: Long,
+                 chunkDir: String, tokensPerChunk: Int, blockCodec: Int): Unit =
+    EncodePipeline
+      .encodeAligned(batch, tokensPerChunk, blockCodec)
+      .withColumn("batch_id", org.apache.spark.sql.functions.lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(chunkDir)
+
   def start(spark: SparkSession, source: DataFrame, chunkDir: String,
             checkpointDir: String,
             tokensPerChunk: Int = EncodePipeline.DefaultTokensPerChunk,
@@ -29,14 +42,7 @@ object StreamingEncode {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[TokenRow], batchId: Long) =>
-        EncodePipeline
-          .encodeAligned(batch, tokensPerChunk, blockCodec)
-          .withColumn("batch_id", org.apache.spark.sql.functions.lit(batchId))
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("batch_id")
-          .parquet(chunkDir)
-        ()
+        writeBatch(batch, batchId, chunkDir, tokensPerChunk, blockCodec)
       }
       .start()
   }

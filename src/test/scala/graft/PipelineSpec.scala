@@ -118,6 +118,19 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     })
   }
 
+  test("streaming batch replay is idempotent (no duplicate chunks)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-replay").toString
+    val rows = spark.createDataset((0 until 400).map(i => TokenTableGen.genRow(i.toLong)))
+    // foreachBatch is at-least-once: simulate a crash-replay of batch 7
+    graft.streaming.StreamingEncode.writeBatch(rows, 7L, s"$dir/chunks", 32 * 1024, 0)
+    graft.streaming.StreamingEncode.writeBatch(rows, 7L, s"$dir/chunks", 32 * 1024, 0)
+    val chunks = spark.read.parquet(s"$dir/chunks").as[EncodedChunk]
+    val decoded = EncodePipeline.decode(chunks)
+    assert(decoded.count() == 400, "replayed batch must overwrite, not append")
+    assert(EncodePipeline.verifyRoundTrip(rows, decoded) == 0L)
+  }
+
   test("aligned encode round-trips without an exchange") {
     import spark.implicits._
     val src = TokenTableGen.generate(spark, 3000, 5)
