@@ -64,7 +64,6 @@ object SparkEntry {
     "q_multimodal_meta" -> ((s, d) => TextOps.multimodalMeta(s, d)),
     "q_multimodal_frames" -> ((s, d) => TextOps.multimodalFrames(s, d)),
     "q_simhash" -> ((s, d) => TextOps.simHash(s, d)),
-    "q_simhash_neardup" -> ((s, d) => TextOps.simHashNearDup(s, d)),
     "q_minhash_lsh" -> ((s, d) => TextOps.minHashLsh(s, d)),
     "q_ngram_jaccard" -> ((s, d) => TextOps.ngramJaccard(s, d)),
     "q_cosine_topk" -> ((s, d) => SimilarityOps.cosineTopK(s, d)),
@@ -206,30 +205,6 @@ object SparkEntry {
         |  FROM range(30) t(j))
         |SELECT vec_id, round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), CAST((SELECT qe FROM q) AS DOUBLE[])), 6) AS cos
         |FROM corpus ORDER BY cos DESC, vec_id LIMIT 20""".stripMargin,
-    // SimHash near-dups share the minhash truth: banded candidates have
-    // EXACT recall for hamming <= 7 (pigeonhole over 8 bands) and every
-    // jaccard >= 0.8 pair on this corpus sits at hamming <= 7, so after
-    // the exact rerank the output equals all-pairs jaccard >= 0.8.
-    "q_simhash_neardup" ->
-      """WITH corpus AS (
-        |  SELECT doc_id, text FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 1000000 AS doc_id, text || ' mutated tail marker' AS text
-        |  FROM documents WHERE doc_id % 10 = 0),
-        |g AS (
-        |  SELECT DISTINCT doc_id, sh FROM (
-        |    SELECT doc_id, substring(text, CAST(unnest(range(1, length(text) - 3)) AS INT), 5) AS sh
-        |    FROM corpus)),
-        |s AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
-        |i AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni
-        |  FROM g a JOIN g b ON a.sh = b.sh AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2)
-        |SELECT i.doc_a, i.doc_b,
-        |       round(CAST(i.ni AS DOUBLE) / (sa.n + sb.n - i.ni), 6) AS jaccard
-        |FROM i JOIN s sa ON sa.doc_id = i.doc_a JOIN s sb ON sb.doc_id = i.doc_b
-        |WHERE CAST(i.ni AS DOUBLE) / (sa.n + sb.n - i.ni) >= 0.8
-        |ORDER BY doc_a, doc_b""".stripMargin,
     // Near-dup pairs are exactly the planted scaled copies: natural
     // pairwise cosine tops out at ~0.51 on this corpus, far below the 0.9
     // threshold, and a scaled copy rounds to cosine 1.0 in both engines.

@@ -133,104 +133,28 @@ object TextOps {
       .orderBy("doc_id")
   }
 
-  /** 64-bit SimHash of whitespace tokens: FNV-1a per token, splitmix64
-    * remix, per-bit majority vote. */
-  private def simHash64(text: String): Long = {
-    val counts = new Array[Int](64)
-    text.split(' ').foreach { tok =>
-      var h = 0xcbf29ce484222325L
-      var i = 0
-      while (i < tok.length) { h = (h ^ tok.charAt(i)) * 0x100000001b3L; i += 1 }
-      h = graft.spark.TokenTableGen.splitmix64(h)
-      var b = 0
-      while (b < 64) { if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1; b += 1 }
-    }
-    var sig = 0L
-    var b = 0
-    while (b < 64) { if (counts(b) > 0) sig |= 1L << b; b += 1 }
-    sig
-  }
-
   /** SimHash (64-bit) over whitespace tokens — rows-only (hash seeds are
     * engine-internal). Deterministic: splitmix64 of token bytes. */
   def simHash(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     docs(spark, dir).select("doc_id", "text").as[(Long, String)]
-      .map { case (id, text) => (id, simHash64(text)) }
+      .map { case (id, text) =>
+        val counts = new Array[Int](64)
+        text.split(' ').foreach { tok =>
+          var h = 0xcbf29ce484222325L
+          var i = 0
+          while (i < tok.length) { h = (h ^ tok.charAt(i)) * 0x100000001b3L; i += 1 }
+          h = graft.spark.TokenTableGen.splitmix64(h)
+          var b = 0
+          while (b < 64) { if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1; b += 1 }
+        }
+        var sig = 0L
+        var b = 0
+        while (b < 64) { if (counts(b) > 0) sig |= 1L << b; b += 1 }
+        (id, sig)
+      }
       .toDF("doc_id", "simhash")
       .orderBy("doc_id")
-  }
-
-  /** SimHash near-duplicate detection at jaccard threshold 0.8 — the
-    * SimHash counterpart of minHashLsh over the SAME planted corpus and
-    * the same exact-Jaccard truth. Candidates come from banding the
-    * 64-bit signature into 8 x 8-bit bucket keys: by pigeonhole, any
-    * pair within hamming distance 7 collides in at least one band, and
-    * on this corpus every jaccard >= 0.8 pair sits at hamming <= 7 (a
-    * property the exact oracle re-checks every run). Exact 5-gram
-    * Jaccard reranks candidates, so output == all-pairs jaccard >= 0.8
-    * and the DuckDB oracle is shared with q_minhash_lsh. */
-  def simHashNearDup(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val base = docs(spark, dir).select("doc_id", "text").as[(Long, String)]
-    val planted = base.filter(_._1 % 10 == 0)
-      .map { case (id, text) => (id + 1000000L, text + " mutated tail marker") }
-    val corpus = base.union(planted)
-    val docsWithSig = corpus
-      .map { case (id, text) =>
-        val shingles = new scala.collection.mutable.HashSet[Long]()
-        var i = 0
-        while (i + 5 <= text.length) {
-          var h = 0xcbf29ce484222325L
-          var j = i
-          while (j < i + 5) { h = (h ^ text.charAt(j)) * 0x100000001b3L; j += 1 }
-          shingles += h
-          i += 1
-        }
-        val arr = shingles.toArray
-        java.util.Arrays.sort(arr)
-        (id, simHash64(text), arr)
-      }
-      .toDF("doc_id", "sig", "sh")
-      .persist() // one pass feeds the banding and both rerank sides
-    val banded = docsWithSig.select(col("doc_id"),
-      explode(array((0 until 8).map(b =>
-        struct(lit(b).as("band"),
-          shiftright(col("sig"), b * 8).bitwiseAND(lit(0xFFL)).as("key"))): _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band"), col("bk.key"))
-    val a = banded.as("a")
-    val b = banded.as("b")
-    val candidates = a.join(b,
-        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    val sets = docsWithSig.select("doc_id", "sh")
-    val out = candidates
-      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
-      .select(col("doc_a"), col("doc_b"), col("sh_a"), col("sh_b"))
-      .as[(Long, Long, Array[Long], Array[Long])]
-      .map { case (ida, idb, sa, sb) =>
-        var i = 0
-        var j = 0
-        var inter = 0
-        while (i < sa.length && j < sb.length) {
-          if (sa(i) == sb(j)) { inter += 1; i += 1; j += 1 }
-          else if (sa(i) < sb(j)) i += 1
-          else j += 1
-        }
-        val union = sa.length + sb.length - inter
-        (ida, idb, if (union == 0) 1.0 else inter.toDouble / union)
-      }
-      .toDF("doc_a", "doc_b", "jaccard")
-      .filter(col("jaccard") >= 0.8)
-      .withColumn("jaccard", round(col("jaccard"), 6))
-      .orderBy("doc_a", "doc_b")
-      .cache()
-    out.count() // materialize before unpersisting
-    docsWithSig.unpersist()
-    out
   }
 
   /** MinHash + LSH near-duplicate detection at threshold 0.8. The query
