@@ -41,6 +41,8 @@ object SparkEntry {
     "q_rt_nullable" -> ((s, d) => RoundTrips.nullableRoundTrip(s, d)),
     "q_rt_generic" -> ((s, d) => RoundTrips.genericRoundTrip(s, d)),
     "q_rt_generic_temporal" -> ((s, d) => RoundTrips.genericTemporalRoundTrip(s, d)),
+    "q_seek_rows" -> ((s, d) => RoundTrips.seekRows(s, d)),
+    "q_compact_merge" -> ((s, d) => RoundTrips.compactMerge(s, d)),
     "q_codec_stats" -> ((s, d) => RoundTrips.codecStats(s, d)),
     // --- relational / dataflow operators ---
     "q_filter" -> ((s, d) => Relational.filter(s, d)),
@@ -120,6 +122,29 @@ object SparkEntry {
         |       CAST(value AS FLOAT) AS fval,
         |       CAST(value * 2 AS FLOAT) AS f2
         |FROM events ORDER BY event_id, ts_str""".stripMargin,
+    // SeekToRow: the chunk table's canonical order is global doc_id order
+    // (range partitions, within-chunk sort), so a row-offset read equals
+    // LIMIT/OFFSET over the same ordering.
+    "q_seek_rows" ->
+      """SELECT doc_id, source, tok_sum FROM (
+        |  SELECT lpad(CAST(doc_id AS VARCHAR), 8, '0') AS doc_id, source,
+        |         CAST(n_chars + length(lang) AS BIGINT) AS tok_sum
+        |  FROM documents ORDER BY doc_id LIMIT 50 OFFSET 100)
+        |ORDER BY doc_id""".stripMargin,
+    // Sorted-run compaction: the merged table must decode to exactly the
+    // union of the three runs (two disjoint + one overlapping).
+    "q_compact_merge" ->
+      """WITH rows AS (
+        |  SELECT lpad(CAST(doc_id AS VARCHAR), 8, '0') AS doc_id, lang AS source,
+        |         CAST(n_chars AS BIGINT) AS tok_sum
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT lpad(CAST(doc_id AS VARCHAR), 8, '0') || '-x', lang,
+        |         CAST(n_chars AS BIGINT)
+        |  FROM documents
+        |  WHERE lpad(CAST(doc_id AS VARCHAR), 8, '0') >= '00000240'
+        |    AND lpad(CAST(doc_id AS VARCHAR), 8, '0') < '00000260')
+        |SELECT doc_id, source, tok_sum FROM rows ORDER BY doc_id""".stripMargin,
     "q_filter" ->
       "SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_quantity FROM lineitem WHERE l_quantity >= 49.0 AND l_discount > 0.05 ORDER BY l_orderkey, l_linenumber",
     "q_transform" ->

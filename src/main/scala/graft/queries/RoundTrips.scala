@@ -176,6 +176,64 @@ object RoundTrips {
       .orderBy("l_orderkey", "l_linenumber")
   }
 
+  /** Row-offset seek through the chunk table (R12 SeekToRow): documents
+    * become token rows with UNIQUE keys, the chunk table's canonical
+    * order equals global doc_id order (range partitions + within-chunk
+    * sort), so seekToRows(100, 50) must equal the SQL LIMIT/OFFSET of
+    * the same ordering — and only the covering chunks/pages decode. */
+  def seekRows(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val src = table(spark, dir, "documents")
+      .select(
+        lpad(col("doc_id").cast("string"), 8, "0").as("doc_id"),
+        array(col("n_chars").cast("int"), length(col("lang")).cast("int")).as("tokens"),
+        lit(2).as("n_tok"),
+        col("source"))
+      .as[TokenRow]
+    val chunks = EncodePipeline.encode(src, numParts = 4, tokensPerChunk = 4096)
+    EncodePipeline.seekToRows(chunks, 100, 50)
+      .toDF()
+      .select(col("doc_id"), col("source"),
+        expr("aggregate(tokens, CAST(0 AS BIGINT), (a, x) -> a + x)").as("tok_sum"))
+      .orderBy("doc_id")
+  }
+
+  /** Sorted-run-aware compaction (R5 MergeRowGroups) end-to-end: two
+    * disjoint runs plus one overlapping run merge via compactSorted —
+    * disjoint chunks pass through byte-identical, only the overlap
+    * re-encodes — and the decoded union must match the SQL restatement. */
+  def compactMerge(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docsT = table(spark, dir, "documents")
+      .select(
+        lpad(col("doc_id").cast("string"), 8, "0").as("doc_id"),
+        array(col("n_chars").cast("int")).as("tokens"),
+        lit(1).as("n_tok"),
+        col("lang").as("source"))
+    val runA = docsT.filter(col("doc_id") < "00000250").as[TokenRow]
+    val runB = docsT.filter(col("doc_id") >= "00000250").as[TokenRow]
+    // overlapping run: same key range as the A/B boundary, suffixed keys
+    val runC = docsT.filter(col("doc_id") >= "00000240" && col("doc_id") < "00000260")
+      .withColumn("doc_id", concat(col("doc_id"), lit("-x"))).as[TokenRow]
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft-compact-q-" +
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    EncodePipeline.encode(runA, 2, tokensPerChunk = 2048)
+      .write.mode("overwrite").parquet(s"$base/runA")
+    EncodePipeline.encode(runB, 2, tokensPerChunk = 2048)
+      .write.mode("overwrite").parquet(s"$base/runB")
+    EncodePipeline.encode(runC, 1, tokensPerChunk = 2048)
+      .write.mode("overwrite").parquet(s"$base/runC")
+    val merged = EncodePipeline.compactSorted(
+      spark, Seq(s"$base/runA", s"$base/runB", s"$base/runC"), s"$base/merged",
+      tokensPerChunk = 2048)
+    EncodePipeline.decode(merged.as[graft.spark.EncodedChunk])
+      .toDF()
+      .select(col("doc_id"), col("source"),
+        expr("aggregate(tokens, CAST(0 AS BIGINT), (a, x) -> a + x)").as("tok_sum"))
+      .orderBy("doc_id")
+  }
+
   /** Codec auto-selector demo on the deterministic synth table: one row
     * per (column, codec) with chunk counts — shows the selector branches
     * actually taken. No SQL oracle (engine-internal stats). */
