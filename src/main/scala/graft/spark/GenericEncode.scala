@@ -36,7 +36,7 @@ object GenericEncode {
 
   private val Supported: Set[DataType] =
     Set(IntegerType, LongType, DoubleType, FloatType, StringType, BooleanType,
-      DateType, TimestampType, TimestampNTZType,
+      BinaryType, DateType, TimestampType, TimestampNTZType,
       ArrayType(IntegerType, containsNull = false),
       ArrayType(IntegerType, containsNull = true),
       ArrayType(FloatType, containsNull = false),
@@ -196,6 +196,7 @@ object GenericEncode {
               buf += row.getDecimal(c, d.precision, d.scale).toUnscaledLong
             case BooleanType => buf += row.getBoolean(c)
             case StringType => buf += row.getUTF8String(c).getBytes
+            case BinaryType => buf += row.getBinary(c)
             case ArrayType(FloatType, _) => buf += row.getArray(c).toFloatArray()
             case ArrayType(StringType, _) =>
               val ad = row.getArray(c)
@@ -249,7 +250,7 @@ object GenericEncode {
             val a = new Array[Boolean](dense.length)
             var i = 0; dense.foreach { v => a(i) = v.asInstanceOf[Boolean]; i += 1 }
             Chunks.encodeBooleans(a, 0, a.length)
-          case StringType =>
+          case StringType | BinaryType => // binary rides the byte-array codecs
             Chunks.encodeStrings(dense.map(_.asInstanceOf[Array[Byte]]).toArray, 0, dense.length)
           case ArrayType(FloatType, _) =>
             // flattened floats (BSS) + per-row lengths — the embedding-
@@ -341,6 +342,7 @@ object GenericEncode {
     case "float" => FloatType
     case "boolean" => BooleanType
     case "string" => StringType
+    case "binary" => BinaryType
     case "date" => DateType
     case "timestamp" => TimestampType
     case "timestamp_ntz" => TimestampNTZType
@@ -373,6 +375,7 @@ object GenericEncode {
             .map(u => java.math.BigDecimal.valueOf(u, scale): Any)
         case "boolean" => Chunks.decodeBooleans(inner).map(v => v: Any)
         case "string" => Chunks.decodeStrings(inner).map(b => new String(b, UTF_8): Any)
+        case "binary" => Chunks.decodeStrings(inner).map(b => b: Any)
         case "date" =>
           Chunks.decodeInts(inner)
             .map(d => org.apache.spark.sql.catalyst.util.DateTimeUtils.toJavaDate(d): Any)

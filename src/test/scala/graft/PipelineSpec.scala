@@ -362,7 +362,7 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("generic encode covers float / date / timestamp / array<float>") {
     import spark.implicits._
-    import org.apache.spark.sql.functions.{col, lit, when, array, to_date, to_timestamp}
+    import org.apache.spark.sql.functions.{col, lit, when, array, to_date, to_timestamp, concat_ws}
     val df = spark.range(0, 2000, 1, 3).toDF("id")
       .select(
         col("id"),
@@ -370,17 +370,19 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
         to_timestamp(lit("2026-01-01 00:00:00")).as("base_ts"),
         to_date(lit("2026-03-01")).as("base_day"),
         when(col("id") % 9 === 0, lit(null))
-          .otherwise(array((col("id") * 0.5).cast("float"), lit(1.5f))).as("fa"))
+          .otherwise(array((col("id") * 0.5).cast("float"), lit(1.5f))).as("fa"),
+        when(col("id") % 6 === 0, lit(null))
+          .otherwise(concat_ws("|", lit("payload"), col("id")).cast("binary")).as("blob"))
     val back = graft.spark.GenericEncode.decode(
       spark, graft.spark.GenericEncode.encode(df, rowsPerChunk = 512))
-    val a = df.orderBy("id").collect().map(_.toSeq.map {
-      case x: Seq[_] => x.toList
-      case x => x
-    })
-    val b = back.orderBy("id").collect().map(_.toSeq.map {
-      case x: Seq[_] => x.toList
-      case x => x
-    })
+    def norm(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy("id").collect().map(_.toSeq.map {
+        case x: Seq[_] => x.toList
+        case x: Array[Byte] => x.toList
+        case x => x
+      })
+    val a = norm(df)
+    val b = norm(back)
     assert(a.length == b.length)
     a.zip(b).foreach { case (x, y) => assert(x == y, s"$x vs $y") }
   }
