@@ -37,6 +37,8 @@ object SparkEntry {
     "q_rt_plain_long" -> ((s, d) => RoundTrips.plainInt(s, d)),
     "q_rt_tokens_pipeline" -> ((s, d) => RoundTrips.tokensPipeline(s, d)),
     "q_rt_tokens_zstd" -> ((s, d) => RoundTrips.tokensPipelineZstd(s, d)),
+    "q_rt_tokens_snappy" -> ((s, d) => RoundTrips.tokensPipelineSnappy(s, d)),
+    "q_rt_tokens_gzip" -> ((s, d) => RoundTrips.tokensPipelineGzip(s, d)),
     "q_rt_expr_sql" -> ((s, d) => RoundTrips.exprSqlRoundTrip(s, d)),
     "q_rt_nullable" -> ((s, d) => RoundTrips.nullableRoundTrip(s, d)),
     "q_rt_generic" -> ((s, d) => RoundTrips.genericRoundTrip(s, d)),
@@ -96,6 +98,10 @@ object SparkEntry {
     "q_rt_tokens_pipeline" ->
       "SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber FROM lineitem ORDER BY l_orderkey, l_linenumber",
     "q_rt_tokens_zstd" ->
+      "SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber FROM lineitem ORDER BY l_orderkey, l_linenumber",
+    "q_rt_tokens_snappy" ->
+      "SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber FROM lineitem ORDER BY l_orderkey, l_linenumber",
+    "q_rt_tokens_gzip" ->
       "SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber FROM lineitem ORDER BY l_orderkey, l_linenumber",
     "q_rt_expr_sql" ->
       "SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber FROM lineitem ORDER BY l_orderkey, l_linenumber",

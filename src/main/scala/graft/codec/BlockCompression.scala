@@ -12,17 +12,22 @@ package graft.codec
   * the result is ALWAYS framed (codec None for the kept-raw case) — the
   * compressed-ness is recorded in the frame, never inferred by sniffing
   * payload bytes. Unframed inputs are passed through for the default
-  * uncompressed path, which is unambiguous because no chunk stream
-  * starts with 0xC2 (codec ids <= 17, streamed-token magic 0xA7 — see
-  * `Codecs`; asserted in CodecSpec).
+  * uncompressed path, which is unambiguous because every chunk-stream
+  * first byte sits far below 0xC2 (codec ids and the streamed-token
+  * magic 0xA7 — the no-collision invariant is asserted in
+  * CodecPropertySpec, so this comment never goes stale with new ids).
   */
 object BlockCompression {
   final val Magic = 0xC2
   final val None = 0
   final val Lz4 = 1
   final val Zstd = 2
+  final val Snappy = 3
+  final val Gzip = 4
 
-  val names: Map[Int, String] = Map(None -> "UNCOMPRESSED", Lz4 -> "LZ4", Zstd -> "ZSTD")
+  val names: Map[Int, String] = Map(
+    None -> "UNCOMPRESSED", Lz4 -> "LZ4", Zstd -> "ZSTD",
+    Snappy -> "SNAPPY", Gzip -> "GZIP")
 
   def compress(codec: Int, raw: Array[Byte]): Array[Byte] = codec match {
     case None => raw
@@ -34,6 +39,17 @@ object BlockCompression {
     case Zstd =>
       val out = com.github.luben.zstd.Zstd.compress(raw, 3)
       frame(Zstd, raw.length, out, out.length)
+    case Snappy =>
+      // Spark-bundled snappy-java (reference codec parity:
+      // compress/snappy/snappy.go:12-25) — wrapped, not reimplemented
+      val out = org.xerial.snappy.Snappy.compress(raw)
+      frame(Snappy, raw.length, out, out.length)
+    case Gzip =>
+      val bos = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
+      val gz = new java.util.zip.GZIPOutputStream(bos, 32 * 1024)
+      gz.write(raw); gz.close()
+      val out = bos.toByteArray
+      frame(Gzip, raw.length, out, out.length)
     case other => throw new IllegalArgumentException(s"unknown compression $other")
   }
 
@@ -47,7 +63,7 @@ object BlockCompression {
   }
 
   def isFramed(bytes: Array[Byte]): Boolean =
-    bytes.length >= 2 && (bytes(0) & 0xFF) == Magic && (bytes(1) & 0xFF) <= Zstd
+    bytes.length >= 2 && (bytes(0) & 0xFF) == Magic && (bytes(1) & 0xFF) <= Gzip
 
   /** Transparently unwrap if framed, else return as-is (the default
     * uncompressed path writes chunk streams unframed). */
@@ -68,6 +84,22 @@ object BlockCompression {
         val out = new Array[Byte](rawLen)
         com.github.luben.zstd.Zstd.decompressByteArray(
           out, 0, rawLen, r.buf, r.pos, r.buf.length - r.pos)
+        out
+      case Snappy =>
+        val out = new Array[Byte](rawLen)
+        org.xerial.snappy.Snappy.uncompress(r.buf, r.pos, r.buf.length - r.pos, out, 0)
+        out
+      case Gzip =>
+        val gz = new java.util.zip.GZIPInputStream(
+          new java.io.ByteArrayInputStream(r.buf, r.pos, r.buf.length - r.pos), 32 * 1024)
+        val out = new Array[Byte](rawLen)
+        var off = 0
+        while (off < rawLen) {
+          val k = gz.read(out, off, rawLen - off)
+          require(k > 0, s"gzip stream truncated at $off of $rawLen")
+          off += k
+        }
+        gz.close()
         out
       case other => throw new IllegalArgumentException(s"unknown compression $other")
     }

@@ -142,9 +142,11 @@ object RoundTrips {
       .orderBy("l_orderkey", "l_linenumber")
   }
 
-  /** Same pipeline with the zstd block-compression layer on top of the
-    * lightweight encodings (reference compress.Codec analog). */
-  def tokensPipelineZstd(spark: SparkSession, dir: String): DataFrame = {
+  /** Same pipeline with a block-compression layer on top of the
+    * lightweight encodings (reference compress.Codec analog — one
+    * round-trip per wrapped codec, compress/snappy/snappy.go:12-25). */
+  private def tokensPipelineCompressed(spark: SparkSession, dir: String,
+                                       blockCodec: Int): DataFrame = {
     import spark.implicits._
     val rows = table(spark, dir, "lineitem")
       .groupBy("l_orderkey")
@@ -156,12 +158,21 @@ object RoundTrips {
         lit("tpch").as("source"))
       .as[TokenRow]
     val chunks = EncodePipeline.encode(rows, numParts = 8, tokensPerChunk = 256 * 1024,
-      blockCodec = BlockCompression.Zstd)
+      blockCodec = blockCodec)
     EncodePipeline.decode(chunks)
       .flatMap(r => r.tokens.map(t => (r.doc_id.toLong, t.toLong)))
       .toDF("l_orderkey", "l_linenumber")
       .orderBy("l_orderkey", "l_linenumber")
   }
+
+  def tokensPipelineZstd(spark: SparkSession, dir: String): DataFrame =
+    tokensPipelineCompressed(spark, dir, BlockCompression.Zstd)
+
+  def tokensPipelineSnappy(spark: SparkSession, dir: String): DataFrame =
+    tokensPipelineCompressed(spark, dir, BlockCompression.Snappy)
+
+  def tokensPipelineGzip(spark: SparkSession, dir: String): DataFrame =
+    tokensPipelineCompressed(spark, dir, BlockCompression.Gzip)
 
   /** Round-trip through the SQL-visible Catalyst expressions
     * (encode_chunk/decode_chunk) instead of the mapPartitions pipeline. */

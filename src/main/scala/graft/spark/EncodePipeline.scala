@@ -509,6 +509,15 @@ object EncodePipeline {
   def decodeChunkRows(c: EncodedChunk, fromRow: Int, toRow: Int): Iterator[TokenRow] = {
     require(fromRow >= 0 && fromRow <= toRow && toRow <= c.num_rows,
       s"rows [$fromRow,$toRow) of ${c.num_rows}")
+    // Same corruption-fails-loudly stance as decodeChunk/decodeDF: the
+    // partial read skips token-page DECODE, but the chunk's bytes are all
+    // in hand, so the CRC pass (proportional to bytes, not rows) is cheap
+    // relative to having fetched them.
+    val crc = new java.util.zip.CRC32()
+    crc.update(c.tokens_bin); crc.update(c.lens_bin)
+    crc.update(c.docid_bin); crc.update(c.source_bin)
+    crc.update(c.tokens_bloom)
+    require(crc.getValue == c.crc32, s"chunk ${c.chunk_id}: CRC mismatch")
     val lens = Chunks.decodeInts(BlockCompression.decompress(c.lens_bin))
     val (tokFlags, tokensInner) = Chunks.unwrapNullable(BlockCompression.decompress(c.tokens_bin))
     // map chunk rows -> non-null token-row indices
@@ -764,9 +773,17 @@ object EncodePipeline {
     val all: Dataset[(Int, EncodedChunk)] = chunkDirs.zipWithIndex.map { case (d, i) =>
       spark.read.parquet(d).as[EncodedChunk].map(c => (i, c))
     }.reduce(_ union _)
-    val meta = all.map { case (run, c) => (run, c.chunk_id, c.first_doc_id, c.last_doc_id) }
+    // Metadata-only sweep, genuinely: a column-level select straight off
+    // the parquet dirs, so column pruning skips every payload stream (a
+    // typed .map here would deserialize all chunk BYTES just to project
+    // four fields — a full-data read disguised as metadata).
+    val meta = chunkDirs.zipWithIndex.map { case (d, i) =>
+      spark.read.parquet(d).select(
+        lit(i).as("run"), col("chunk_id"), col("first_doc_id"), col("last_doc_id"))
+    }.reduce(_ unionByName _)
       .collect()
-      .map { case (run, id, f, l) => (run, id, UTF8String.fromString(f), UTF8String.fromString(l)) }
+      .map(r => (r.getInt(0), r.getLong(1),
+        UTF8String.fromString(r.getString(2)), UTF8String.fromString(r.getString(3))))
     val utf8Ord = Ordering.comparatorToOrdering(
       java.util.Comparator.naturalOrder[UTF8String]())
     val sorted = meta.sortBy(m => (m._3, m._2))(Ordering.Tuple2(utf8Ord, Ordering.Long))

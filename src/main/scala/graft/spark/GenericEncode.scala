@@ -44,6 +44,18 @@ object GenericEncode {
       ArrayType(StringType, containsNull = false),
       ArrayType(StringType, containsNull = true))
 
+  private def requireNoNullElements(
+      ad: org.apache.spark.sql.catalyst.util.ArrayData, name: String): Unit = {
+    val n = ad.numElements()
+    var k = 0
+    while (k < n) {
+      require(!ad.isNullAt(k),
+        s"generic encode: null element in array column '$name' " +
+          "(element nulls are not encodable; filter or coalesce them upstream)")
+      k += 1
+    }
+  }
+
   /** Decimals up to 18 digits ride the long codec as unscaled values
     * (reference logical-type analog: FIXED/INT64 decimal, type.go:20-31). */
   private def isSupported(dt: DataType): Boolean = dt match {
@@ -61,9 +73,23 @@ object GenericEncode {
     * shredding of nested schemas, node.go:149-177): each struct leaf
     * becomes a column named parentleaf, a nullable struct gains a
     * boolean presence leaf, and `decode` rebuilds the nesting from the
-    * names. Arbitrary depth via recursion. */
-  private final val MapKeysLeaf = "mkeys"
-  private final val MapValsLeaf = "mvals"
+    * names. Arbitrary depth via recursion.
+    *
+    * Map leaf names carry a LEADING Sep, so a user struct whose fields
+    * happen to be named "mkeys"/"mvals" can never be mistaken for an
+    * encoded map on decode — user column names are rejected if they
+    * contain Sep, so the double-Sep pattern is unforgeable. */
+  private final val MapKeysLeaf = Sep + "mkeys"
+  private final val MapValsLeaf = Sep + "mvals"
+
+  private def validateNames(t: StructType): Unit = t.fields.foreach { f =>
+    require(f.name.nonEmpty && !f.name.contains(Sep),
+      s"generic encode: illegal column name '${f.name}' (empty or contains \\u0001)")
+    f.dataType match {
+      case st: StructType => validateNames(st)
+      case _ =>
+    }
+  }
 
   private def flatten(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.{col => c, map_keys, map_values}
@@ -108,7 +134,8 @@ object GenericEncode {
       val colPos: String => Int = n => df.columns.indexOf(n)
       val byChild = children.groupBy(_.stripPrefix(prefix + Sep).split(Sep, 2)(0))
       val node =
-        if (byChild.keySet == Set(MapKeysLeaf, MapValsLeaf))
+        // the "" group key arises ONLY from the leading-Sep map leaves
+        if (byChild.keySet == Set(""))
           map_from_arrays(
             c("`" + prefix + Sep + MapKeysLeaf + "`"),
             c("`" + prefix + Sep + MapValsLeaf + "`"))
@@ -134,6 +161,7 @@ object GenericEncode {
   }
 
   def encode(df0: DataFrame, rowsPerChunk: Int = DefaultRowsPerChunk): Dataset[GenericChunk] = {
+    validateNames(df0.schema)
     val df =
       if (df0.schema.fields.exists(f =>
         f.dataType.isInstanceOf[StructType] || f.dataType.isInstanceOf[MapType]))
@@ -197,7 +225,13 @@ object GenericEncode {
             case BooleanType => buf += row.getBoolean(c)
             case StringType => buf += row.getUTF8String(c).getBytes
             case BinaryType => buf += row.getBinary(c)
-            case ArrayType(FloatType, _) => buf += row.getArray(c).toFloatArray()
+            case ArrayType(FloatType, cn) =>
+              val ad = row.getArray(c)
+              // toFloatArray bulk-copies the value region and would
+              // silently unbox element nulls to 0.0f — reject them loudly
+              // (same stance as array<string> below)
+              if (cn) requireNoNullElements(ad, fields(c).name)
+              buf += ad.toFloatArray()
             case ArrayType(StringType, _) =>
               val ad = row.getArray(c)
               val strs = new Array[Array[Byte]](ad.numElements())
@@ -208,7 +242,10 @@ object GenericEncode {
                 k += 1
               }
               buf += strs
-            case _: ArrayType => buf += row.getArray(c).toIntArray()
+            case ArrayType(_, cn) =>
+              val ad = row.getArray(c)
+              if (cn) requireNoNullElements(ad, fields(c).name)
+              buf += ad.toIntArray()
           }
           c += 1
         }

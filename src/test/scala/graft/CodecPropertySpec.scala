@@ -90,7 +90,9 @@ class CodecPropertySpec extends AnyFunSuite {
   }
 
   test("block compression wrap/unwrap (property)") {
-    forAll(Gen.choose(0, 100000), Gen.oneOf(BlockCompression.Lz4, BlockCompression.Zstd),
+    forAll(Gen.choose(0, 100000),
+      Gen.oneOf(BlockCompression.Lz4, BlockCompression.Zstd,
+        BlockCompression.Snappy, BlockCompression.Gzip),
       Gen.choose(Long.MinValue, Long.MaxValue)) { (n, codec, seed) =>
       val r = new java.util.Random(seed)
       // compressible-ish payload
