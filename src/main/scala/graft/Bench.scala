@@ -69,6 +69,7 @@ object Bench {
     }
     var bestAligned = -1.0
     var bestDec = -1.0
+    var bestDecPruned = -1.0
     if (!encodeOnly) {
       // layout-aligned encode (no exchange — input already range-laid-out)
       bestAligned = Double.MaxValue
@@ -84,17 +85,29 @@ object Bench {
         .write.mode("overwrite").parquet(chunkPath)
       val chunkTbl = spark.read.parquet(chunkPath).as[graft.spark.EncodedChunk]
       bestDec = Double.MaxValue
+      import org.apache.spark.sql.functions.{col, count, max, size}
       for (_ <- 1 to 2) {
         val t0 = System.nanoTime()
-        // InternalRow decode path (the DataFrame scan surface); the typed
-        // decode() is exercised by the driver queries
-        EncodePipeline.decodeDF(chunkTbl).agg(sum("n_tok")).collect()
+        // columnar decode scan; the aggregate references ALL four columns
+        // so automatic projection pruning can't shrink what this measures
+        EncodePipeline.decodeDF(chunkTbl)
+          .agg(sum("n_tok"), sum(size(col("tokens"))), max("doc_id"), count("source"))
+          .collect()
         val sec = (System.nanoTime() - t0) / 1e9
         if (sec < bestDec) bestDec = sec
       }
+      // projected decode: doc_id only — Catalyst prunes the decode to the
+      // docid stream (token/source payloads never decoded)
+      bestDecPruned = Double.MaxValue
+      for (_ <- 1 to 2) {
+        val t0 = System.nanoTime()
+        EncodePipeline.decodeDF(chunkTbl).agg(max("doc_id")).collect()
+        val sec = (System.nanoTime() - t0) / 1e9
+        if (sec < bestDecPruned) bestDecPruned = sec
+      }
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(chunkPath))
     }
-    println(s"GRAFT_LEVEL $cores $toks $enc $raw $best $bestDec $bestAligned")
+    println(s"GRAFT_LEVEL $cores $toks $enc $raw $best $bestDec $bestAligned $bestDecPruned")
     spark.stop()
   }
 
@@ -163,7 +176,7 @@ object Bench {
 
   /** Fork a fresh JVM running `runLevel`. */
   private def forkLevel(cores: Int, inputPath: String, boundsPath: String,
-                        encodeOnly: Boolean = false): (Long, Long, Long, Double, Double, Double) = {
+                        encodeOnly: Boolean = false): (Long, Long, Long, Double, Double, Double, Double) = {
     val javaBin = System.getProperty("java.home") + "/bin/java"
     val opens = Seq(
       "java.base/java.lang", "java.base/java.lang.invoke",
@@ -209,7 +222,7 @@ object Bench {
     }
     val parts = line.split(' ')
     (parts(2).toLong, parts(3).toLong, parts(4).toLong, parts(5).toDouble, parts(6).toDouble,
-      parts(7).toDouble)
+      parts(7).toDouble, parts(8).toDouble)
   }
 
   def main(args: Array[String]): Unit = {
@@ -276,11 +289,11 @@ object Bench {
     // multi-minute bursts that would otherwise poison one level's whole
     // best-of-3; the second (encode-only) fork gives each level a sample
     // from a different weather window.
-    val (tokX, _, _, secXa, _, _) = forkLevel(pXlo, inputPath, boundsPath, encodeOnly = true)
-    val (tok8, _, _, sec8a, dec8, al8) = forkLevel(pLo, inputPath, boundsPath)
-    val (tok32, enc32, raw32, sec32a, dec32, al32) = forkLevel(pHi, inputPath, boundsPath)
-    val (_, _, _, sec8b, _, _) = forkLevel(pLo, inputPath, boundsPath, encodeOnly = true)
-    val (_, _, _, sec32b, _, _) = forkLevel(pHi, inputPath, boundsPath, encodeOnly = true)
+    val (tokX, _, _, secXa, _, _, _) = forkLevel(pXlo, inputPath, boundsPath, encodeOnly = true)
+    val (tok8, _, _, sec8a, dec8, al8, decP8) = forkLevel(pLo, inputPath, boundsPath)
+    val (tok32, enc32, raw32, sec32a, dec32, al32, decP32) = forkLevel(pHi, inputPath, boundsPath)
+    val (_, _, _, sec8b, _, _, _) = forkLevel(pLo, inputPath, boundsPath, encodeOnly = true)
+    val (_, _, _, sec32b, _, _, _) = forkLevel(pHi, inputPath, boundsPath, encodeOnly = true)
     val secX = secXa
     val sec8 = math.min(sec8a, sec8b)
     val sec32 = math.min(sec32a, sec32b)
@@ -345,6 +358,7 @@ object Bench {
       s""""scaling_efficiency_vs_envelope":${r3(effVsEnvelope)},""" +
       s""""scaling_efficiency_lo_vs_envelope":${r3(effLoVsEnvelope)},""" +
       s""""decode_n_sec":${r3(dec8)},"decode_n4_sec":${r3(dec32)},""" +
+      s""""decode_pruned_n_sec":${r3(decP8)},"decode_pruned_n4_sec":${r3(decP32)},""" +
       s""""aligned_n_sec":${r3(al8)},"aligned_n4_sec":${r3(al32)},""" +
       s""""aligned_scaling_efficiency":${r3((al8 / al32) / 4.0)},""" +
       s""""decode_scaling_efficiency":${r3((dec8 / dec32) / 4.0)},""" +

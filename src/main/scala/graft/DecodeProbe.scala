@@ -1,0 +1,39 @@
+package graft
+
+import graft.spark._
+import org.apache.spark.sql.SparkSession
+
+/** Timing probe for the columnar decode plan (not part of the driver
+  * contract — a build-time diagnostic). */
+object DecodeProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-decode-probe")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def t[A](what: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"PROBE $what ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+    val src = t("generate")(TokenTableGen.generate(spark, 3000, 4))
+    val chunks = t("encode")(EncodePipeline.encode(src, numParts = 4, tokensPerChunk = 64 * 1024))
+    val df = t("plan-construct")(EncodePipeline.decodeDF(chunks))
+    t("explain")(df.queryExecution.executedPlan)
+    t("count")(println("rows=" + df.count()))
+    t("count2")(println("rows=" + df.count()))
+    // cached chunk table + AQE: the regression guard for the adaptive
+    // replan loop (a strategy-fabricated logical Project once left AQE's
+    // cache stage without a logical counterpart — job storm)
+    val cached = t("cache")(chunks.cache())
+    t("cache-materialize")(cached.count())
+    val df2 = EncodePipeline.decodeDF(cached)
+    t("count-cached-aqe")(println("rows=" + df2.count()))
+    t("collect-cached")(println("n=" + df2.collect().length))
+    spark.stop()
+  }
+}

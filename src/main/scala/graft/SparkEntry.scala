@@ -43,6 +43,7 @@ object SparkEntry {
     "q_rt_nullable" -> ((s, d) => RoundTrips.nullableRoundTrip(s, d)),
     "q_rt_generic" -> ((s, d) => RoundTrips.genericRoundTrip(s, d)),
     "q_rt_generic_temporal" -> ((s, d) => RoundTrips.genericTemporalRoundTrip(s, d)),
+    "q_decode_project" -> ((s, d) => RoundTrips.decodeProject(s, d)),
     "q_seek_rows" -> ((s, d) => RoundTrips.seekRows(s, d)),
     "q_compact_merge" -> ((s, d) => RoundTrips.compactMerge(s, d)),
     "q_codec_stats" -> ((s, d) => RoundTrips.codecStats(s, d)),
@@ -128,6 +129,15 @@ object SparkEntry {
         |       CAST(value AS FLOAT) AS fval,
         |       CAST(value * 2 AS FLOAT) AS f2
         |FROM events ORDER BY event_id, ts_str""".stripMargin,
+    // Projected decode: only (doc_id, n_tok, source) are decoded — the
+    // values must still match the full-fidelity restatement (doc_id is
+    // unique, so the single ORDER BY key is total).
+    "q_decode_project" ->
+      """SELECT lpad(CAST(l_orderkey AS VARCHAR), 10, '0') || '-' || lpad(CAST(l_linenumber AS VARCHAR), 4, '0') AS doc_id,
+        |       CASE WHEN l_discount > 0.08 THEN -1 ELSE 2 END AS n_tok,
+        |       CASE WHEN l_returnflag = 'N' THEN NULL ELSE l_returnflag END AS source
+        |FROM lineitem
+        |ORDER BY doc_id""".stripMargin,
     // SeekToRow: the chunk table's canonical order is global doc_id order
     // (range partitions, within-chunk sort), so a row-offset read equals
     // LIMIT/OFFSET over the same ordering.

@@ -606,6 +606,25 @@ object Chunks {
     out.toArray
   }
 
+  /** Read ONLY the null bitmap of a possibly-wrapped chunk — no copy of
+    * the inner payload and no inner decode (used by projected reads that
+    * need row nullity, e.g. n_tok, without the token values). Returns
+    * null when the chunk carries no nulls. */
+  def nullFlagsOf(bytes: Array[Byte]): Array[Boolean] = {
+    if ((bytes(0) & 0xFF) != Codecs.NullableWrap) return null
+    val r = new ByteReader(bytes, 1)
+    val n = r.readUvarint().toInt
+    r.readUvarint() // nullCount (revalidated by full decodes)
+    val bitmap = r.readBytes((n + 7) >> 3)
+    val flags = new Array[Boolean](n)
+    var i = 0
+    while (i < n) {
+      flags(i) = ((bitmap(i >> 3) >> (i & 7)) & 1) == 1
+      i += 1
+    }
+    flags
+  }
+
   /** Split a possibly-wrapped chunk into (nullFlags, innerBytes).
     * nullFlags is null when the chunk carries no nulls (fast path: the
     * wrapper is only written when null_count > 0). */

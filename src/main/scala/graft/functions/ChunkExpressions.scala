@@ -23,6 +23,12 @@ object ChunkExprKernels {
     UnsafeArrayData.fromPrimitiveArray(Chunks.decodeInts(b))
   def codecName(b: Array[Byte]): UTF8String =
     UTF8String.fromString(Chunks.codecName(b))
+  def bloomMightContain(bloom: Array[Byte], streamCrcs: ArrayData, token: Int): Boolean = {
+    val crc = new java.util.zip.CRC32()
+    crc.update(bloom)
+    require(crc.getValue == streamCrcs.getLong(4), "bloom stream CRC mismatch")
+    graft.codec.Bloom.mightContain(bloom, token)
+  }
 }
 
 /** SQL-visible codec surface: `encode_chunk(array<int>) -> binary`,
@@ -85,6 +91,36 @@ case class ChunkCodec(child: Expression) extends UnaryExpression {
       s"${ev.value} = graft.functions.ChunkExprKernels.codecName($c);")
   override protected def withNewChildInternal(newChild: Expression): ChunkCodec =
     copy(child = newChild)
+}
+
+/** Chunk-level bloom probe used by searchToken's declarative pruning
+  * scan: `BloomMightContain(tokens_bloom, stream_crcs, tokenId)` checks
+  * the serialized split-block filter inside whole-stage codegen. The
+  * bloom's own stream CRC is verified per probe — a corrupted bloom
+  * would otherwise silently DROP hits (false negatives), the one
+  * corruption mode pruning cannot tolerate. */
+case class BloomMightContain(bloom: Expression, streamCrcs: Expression, token: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  override def first: Expression = bloom
+  override def second: Expression = streamCrcs
+  override def third: Expression = token
+  override def checkInputDataTypes(): TypeCheckResult =
+    (bloom.dataType, streamCrcs.dataType, token.dataType) match {
+      case (BinaryType, ArrayType(LongType, _), IntegerType) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"bloom_might_contain needs (binary, array<bigint>, int), got $t")
+    }
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "bloom_might_contain"
+  override protected def nullSafeEval(b: Any, crcs: Any, t: Any): Any =
+    ChunkExprKernels.bloomMightContain(
+      b.asInstanceOf[Array[Byte]], crcs.asInstanceOf[ArrayData], t.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (b, c, t) =>
+      s"${ev.value} = graft.functions.ChunkExprKernels.bloomMightContain($b, $c, $t);")
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): BloomMightContain =
+    copy(bloom = newFirst, streamCrcs = newSecond, token = newThird)
 }
 
 object GraftFunctions {

@@ -1,0 +1,302 @@
+package graft.plans
+
+import graft.codec.{BlockCompression, Chunks, Codecs, StreamedTokens}
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, AttributeSet, NamedExpression, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{Partitioning, UnknownPartitioning}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
+import scala.jdk.CollectionConverters._
+
+/** Columnar chunk-decode as a first-class Catalyst operator.
+  *
+  * `DecodeChunks` is a logical node over any plan that outputs graft
+  * chunk rows; the strategy plans it as `DecodeChunksExec`, a
+  * columnar-output (`supportsColumnar`) physical operator that decodes
+  * each chunk straight into reused `OnHeapColumnVector`s and emits one
+  * `ColumnarBatch` per chunk — zero per-row allocation, the engine
+  * analog of the reference's decode-in-place contract
+  * (encoding/encoding.go:69-71). Spark inserts its codegen'd
+  * ColumnarToRow transition when a row consumer sits on top, so
+  * downstream operators read vector values inside whole-stage codegen.
+  *
+  * Projection is pushed down twice:
+  *  - `DecodeChunksPruning` (an optimizer rule) shrinks the node's
+  *    output to the token columns a parent Project actually references;
+  *  - the strategy then selects only the chunk STREAMS those columns
+  *    need, so parquet column pruning skips the untouched payloads
+  *    entirely (reference reads pages strictly per requested column,
+  *    file.go:439-485).
+  */
+case class DecodeChunks(output: Seq[Attribute], child: LogicalPlan) extends UnaryNode {
+  // no constructor validation: Catalyst canonicalization rebuilds the node
+  // with normalized attribute names; GraftPlans.decodeDF validates instead
+
+  def neededChunkCols: Seq[String] = DecodeChunks.chunkColsFor(output.map(_.name))
+
+  override def references: AttributeSet =
+    AttributeSet(child.output.filter(a => neededChunkCols.contains(a.name)))
+
+  override def maxRows: Option[Long] = None
+
+  override protected def withNewChildInternal(newChild: LogicalPlan): DecodeChunks =
+    copy(child = newChild)
+}
+
+object DecodeChunks {
+  val TokenCols: Seq[String] = Seq("doc_id", "tokens", "n_tok", "source")
+
+  /** The chunk columns a projected decode must fetch. n_tok needs the
+    * tokens stream only for its null bitmap (rows with NULL tokens carry
+    * n_tok = -1); the stream's payload DECODE is still skipped. */
+  def chunkColsFor(outCols: Seq[String]): Seq[String] = {
+    val b = scala.collection.mutable.LinkedHashSet("num_rows", "chunk_id", "stream_crcs")
+    if (outCols.contains("doc_id")) b += "docid_bin"
+    if (outCols.contains("tokens") || outCols.contains("n_tok")) { b += "lens_bin"; b += "tokens_bin" }
+    if (outCols.contains("source")) b += "source_bin"
+    b.toSeq
+  }
+
+  def attrFor(name: String): AttributeReference = name match {
+    case "doc_id" => AttributeReference("doc_id", StringType, nullable = false)()
+    case "tokens" =>
+      AttributeReference("tokens", ArrayType(IntegerType, containsNull = false),
+        nullable = true)()
+    case "n_tok" => AttributeReference("n_tok", IntegerType, nullable = false)()
+    case "source" => AttributeReference("source", StringType, nullable = true)()
+    case other => throw new IllegalArgumentException(s"not a token column: $other")
+  }
+}
+
+/** Prune decode output to what a parent Project references — Catalyst's
+  * ColumnPruning already pushes a minimal Project under aggregates and
+  * joins, so `decodeDF(t).agg(sum("n_tok"))` automatically skips the
+  * doc_id/source/token-payload decode without the caller asking. The
+  * node's child Project (built by GraftPlans.decodeDF) is re-narrowed in
+  * the same step so the chunk scan fetches fewer streams. */
+object DecodeChunksPruning extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    // projList may be EMPTY (count(*) references no columns): the decode
+    // then fetches only chunk metadata and emits zero-column batches with
+    // the right row counts — no stream is read at all
+    case p @ Project(projList, dc: DecodeChunks)
+        if projList.forall(_.isInstanceOf[AttributeReference]) &&
+          projList.map(_.exprId).toSet.subsetOf(dc.output.map(_.exprId).toSet) &&
+          projList.length < dc.output.length =>
+      val keep = projList.map(_.exprId).toSet
+      val pruned = dc.output.filter(a => keep.contains(a.exprId))
+      val needed = DecodeChunks.chunkColsFor(pruned.map(_.name))
+      val newChild = dc.child match {
+        // re-narrow the projection this plan was built with
+        case Project(_, src) if needed.forall(n => src.output.exists(_.name == n)) =>
+          Project(needed.map(n => src.output.find(_.name == n).get), src)
+        case other => other
+      }
+      p.copy(child = DecodeChunks(pruned, newChild))
+  }
+}
+
+/** Plans DecodeChunks 1:1 onto DecodeChunksExec. Deliberately NO
+  * synthetic logical nodes here: an earlier version fabricated a fresh
+  * Project inside the strategy, which left AQE's physical stages without
+  * a counterpart in its logical plan — every replan iteration then
+  * re-materialized the (cached) chunk-scan stage and the adaptive loop
+  * never converged. The projection lives in the REAL logical plan
+  * instead (GraftPlans.decodeDF / DecodeChunksPruning). */
+object GraftStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case dc: DecodeChunks =>
+      dc.neededChunkCols.foreach { n =>
+        require(dc.child.output.exists(_.name == n),
+          s"chunk table has no column '$n'")
+      }
+      DecodeChunksExec(dc.output, planLater(dc.child)) :: Nil
+    case _ => Nil
+  }
+}
+
+object GraftPlans {
+  /** Register the strategy + pruning rule on the session (idempotent). */
+  def install(spark: SparkSession): Unit = synchronized {
+    val exp = org.apache.spark.sql.graftbridge.ColumnBridge.experimental(spark)
+    if (!exp.extraStrategies.contains(GraftStrategy))
+      exp.extraStrategies = exp.extraStrategies :+ GraftStrategy
+    if (!exp.extraOptimizations.contains(DecodeChunksPruning))
+      exp.extraOptimizations = exp.extraOptimizations :+ DecodeChunksPruning
+  }
+
+  /** Chunk table (any plan with the chunk columns) → token rows, decoding
+    * only `cols`. */
+  def decodeDF(chunkDF: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty && cols.forall(DecodeChunks.TokenCols.contains),
+      s"decodable columns are ${DecodeChunks.TokenCols}; got $cols")
+    val spark = chunkDF.sparkSession
+    install(spark)
+    val bridge = org.apache.spark.sql.graftbridge.ColumnBridge
+    // the stream projection is a REAL logical Project (not fabricated at
+    // planning time) so parquet/cache scans prune to it and AQE keeps a
+    // logical counterpart for every physical stage
+    val projected = chunkDF.select(
+      DecodeChunks.chunkColsFor(cols).map(org.apache.spark.sql.functions.col): _*)
+    bridge.ofRows(spark,
+      DecodeChunks(cols.map(DecodeChunks.attrFor), bridge.analyzedPlan(projected)))
+  }
+}
+
+case class DecodeChunksExec(output: Seq[Attribute], child: SparkPlan)
+    extends UnaryExecNode {
+
+  override def supportsColumnar: Boolean = true
+
+  // Child partitions by chunk-table attributes that don't exist in this
+  // node's output, so never advertise them upward. CONSTANT on purpose:
+  // deriving numPartitions from the child made the node's partitioning
+  // change between AQE replan iterations when the child is a cached
+  // query stage, and the adaptive loop never converged (job storm).
+  override def outputPartitioning: Partitioning = UnknownPartitioning(0)
+
+  override protected def doExecuteColumnar(): RDD[ColumnarBatch] = {
+    val chunkCols = child.output.map(_.name)
+    val outCols = output.map(_.name)
+    child.execute().mapPartitions(it => new ChunkBatchIterator(it, chunkCols, outCols))
+  }
+
+  /** Row fallback for consumers that call execute() directly: same
+    * batches, flattened through a reused UnsafeProjection (Spark's
+    * standard producer contract — buffering consumers copy). */
+  override protected def doExecute(): RDD[InternalRow] = {
+    val chunkCols = child.output.map(_.name)
+    val outCols = output.map(_.name)
+    val outAttrs = output
+    child.execute().mapPartitions { it =>
+      val proj = UnsafeProjection.create(outAttrs, outAttrs)
+      new ChunkBatchIterator(it, chunkCols, outCols)
+        .flatMap(b => b.rowIterator().asScala.map(proj))
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): DecodeChunksExec =
+    copy(child = newChild)
+}
+
+/** One ColumnarBatch per chunk row. Vectors are allocated once and
+  * reset per chunk (the consumer copies what it keeps — the same reuse
+  * contract as Spark's vectorized parquet reader). Only the streams the
+  * requested columns need are CRC-checked and decoded. */
+private[plans] final class ChunkBatchIterator(
+    rows: Iterator[InternalRow], chunkCols: Seq[String], outCols: Seq[String])
+  extends Iterator[ColumnarBatch] {
+
+  private val idx = chunkCols.zipWithIndex.toMap
+  private val iNumRows = idx("num_rows")
+  private val iChunkId = idx("chunk_id")
+  private val iCrcs = idx("stream_crcs")
+
+  private val needDoc = outCols.contains("doc_id")
+  private val needTokens = outCols.contains("tokens")
+  private val needNtok = outCols.contains("n_tok")
+  private val needSrc = outCols.contains("source")
+
+  private val schema = StructType(outCols.map {
+    case "doc_id" => StructField("doc_id", StringType, nullable = false)
+    case "tokens" =>
+      StructField("tokens", ArrayType(IntegerType, containsNull = false), nullable = true)
+    case "n_tok" => StructField("n_tok", IntegerType, nullable = false)
+    case "source" => StructField("source", StringType, nullable = true)
+  }.toArray)
+  private var vectors: Array[OnHeapColumnVector] = _
+
+  private def checkCrc(bin: Array[Byte], want: Long, what: String, chunkId: Long): Unit = {
+    val c = new java.util.zip.CRC32()
+    c.update(bin)
+    require(c.getValue == want, s"chunk $chunkId: $what stream CRC mismatch")
+  }
+
+  override def hasNext: Boolean = rows.hasNext
+
+  override def next(): ColumnarBatch = {
+    val row = rows.next()
+    val n = row.getInt(iNumRows)
+    val chunkId = row.getLong(iChunkId)
+    val crcs = row.getArray(iCrcs).toLongArray()
+    if (vectors == null)
+      vectors = OnHeapColumnVector.allocateColumns(math.max(n, 1024), schema)
+    else {
+      var i = 0
+      while (i < vectors.length) { vectors(i).reset(); vectors(i).reserve(n); i += 1 }
+    }
+
+    var lens: Array[Int] = null
+    var tokFlags: Array[Boolean] = null
+    var flat: Array[Int] = null
+    if (needTokens || needNtok) {
+      val lensBin = row.getBinary(idx("lens_bin"))
+      checkCrc(lensBin, crcs(1), "lens", chunkId)
+      lens = Chunks.decodeInts(BlockCompression.decompress(lensBin))
+      val tokensBin = row.getBinary(idx("tokens_bin"))
+      checkCrc(tokensBin, crcs(0), "tokens", chunkId)
+      if (needTokens) {
+        val (f, inner) = Chunks.unwrapNullable(BlockCompression.decompress(tokensBin))
+        tokFlags = f
+        flat = StreamedTokens.decode(inner, lens)
+      } else if (BlockCompression.isFramed(tokensBin) ||
+          (tokensBin(0) & 0xFF) == Codecs.NullableWrap) {
+        // n_tok without tokens: bitmap peek only, token payload never decoded
+        tokFlags = Chunks.nullFlagsOf(BlockCompression.decompress(tokensBin))
+      }
+    }
+
+    var c = 0
+    outCols.foreach { name =>
+      val v = vectors(c)
+      name match {
+        case "doc_id" =>
+          val docBin = row.getBinary(idx("docid_bin"))
+          checkCrc(docBin, crcs(2), "docid", chunkId)
+          val docIds = Chunks.decodeStrings(BlockCompression.decompress(docBin))
+          var r = 0
+          while (r < n) { v.putByteArray(r, docIds(r)); r += 1 }
+        case "tokens" =>
+          val data = v.arrayData()
+          data.reserve(flat.length)
+          data.putInts(0, flat.length, flat, 0)
+          var r = 0
+          var k = 0
+          var off = 0
+          while (r < n) {
+            if (tokFlags != null && tokFlags(r)) v.putNull(r)
+            else { val len = lens(k); v.putArray(r, off, len); off += len; k += 1 }
+            r += 1
+          }
+        case "n_tok" =>
+          var r = 0
+          var k = 0
+          while (r < n) {
+            if (tokFlags != null && tokFlags(r)) v.putInt(r, -1)
+            else { v.putInt(r, lens(k)); k += 1 }
+            r += 1
+          }
+        case "source" =>
+          val srcBin = row.getBinary(idx("source_bin"))
+          checkCrc(srcBin, crcs(3), "source", chunkId)
+          val (srcFlags, srcInner) = Chunks.unwrapNullable(BlockCompression.decompress(srcBin))
+          val dense = Chunks.decodeStrings(srcInner)
+          var r = 0
+          var k = 0
+          while (r < n) {
+            if (srcFlags != null && srcFlags(r)) v.putNull(r)
+            else { v.putByteArray(r, dense(k)); k += 1 }
+            r += 1
+          }
+      }
+      c += 1
+    }
+    new ColumnarBatch(vectors.asInstanceOf[Array[ColumnVector]], n)
+  }
+}

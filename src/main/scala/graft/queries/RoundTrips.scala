@@ -337,4 +337,28 @@ object RoundTrips {
         expr("aggregate(tokens, CAST(0 AS BIGINT), (acc, x) -> acc + x)").as("tok_sum"))
       .orderBy("doc_id", "n_tok", "source", "tok_sum")
   }
+
+  /** Column-projection pushdown through the columnar decode plan: the
+    * same nullable source as q_rt_nullable, but only (doc_id, n_tok,
+    * source) are requested, so the token PAYLOAD stream is never decoded
+    * (n_tok reads just the lens stream + the null bitmap — reference
+    * reads pages per requested column, file.go:439-485). The oracle
+    * checks values; ProjectionSpec asserts the stream-skipping. */
+  def decodeProject(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val src = table(spark, dir, "lineitem")
+      .select(
+        concat(lpad(col("l_orderkey").cast("string"), 10, "0"), lit("-"),
+          lpad(col("l_linenumber").cast("string"), 4, "0")).as("doc_id"),
+        when(col("l_discount") > 0.08, lit(null))
+          .otherwise(array(col("l_linenumber"),
+            floor(col("l_quantity")).cast("int"))).as("tokens"),
+        when(col("l_discount") > 0.08, lit(-1)).otherwise(lit(2)).as("n_tok"),
+        when(col("l_returnflag") === "N", lit(null).cast("string"))
+          .otherwise(col("l_returnflag")).as("source"))
+      .as[TokenRow]
+    val chunks = EncodePipeline.encode(src, numParts = 4)
+    EncodePipeline.decodeDF(chunks, Seq("doc_id", "n_tok", "source"))
+      .orderBy("doc_id")
+  }
 }

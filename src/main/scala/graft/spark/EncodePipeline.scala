@@ -31,6 +31,11 @@ final case class EncodedChunk(
     enc_bytes: Long,
     encode_ms: Long,
     crc32: Long,
+    /** Per-stream CRCs (tokens, lens, docid, source, bloom): a projected
+      * read that fetches only SOME streams can still fail loudly on
+      * corruption without touching the streams it skipped (the reference
+      * CRCs per page, page.go; whole-chunk crc32 stays for full decodes). */
+    stream_crcs: Seq[Long],
     tokens_bloom: Array[Byte],
     tokens_bin: Array[Byte],
     lens_bin: Array[Byte],
@@ -256,6 +261,11 @@ object EncodePipeline {
       crc.update(docBin)
       crc.update(srcBin)
       crc.update(bloomBin) // a corrupt bloom would silently drop search hits
+      def crcOf(b: Array[Byte]): Long = {
+        val c = new java.util.zip.CRC32(); c.update(b); c.getValue
+      }
+      val streamCrcs = Seq(crcOf(tokensBin), crcOf(lensBin), crcOf(docBin),
+        crcOf(srcBin), crcOf(bloomBin))
       val rawBytes = 4L * nTokens + 4L * lensArr.length +
         docArr.map(_.length.toLong).sum +
         srcArr.map(s => if (s == null) 0L else s.length.toLong).sum
@@ -281,6 +291,7 @@ object EncodePipeline {
           srcBin.length + bloomBin.length,
         encode_ms = (System.nanoTime() - tFlush0) / 1000000,
         crc32 = crc.getValue,
+        stream_crcs = streamCrcs,
         tokens_bloom = bloomBin,
         tokens_bin = tokensBin,
         lens_bin = lensBin,
@@ -423,84 +434,19 @@ object EncodePipeline {
     }
   }
 
-  private val TokenRowSchema = org.apache.spark.sql.types.StructType(Seq(
-    org.apache.spark.sql.types.StructField("doc_id",
-      org.apache.spark.sql.types.StringType, nullable = false),
-    org.apache.spark.sql.types.StructField("tokens",
-      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.IntegerType,
-        containsNull = false), nullable = true),
-    org.apache.spark.sql.types.StructField("n_tok",
-      org.apache.spark.sql.types.IntegerType, nullable = false),
-    org.apache.spark.sql.types.StructField("source",
-      org.apache.spark.sql.types.StringType, nullable = true)))
-
-  /** Decode straight to InternalRows: no TokenRow/String allocation and
-    * no Scala->Catalyst encoder pass per row. The typed `decode` is the
-    * API for Dataset consumers; THIS is the scan path for SQL/DataFrame
-    * consumers — at local[32] the typed path is GC-bound (one String +
-    * case class + encoder round-trip per row across 32 threads), while
-    * this one allocates only the token array and two UTF8String wrappers.
-    */
-  def decodeDF(chunks: Dataset[EncodedChunk]): DataFrame = {
-    val spark = chunks.sparkSession
-    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-    import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
-    import org.apache.spark.unsafe.types.UTF8String
-    // explicit projection pins column positions regardless of the chunk
-    // table's on-disk column order (e.g. streamed tables add batch_id)
-    val proj = chunks.toDF().select(
-      "num_rows", "crc32", "tokens_bloom", "tokens_bin", "lens_bin",
-      "docid_bin", "source_bin", "chunk_id")
-    val rdd = proj.queryExecution.toRdd.mapPartitions { it =>
-      it.flatMap { row =>
-        // getBinary copies out of the (reused) scan row
-        val numRows = row.getInt(0)
-        val crcWant = row.getLong(1)
-        val bloom = row.getBinary(2)
-        val tokensBin = row.getBinary(3)
-        val lensBin = row.getBinary(4)
-        val docBin = row.getBinary(5)
-        val srcBin = row.getBinary(6)
-        val chunkId = row.getLong(7)
-        val crc = new java.util.zip.CRC32()
-        crc.update(tokensBin); crc.update(lensBin)
-        crc.update(docBin); crc.update(srcBin)
-        crc.update(bloom)
-        require(crc.getValue == crcWant, s"chunk $chunkId: CRC mismatch")
-        val lens = Chunks.decodeInts(BlockCompression.decompress(lensBin))
-        val (tokFlags, tokensInner) = Chunks.unwrapNullable(BlockCompression.decompress(tokensBin))
-        val tokens = StreamedTokens.decode(tokensInner, lens)
-        val docIds = Chunks.decodeStrings(BlockCompression.decompress(docBin))
-        val (srcFlags, srcInner) = Chunks.unwrapNullable(BlockCompression.decompress(srcBin))
-        val srcDense = Chunks.decodeStrings(srcInner)
-        var tokCursor = 0
-        var flatOff = 0
-        var srcCursor = 0
-        Iterator.tabulate(numRows) { r =>
-          val vals = new Array[Any](4)
-          vals(0) = UTF8String.fromBytes(docIds(r))
-          if (tokFlags != null && tokFlags(r)) {
-            vals(1) = null
-            vals(2) = -1
-          } else {
-            val n = lens(tokCursor)
-            tokCursor += 1
-            vals(1) = UnsafeArrayData.fromPrimitiveArray(
-              java.util.Arrays.copyOfRange(tokens, flatOff, flatOff + n))
-            flatOff += n
-            vals(2) = n
-          }
-          if (srcFlags != null && srcFlags(r)) vals(3) = null
-          else {
-            vals(3) = UTF8String.fromBytes(srcDense(srcCursor))
-            srcCursor += 1
-          }
-          new GenericInternalRow(vals): org.apache.spark.sql.catalyst.InternalRow
-        }
-      }
-    }
-    org.apache.spark.sql.graftbridge.ColumnBridge.internalCreateDataFrame(spark, rdd, TokenRowSchema)
-  }
+  /** Decode as a columnar scan: a custom Catalyst plan
+    * (`graft.plans.DecodeChunksExec`) decodes each chunk into reused
+    * `OnHeapColumnVector`s and emits `ColumnarBatch`es — zero per-row
+    * allocation (rounds 1-2 allocated a GenericInternalRow + a token
+    * array copy + an UnsafeArrayData per row, which went GC-bound at 32
+    * threads). Spark's codegen'd ColumnarToRow transition feeds row
+    * consumers. `cols` projects the decode: only the streams those
+    * columns need are fetched, CRC-checked, and decoded, and Catalyst
+    * ColumnPruning shrinks it automatically under aggregates/projects
+    * (reference reads pages per requested column, file.go:439-485). */
+  def decodeDF(chunks: Dataset[EncodedChunk],
+               cols: Seq[String] = Seq("doc_id", "tokens", "n_tok", "source")): DataFrame =
+    graft.plans.GraftPlans.decodeDF(chunks.toDF(), cols)
 
   /** Partial chunk decode: only rows [fromRow, toRow) of one chunk. Token
     * pages outside the range are skipped by bytes via the paged offset
@@ -725,14 +671,21 @@ object EncodePipeline {
   def searchToken(chunks: Dataset[EncodedChunk], tokenId: Int): Dataset[String] = {
     val spark = chunks.sparkSession
     import spark.implicits._
-    chunks
+    // Fully declarative: stats filter + codegen'd bloom probe prune the
+    // chunk scan, then the projected columnar decode touches ONLY the
+    // tokens and doc_id streams — the source stream of a matching chunk
+    // is never fetched, CRC'd, or decoded (round 2 paid the full 4-stream
+    // decode per surviving chunk).
+    val pruned = chunks.toDF()
       .filter(col("tokens_min") <= tokenId && col("tokens_max") >= tokenId)
-      .flatMap { c =>
-        if (!Bloom.mightContain(c.tokens_bloom, tokenId)) Iterator.empty
-        else decodeChunk(c).collect {
-          case row if row.tokens != null && row.tokens.contains(tokenId) => row.doc_id
-        }
-      }
+      .filter(org.apache.spark.sql.graftbridge.ColumnBridge.column(
+        graft.functions.BloomMightContain(
+          org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute("tokens_bloom"),
+          org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute("stream_crcs"),
+          org.apache.spark.sql.catalyst.expressions.Literal(tokenId))))
+    graft.plans.GraftPlans.decodeDF(pruned, Seq("doc_id", "tokens"))
+      .where(array_contains(col("tokens"), tokenId))
+      .select(col("doc_id")).as[String]
   }
 
   /** Compaction: merge several chunk tables (e.g. incremental/streaming
