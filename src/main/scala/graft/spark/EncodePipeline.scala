@@ -506,27 +506,62 @@ object EncodePipeline {
     }.take(toRow - fromRow)
   }
 
+  /** Distributed row-offset index over a chunk table: one row per chunk
+    * with its global `row_start` in the canonical (part_id, chunk_id)
+    * order. Two-phase prefix sum, so no single point ever holds all
+    * chunk metadata: per-part totals aggregate distributed and only
+    * O(#parts) base offsets touch the driver (bounded by the job's task
+    * count, not the data); the within-part prefix is a window
+    * partitioned by part_id (distributed). encodeCheckpointed persists
+    * this next to the chunks so readers don't even pay the metadata job. */
+  def rowIndex(chunks: Dataset[EncodedChunk]): DataFrame = {
+    val spark = chunks.sparkSession
+    import org.apache.spark.sql.expressions.Window
+    val meta = chunks.toDF().select(col("part_id"), col("chunk_id"), col("num_rows"))
+    val partTotals = meta.groupBy("part_id")
+      .agg(sum("num_rows").as("part_rows"))
+      .orderBy("part_id")
+      .collect() // O(#parts) — the only driver-side piece
+    var acc = 0L
+    val bases = partTotals.map { r =>
+      val b = (r.getInt(0), acc)
+      acc += r.getLong(1)
+      b
+    }
+    val basesDF = spark.createDataFrame(bases.toSeq).toDF("part_id", "part_base")
+    val w = Window.partitionBy("part_id").orderBy("chunk_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    meta.join(broadcast(basesDF), "part_id")
+      .withColumn("row_start",
+        col("part_base") + coalesce(sum(col("num_rows").cast("long")).over(w), lit(0L)))
+      .select("chunk_id", "row_start", "num_rows")
+  }
+
   /** Seek by global row offset in the chunk table's canonical order
-    * (part_id, chunk_id, row-in-chunk): a metadata-only prefix sum picks
-    * the covering chunks, and each decodes only its needed row range —
-    * reading 10 rows of a 10^9-row table touches one or two chunks and
-    * within them only the covering token pages. */
-  def seekToRows(chunks: Dataset[EncodedChunk], start: Long, count: Long): Dataset[TokenRow] = {
+    * (part_id, chunk_id, row-in-chunk): the distributed row index picks
+    * the covering chunks (only THOSE reach the driver — O(count/chunk),
+    * not O(#chunks); rounds 1-2 collected every chunk's metadata), and
+    * each decodes only its needed row range — reading 10 rows of a
+    * 10^9-row table touches one or two chunks and within them only the
+    * covering token pages. Pass a persisted `index` (encodeCheckpointed
+    * writes one under <dir>/row_index) to skip the metadata job. */
+  def seekToRows(chunks: Dataset[EncodedChunk], start: Long, count: Long,
+                 index: Option[DataFrame] = None): Dataset[TokenRow] = {
     val spark = chunks.sparkSession
     import spark.implicits._
-    val metas = chunks.select(col("part_id"), col("chunk_id"), col("num_rows"))
-      .collect()
-      .map(r => (r.getInt(0), r.getLong(1), r.getInt(2)))
-      .sortBy(m => (m._1, m._2))
-    val ranges = scala.collection.mutable.HashMap.empty[Long, (Int, Int)]
-    var pos = 0L
-    for ((_, id, n) <- metas) {
-      val lo = math.max(start, pos)
-      val hi = math.min(start + count, pos + n)
-      if (lo < hi) ranges(id) = ((lo - pos).toInt, (hi - pos).toInt)
-      pos += n
-    }
-    val bc = spark.sparkContext.broadcast(ranges.toMap)
+    val covering = index.getOrElse(rowIndex(chunks))
+      .filter(col("row_start") < start + count &&
+        col("row_start") + col("num_rows") > start)
+      .collect() // O(covering chunks)
+    val ranges: Map[Long, (Int, Int)] = covering.map { r =>
+      val id = r.getLong(0)
+      val rowStart = r.getLong(1)
+      val n = r.getInt(2)
+      val lo = math.max(start, rowStart)
+      val hi = math.min(start + count, rowStart + n)
+      id -> ((lo - rowStart).toInt, (hi - rowStart).toInt)
+    }.toMap
+    val bc = spark.sparkContext.broadcast(ranges)
     chunks
       // Column-level filter (not a typed closure): the candidate id set is
       // tiny, pushes into the parquet scan, and never deserializes the
@@ -656,6 +691,12 @@ object EncodePipeline {
     if (hfs.exists(mPath)) hfs.rename(mPath, oPath)
     hfs.rename(sPath, mPath)
     hfs.delete(oPath, true)
+    // persisted row-offset index: seekToRows over this checkpoint needs
+    // no metadata job at all (recomputed over the FULL table each run so
+    // resumes stay consistent; a metadata-only job, O(#chunks) rows)
+    import spark.implicits._
+    rowIndex(spark.read.parquet(s"$dir/chunks").as[EncodedChunk])
+      .write.mode("overwrite").parquet(s"$dir/row_index")
     spark.read.parquet(metricsPath)
   }
 

@@ -416,6 +416,27 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     chunks.unpersist()
   }
 
+  test("rowIndex: distributed prefix sums match the canonical order; persisted index works") {
+    import spark.implicits._
+    val src = TokenTableGen.generate(spark, 4000, 4)
+    val chunks = EncodePipeline.encode(src, 4, tokensPerChunk = 64 * 1024).cache()
+    val idx = EncodePipeline.rowIndex(chunks).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // reference prefix sums in (part_id, chunk_id) order
+    val metas = chunks.select("part_id", "chunk_id", "num_rows").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getInt(2)))
+      .sortBy(m => (m._1, m._2))
+    var pos = 0L
+    val want = metas.map { case (_, id, n) => val s = pos; pos += n; (id, s, n) }
+    assert(idx.sortBy(_._2).toSeq == want.toSeq)
+    // a precomputed (persisted-style) index yields identical seeks
+    val index = EncodePipeline.rowIndex(chunks)
+    val a = EncodePipeline.seekToRows(chunks, 123, 7).collect().sortBy(_.doc_id)
+    val b = EncodePipeline.seekToRows(chunks, 123, 7, Some(index)).collect().sortBy(_.doc_id)
+    assert(a.map(_.doc_id).toSeq == b.map(_.doc_id).toSeq && a.length == 7)
+    chunks.unpersist()
+  }
+
   test("sorted-run compaction re-encodes only overlapping chunks") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, md5}
