@@ -44,6 +44,7 @@ object SparkEntry {
     "q_rt_generic" -> ((s, d) => RoundTrips.genericRoundTrip(s, d)),
     "q_rt_generic_temporal" -> ((s, d) => RoundTrips.genericTemporalRoundTrip(s, d)),
     "q_decode_project" -> ((s, d) => RoundTrips.decodeProject(s, d)),
+    "q_generic_prune" -> ((s, d) => RoundTrips.genericPrune(s, d)),
     "q_seek_rows" -> ((s, d) => RoundTrips.seekRows(s, d)),
     "q_compact_merge" -> ((s, d) => RoundTrips.compactMerge(s, d)),
     "q_codec_stats" -> ((s, d) => RoundTrips.codecStats(s, d)),
@@ -138,6 +139,10 @@ object SparkEntry {
         |       CASE WHEN l_returnflag = 'N' THEN NULL ELSE l_returnflag END AS source
         |FROM lineitem
         |ORDER BY doc_id""".stripMargin,
+    // Generic-chunk stats pruning: pruned+projected decode must equal the
+    // plain range select (o_orderkey is unique).
+    "q_generic_prune" ->
+      "SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey BETWEEN 5000 AND 7000 ORDER BY o_orderkey",
     // SeekToRow: the chunk table's canonical order is global doc_id order
     // (range partitions, within-chunk sort), so a row-offset read equals
     // LIMIT/OFFSET over the same ordering.

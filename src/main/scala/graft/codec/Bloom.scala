@@ -36,6 +36,32 @@ object Bloom {
   @inline def hashInt(v: Int): Long =
     graft.spark.TokenTableGen.splitmix64(v.toLong)
 
+  /** Sizing for DISTINCT-heavy value sets (generic per-column blooms):
+    * ~8 bits per value (split-block FPP ≈ 2%), clamped to [64 B, 128 KiB]
+    * and rounded to a power of two. `sizeBytes` above is tuned for raw
+    * token streams where duplicates dominate; a distinct-per-row column
+    * at 2 bits/value would prune nothing. */
+  def sizeBytesForDistinct(n: Int): Int = {
+    val target = math.max(64L, math.min(128L * 1024, n.toLong))
+    Integer.highestOneBit(target.toInt) match {
+      case p if p < target => p << 1
+      case p => p
+    }
+  }
+
+  /** 32-bit FNV-1a over bytes — the pre-hash for string/binary bloom
+    * values (the filter re-hashes with splitmix64, so FNV quality
+    * suffices). */
+  def fnv1a(b: Array[Byte]): Int = {
+    var h = 0x811C9DC5
+    var i = 0
+    while (i < b.length) { h = (h ^ (b(i) & 0xFF)) * 0x01000193; i += 1 }
+    h
+  }
+
+  /** Fold a long to the int the bloom pre-hash expects. */
+  @inline def foldLong(v: Long): Int = ((v >>> 32) ^ v).toInt
+
   @inline private def blockIndex(h: Long, numBlocks: Int): Int =
     (((h >>> 32) * numBlocks) >>> 32).toInt // multiply-shift: unbiased, no modulo
 

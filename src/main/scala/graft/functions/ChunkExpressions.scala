@@ -23,6 +23,8 @@ object ChunkExprKernels {
     UnsafeArrayData.fromPrimitiveArray(Chunks.decodeInts(b))
   def codecName(b: Array[Byte]): UTF8String =
     UTF8String.fromString(Chunks.codecName(b))
+  def bloomProbe(bloom: Array[Byte], hash: Int): Boolean =
+    graft.codec.Bloom.mightContain(bloom, hash)
   def bloomMightContain(bloom: Array[Byte], streamCrcs: ArrayData, token: Int): Boolean = {
     val crc = new java.util.zip.CRC32()
     crc.update(bloom)
@@ -91,6 +93,31 @@ case class ChunkCodec(child: Expression) extends UnaryExpression {
       s"${ev.value} = graft.functions.ChunkExprKernels.codecName($c);")
   override protected def withNewChildInternal(newChild: Expression): ChunkCodec =
     copy(child = newChild)
+}
+
+/** Plain bloom probe over a serialized split-block filter and a
+  * pre-hashed value (generic-chunk per-column blooms; the caller hashes
+  * strings/longs via Bloom.fnv1a / Bloom.foldLong). An absent filter
+  * (empty/null bytes) can't prune, so Bloom.mightContain returns true. */
+case class BloomProbe(bloom: Expression, hash: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def left: Expression = bloom
+  override def right: Expression = hash
+  override def checkInputDataTypes(): TypeCheckResult =
+    (bloom.dataType, hash.dataType) match {
+      case (BinaryType, IntegerType) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(s"bloom_probe needs (binary, int), got $t")
+    }
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "bloom_probe"
+  override protected def nullSafeEval(b: Any, h: Any): Any =
+    ChunkExprKernels.bloomProbe(b.asInstanceOf[Array[Byte]], h.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (b, h) =>
+      s"${ev.value} = graft.functions.ChunkExprKernels.bloomProbe($b, $h);")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BloomProbe =
+    copy(bloom = newLeft, hash = newRight)
 }
 
 /** Chunk-level bloom probe used by searchToken's declarative pruning

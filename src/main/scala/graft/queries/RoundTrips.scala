@@ -338,6 +338,24 @@ object RoundTrips {
       .orderBy("doc_id", "n_tok", "source", "tok_sum")
   }
 
+  /** Stats-pruned scan over a GENERIC chunk table: orders is generically
+    * encoded range-sorted on o_orderkey, the per-chunk min/max bounds
+    * prune the scan to the covering chunks (GenericStatsSpec asserts the
+    * skip counts), and only 2 of 4 columns are decoded (per-column CRCs
+    * still verified). Oracle restates the range select exactly. */
+  def genericPrune(spark: SparkSession, dir: String): DataFrame = {
+    val src = table(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("o_orderstatus"))
+      .repartitionByRange(4, col("o_orderkey"))
+      .sortWithinPartitions("o_orderkey")
+    val chunks = graft.spark.GenericEncode.encode(src, rowsPerChunk = 2048)
+    val pruned = graft.spark.GenericEncode.pruneRange(
+      chunks, "o_orderkey", Some("5000"), Some("7000"))
+    graft.spark.GenericEncode.decode(spark, pruned, Seq("o_orderkey", "o_totalprice"))
+      .filter(col("o_orderkey").between(5000L, 7000L))
+      .orderBy("o_orderkey")
+  }
+
   /** Column-projection pushdown through the columnar decode plan: the
     * same nullable source as q_rt_nullable, but only (doc_id, n_tok,
     * source) are requested, so the token PAYLOAD stream is never decoded

@@ -1,8 +1,9 @@
 package graft.spark
 
 import graft.codec._
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.functions.{col => fcol, lit => flit}
 import org.apache.spark.sql.types._
 import java.nio.charset.StandardCharsets.UTF_8
 
@@ -12,6 +13,13 @@ import java.nio.charset.StandardCharsets.UTF_8
   * struct (column_buffer_go18.go:241-287, convert.go:49-345) — here the
   * Catalyst schema replaces Go reflection, and every column reuses the
   * same auto-selecting codec kernels as the token pipeline.
+  *
+  * Every column also carries what the reference's ColumnIndex carries
+  * per page (column_index.go:259-272): min/max bounds (string-rendered;
+  * null when the type is untracked or the value is unrepresentable), a
+  * split-block bloom for int/long/string columns (empty when absent),
+  * and a per-column CRC so a projected decode fails loudly on corruption
+  * without touching the columns it skipped.
   */
 final case class GenericChunk(
     part_id: Int,
@@ -21,14 +29,20 @@ final case class GenericChunk(
     col_types: Seq[String],
     col_codecs: Seq[String],
     col_nulls: Seq[Int],
+    col_mins: Seq[String],
+    col_maxs: Seq[String],
+    col_blooms: Seq[Array[Byte]],
     enc_bytes: Long,
     crc32: Long,
+    col_crcs: Seq[Long],
     cols_bin: Seq[Array[Byte]])
 
 /** Encode/decode ANY flat DataFrame whose columns are int / long /
-  * double / string / boolean / array<int> to a chunk table and back.
-  * Layout follows the input partitioning (use repartition/sort upstream
-  * for range layouts); each partition cuts chunks at a row budget.
+  * double / float / string / boolean / binary / date / timestamp /
+  * decimal(<=18) / array<int|float|string> (plus nested structs and maps
+  * via flattening) to a chunk table and back. Layout follows the input
+  * partitioning (use repartition/sort upstream for range layouts); each
+  * partition cuts chunks at a row budget.
   */
 object GenericEncode {
 
@@ -65,7 +79,7 @@ object GenericEncode {
 
   /** Leaf separator for flattened struct columns. '.' would collide with
     * user column names too easily; '' cannot appear in a sane name. */
-  private final val Sep = "\u0001"
+  private final val Sep = ""
   private final val DefinedSuffix = Sep + "defined"
 
   /** Struct columns are handled by schema-tree flattening around the flat
@@ -182,12 +196,274 @@ object GenericEncode {
     spark.createDataset(rdd)
   }
 
-  /** Per-partition chunk cutter: buffers each column as a typed builder,
-    * flushes every `rowsPerChunk` rows. */
+  // ------------------------------------------------------------- builders
+
+  private final class IntBuf(init: Int = 1024) {
+    var a = new Array[Int](init); var n = 0
+    def +=(v: Int): Unit = {
+      if (n == a.length) a = java.util.Arrays.copyOf(a, n * 2)
+      a(n) = v; n += 1
+    }
+    def clear(): Unit = n = 0
+  }
+  private final class LongBuf(init: Int = 1024) {
+    var a = new Array[Long](init); var n = 0
+    def +=(v: Long): Unit = {
+      if (n == a.length) a = java.util.Arrays.copyOf(a, n * 2)
+      a(n) = v; n += 1
+    }
+    def clear(): Unit = n = 0
+  }
+  private final class DoubleBuf(init: Int = 1024) {
+    var a = new Array[Double](init); var n = 0
+    def +=(v: Double): Unit = {
+      if (n == a.length) a = java.util.Arrays.copyOf(a, n * 2)
+      a(n) = v; n += 1
+    }
+    def clear(): Unit = n = 0
+  }
+  private final class FloatBuf(init: Int = 1024) {
+    var a = new Array[Float](init); var n = 0
+    def +=(v: Float): Unit = {
+      if (n == a.length) a = java.util.Arrays.copyOf(a, n * 2)
+      a(n) = v; n += 1
+    }
+    def clear(): Unit = n = 0
+  }
+
+  /** (inner payload, min, max, bloom) — min/max null when untracked,
+    * bloom empty when the type carries none. */
+  private final case class ColResult(inner: Array[Byte], min: String, max: String,
+                                     bloom: Array[Byte])
+  private val NoBloom = Array.emptyByteArray
+
+  /** Typed per-column buffer: primitive growable arrays, no boxing
+    * (rounds 1-2 buffered ArrayBuffer[Any] — one box per value). Null
+    * handling is shared: `nullFlags` is per ROW; `add` is called only
+    * for non-null values. */
+  private sealed abstract class ColBuilder {
+    val nullFlags = new scala.collection.mutable.ArrayBuffer[Boolean](1024)
+    var nulls = 0
+    final def addNull(): Unit = { nullFlags += true; nulls += 1 }
+    final def addRow(row: InternalRow, c: Int): Unit =
+      if (row.isNullAt(c)) addNull()
+      else { nullFlags += false; add(row, c) }
+    def add(row: InternalRow, c: Int): Unit
+    def finish(): ColResult
+    final def clear(): Unit = { nullFlags.clear(); nulls = 0; clearValues() }
+    def clearValues(): Unit
+  }
+
+  private def bloomOf(insertAll: Array[Int] => Unit, n: Int): Array[Byte] = {
+    // distinct-oriented sizing: a column is ~one distinct value per row
+    val words = new Array[Int](Bloom.sizeBytesForDistinct(n) / 4)
+    insertAll(words)
+    Bloom.serialize(words)
+  }
+
+  private final class IntColBuilder extends ColBuilder {
+    private val buf = new IntBuf
+    override def add(row: InternalRow, c: Int): Unit = buf += row.getInt(c)
+    override def finish(): ColResult = {
+      var mn = Int.MaxValue; var mx = Int.MinValue
+      var i = 0
+      while (i < buf.n) { val v = buf.a(i); if (v < mn) mn = v; if (v > mx) mx = v; i += 1 }
+      val bloom = bloomOf(w => { var j = 0; while (j < buf.n) { Bloom.insert(w, buf.a(j)); j += 1 } }, buf.n)
+      ColResult(Chunks.encodeInts(buf.a, 0, buf.n),
+        if (buf.n == 0) null else mn.toString,
+        if (buf.n == 0) null else mx.toString, bloom)
+    }
+    override def clearValues(): Unit = buf.clear()
+  }
+
+  /** long / timestamp(±NTZ) micros / decimal unscaled. */
+  private final class LongColBuilder(dec: Option[DecimalType]) extends ColBuilder {
+    private val buf = new LongBuf
+    override def add(row: InternalRow, c: Int): Unit = buf += (dec match {
+      case Some(d) => row.getDecimal(c, d.precision, d.scale).toUnscaledLong
+      case None => row.getLong(c)
+    })
+    override def finish(): ColResult = {
+      var mn = Long.MaxValue; var mx = Long.MinValue
+      var i = 0
+      while (i < buf.n) { val v = buf.a(i); if (v < mn) mn = v; if (v > mx) mx = v; i += 1 }
+      val bloom = bloomOf(w => {
+        var j = 0; while (j < buf.n) { Bloom.insert(w, Bloom.foldLong(buf.a(j))); j += 1 }
+      }, buf.n)
+      ColResult(Chunks.encodeLongs(buf.a, 0, buf.n),
+        if (buf.n == 0) null else mn.toString,
+        if (buf.n == 0) null else mx.toString, bloom)
+    }
+    override def clearValues(): Unit = buf.clear()
+  }
+
+  private final class DoubleColBuilder extends ColBuilder {
+    private val buf = new DoubleBuf
+    override def add(row: InternalRow, c: Int): Unit = buf += row.getDouble(c)
+    override def finish(): ColResult = {
+      var mn = Double.PositiveInfinity; var mx = Double.NegativeInfinity
+      var i = 0
+      while (i < buf.n) { val v = buf.a(i); if (v < mn) mn = v; if (v > mx) mx = v; i += 1 }
+      ColResult(Chunks.encodeDoubles(buf.a, 0, buf.n),
+        if (buf.n == 0 || mn.isNaN) null else mn.toString,
+        if (buf.n == 0 || mx.isNaN) null else mx.toString, NoBloom)
+    }
+    override def clearValues(): Unit = buf.clear()
+  }
+
+  private final class FloatColBuilder extends ColBuilder {
+    private val buf = new FloatBuf
+    override def add(row: InternalRow, c: Int): Unit = buf += row.getFloat(c)
+    override def finish(): ColResult = {
+      var mn = Float.PositiveInfinity; var mx = Float.NegativeInfinity
+      var i = 0
+      while (i < buf.n) { val v = buf.a(i); if (v < mn) mn = v; if (v > mx) mx = v; i += 1 }
+      ColResult(Chunks.encodeFloats(buf.a, 0, buf.n),
+        if (buf.n == 0 || mn.isNaN) null else mn.toString,
+        if (buf.n == 0 || mx.isNaN) null else mx.toString, NoBloom)
+    }
+    override def clearValues(): Unit = buf.clear()
+  }
+
+  private final class BoolColBuilder extends ColBuilder {
+    private val buf = new scala.collection.mutable.ArrayBuffer[Boolean](1024)
+    override def add(row: InternalRow, c: Int): Unit = buf += row.getBoolean(c)
+    override def finish(): ColResult =
+      ColResult(Chunks.encodeBooleans(buf.toArray, 0, buf.length), null, null, NoBloom)
+    override def clearValues(): Unit = buf.clear()
+  }
+
+  /** string (tracked: bounded min/max + bloom) or opaque binary. */
+  private final class BytesColBuilder(isString: Boolean) extends ColBuilder {
+    private val buf = new scala.collection.mutable.ArrayBuffer[Array[Byte]](1024)
+    override def add(row: InternalRow, c: Int): Unit =
+      buf += (if (isString) row.getUTF8String(c).getBytes else row.getBinary(c))
+    override def finish(): ColResult = {
+      val arr = buf.toArray
+      var min: String = null
+      var max: String = null
+      var bloom = NoBloom
+      if (isString && arr.nonEmpty) {
+        val ord = java.util.Arrays.compare(_: Array[Byte], _: Array[Byte])
+        var mn = arr(0); var mx = arr(0)
+        var i = 1
+        while (i < arr.length) {
+          if (ord(arr(i), mn) < 0) mn = arr(i)
+          if (ord(arr(i), mx) > 0) mx = arr(i)
+          i += 1
+        }
+        // a truncated min stays a valid lower bound; a truncated MAX does
+        // not round up safely in UTF-8, so an over-long max is untracked
+        min = new String(mn.take(64), UTF_8)
+        max = if (mx.length <= 64) new String(mx, UTF_8) else null
+        bloom = bloomOf(w => {
+          var j = 0; while (j < arr.length) { Bloom.insert(w, Bloom.fnv1a(arr(j))); j += 1 }
+        }, arr.length)
+      }
+      ColResult(Chunks.encodeStrings(arr, 0, arr.length), min, max, bloom)
+    }
+    override def clearValues(): Unit = buf.clear()
+  }
+
+  private final class IntArrayColBuilder(name: String, containsNull: Boolean) extends ColBuilder {
+    private val flat = new IntBuf(4096)
+    private val lens = new IntBuf
+    override def add(row: InternalRow, c: Int): Unit = {
+      val ad = row.getArray(c)
+      // toIntArray bulk-copies the value region and would silently unbox
+      // element nulls to 0 — reject them loudly
+      if (containsNull) requireNoNullElements(ad, name)
+      val a = ad.toIntArray()
+      lens += a.length
+      var i = 0
+      while (i < a.length) { flat += a(i); i += 1 }
+    }
+    override def finish(): ColResult = {
+      var mn = Int.MaxValue; var mx = Int.MinValue
+      var i = 0
+      while (i < flat.n) { val v = flat.a(i); if (v < mn) mn = v; if (v > mx) mx = v; i += 1 }
+      val lensArr = java.util.Arrays.copyOf(lens.a, lens.n)
+      val w = new ByteWriter(64 + flat.n)
+      val lensBin = Chunks.encodeInts(lensArr, 0, lens.n)
+      w.writeUvarint(lensBin.length)
+      w.writeBytes(lensBin)
+      w.writeBytes(StreamedTokens.encode(flat.a, lensArr, lens.n, flat.n)._1)
+      // element-level bounds: range-prune "does any row contain token t"
+      ColResult(w.toArray,
+        if (flat.n == 0) null else mn.toString,
+        if (flat.n == 0) null else mx.toString, NoBloom)
+    }
+    override def clearValues(): Unit = { flat.clear(); lens.clear() }
+  }
+
+  private final class FloatArrayColBuilder(name: String, containsNull: Boolean) extends ColBuilder {
+    private val flat = new FloatBuf(4096)
+    private val lens = new IntBuf
+    override def add(row: InternalRow, c: Int): Unit = {
+      val ad = row.getArray(c)
+      if (containsNull) requireNoNullElements(ad, name)
+      val a = ad.toFloatArray()
+      lens += a.length
+      var i = 0
+      while (i < a.length) { flat += a(i); i += 1 }
+    }
+    override def finish(): ColResult = {
+      val w = new ByteWriter(64 + flat.n * 4)
+      val lensBin = Chunks.encodeInts(lens.a, 0, lens.n)
+      w.writeUvarint(lensBin.length)
+      w.writeBytes(lensBin)
+      w.writeBytes(Chunks.encodeFloats(flat.a, 0, flat.n))
+      ColResult(w.toArray, null, null, NoBloom)
+    }
+    override def clearValues(): Unit = { flat.clear(); lens.clear() }
+  }
+
+  private final class StringArrayColBuilder extends ColBuilder {
+    private val flat = new scala.collection.mutable.ArrayBuffer[Array[Byte]](1024)
+    private val lens = new IntBuf
+    override def add(row: InternalRow, c: Int): Unit = {
+      val ad = row.getArray(c)
+      lens += ad.numElements()
+      var k = 0
+      while (k < ad.numElements()) {
+        require(!ad.isNullAt(k), "generic encode: null array<string> element")
+        flat += ad.getUTF8String(k).getBytes
+        k += 1
+      }
+    }
+    override def finish(): ColResult = {
+      val w = new ByteWriter(256)
+      val lensBin = Chunks.encodeInts(lens.a, 0, lens.n)
+      w.writeUvarint(lensBin.length)
+      w.writeBytes(lensBin)
+      w.writeBytes(Chunks.encodeStrings(flat.toArray, 0, flat.length))
+      ColResult(w.toArray, null, null, NoBloom)
+    }
+    override def clearValues(): Unit = { flat.clear(); lens.clear() }
+  }
+
+  private def builderFor(f: StructField): ColBuilder = f.dataType match {
+    case IntegerType | DateType => new IntColBuilder
+    case LongType | TimestampType | TimestampNTZType => new LongColBuilder(None)
+    case d: DecimalType => new LongColBuilder(Some(d))
+    case DoubleType => new DoubleColBuilder
+    case FloatType => new FloatColBuilder
+    case BooleanType => new BoolColBuilder
+    case StringType => new BytesColBuilder(isString = true)
+    case BinaryType => new BytesColBuilder(isString = false)
+    case ArrayType(FloatType, cn) => new FloatArrayColBuilder(f.name, cn)
+    case ArrayType(StringType, _) => new StringArrayColBuilder
+    case ArrayType(_, cn) => new IntArrayColBuilder(f.name, cn)
+    case other => throw new IllegalArgumentException(s"generic encode: $other")
+  }
+
+  /** Per-partition chunk cutter: typed primitive column builders (reused
+    * across chunks), flushes every `rowsPerChunk` rows. */
   private final class GenericPartitionEncoder(
       pid: Int, schema: StructType, names: Seq[String], types: Seq[String],
       rowsPerChunk: Int, iter: Iterator[InternalRow]) extends Iterator[GenericChunk] {
     private val fields = schema.fields
+    private val builders = fields.map(builderFor)
     private var chunkSeq = 0L
     private var done = false
     private var pending: GenericChunk = _
@@ -206,142 +482,42 @@ object GenericEncode {
     private def readChunk(): GenericChunk = {
       if (!iter.hasNext) { done = true; return null }
       val n = fields.length
-      val bufs = Array.fill(n)(new scala.collection.mutable.ArrayBuffer[Any](1024))
+      builders.foreach(_.clear())
       var rows = 0
       while (iter.hasNext && rows < rowsPerChunk) {
         val row = iter.next()
         var c = 0
-        while (c < n) {
-          val buf = bufs(c)
-          if (row.isNullAt(c)) buf += null
-          else fields(c).dataType match {
-            case IntegerType | DateType => buf += row.getInt(c) // date = days since epoch
-            case LongType | TimestampType | TimestampNTZType =>
-              buf += row.getLong(c) // ts = micros
-            case DoubleType => buf += row.getDouble(c)
-            case FloatType => buf += row.getFloat(c)
-            case d: DecimalType =>
-              buf += row.getDecimal(c, d.precision, d.scale).toUnscaledLong
-            case BooleanType => buf += row.getBoolean(c)
-            case StringType => buf += row.getUTF8String(c).getBytes
-            case BinaryType => buf += row.getBinary(c)
-            case ArrayType(FloatType, cn) =>
-              val ad = row.getArray(c)
-              // toFloatArray bulk-copies the value region and would
-              // silently unbox element nulls to 0.0f — reject them loudly
-              // (same stance as array<string> below)
-              if (cn) requireNoNullElements(ad, fields(c).name)
-              buf += ad.toFloatArray()
-            case ArrayType(StringType, _) =>
-              val ad = row.getArray(c)
-              val strs = new Array[Array[Byte]](ad.numElements())
-              var k = 0
-              while (k < strs.length) {
-                require(!ad.isNullAt(k), "generic encode: null array<string> element")
-                strs(k) = ad.getUTF8String(k).getBytes
-                k += 1
-              }
-              buf += strs
-            case ArrayType(_, cn) =>
-              val ad = row.getArray(c)
-              if (cn) requireNoNullElements(ad, fields(c).name)
-              buf += ad.toIntArray()
-          }
-          c += 1
-        }
+        while (c < n) { builders(c).addRow(row, c); c += 1 }
         rows += 1
       }
       if (!iter.hasNext) done = true
-      // encode each column: nullable wrap over the dense payload
       val bins = new Array[Array[Byte]](n)
       val codecs = new Array[String](n)
       val nulls = new Array[Int](n)
+      val mins = new Array[String](n)
+      val maxs = new Array[String](n)
+      val blooms = new Array[Array[Byte]](n)
+      val colCrcs = new Array[Long](n)
       var c = 0
       while (c < n) {
-        val buf = bufs(c)
-        val nullCount = buf.count(_ == null)
-        nulls(c) = nullCount
-        val dense = if (nullCount == 0) buf else buf.filter(_ != null)
-        val inner = fields(c).dataType match {
-          case IntegerType | DateType =>
-            val a = new Array[Int](dense.length)
-            var i = 0; dense.foreach { v => a(i) = v.asInstanceOf[Int]; i += 1 }
-            Chunks.encodeInts(a, 0, a.length)
-          case LongType | TimestampType | TimestampNTZType =>
-            val a = new Array[Long](dense.length)
-            var i = 0; dense.foreach { v => a(i) = v.asInstanceOf[Long]; i += 1 }
-            Chunks.encodeLongs(a, 0, a.length)
-          case DoubleType =>
-            val a = new Array[Double](dense.length)
-            var i = 0; dense.foreach { v => a(i) = v.asInstanceOf[Double]; i += 1 }
-            Chunks.encodeDoubles(a, 0, a.length)
-          case FloatType =>
-            val a = new Array[Float](dense.length)
-            var i = 0; dense.foreach { v => a(i) = v.asInstanceOf[Float]; i += 1 }
-            Chunks.encodeFloats(a, 0, a.length)
-          case _: DecimalType => // unscaled longs (delta packs price-like series well)
-            val a = new Array[Long](dense.length)
-            var i = 0; dense.foreach { v => a(i) = v.asInstanceOf[Long]; i += 1 }
-            Chunks.encodeLongs(a, 0, a.length)
-          case BooleanType =>
-            val a = new Array[Boolean](dense.length)
-            var i = 0; dense.foreach { v => a(i) = v.asInstanceOf[Boolean]; i += 1 }
-            Chunks.encodeBooleans(a, 0, a.length)
-          case StringType | BinaryType => // binary rides the byte-array codecs
-            Chunks.encodeStrings(dense.map(_.asInstanceOf[Array[Byte]]).toArray, 0, dense.length)
-          case ArrayType(FloatType, _) =>
-            // flattened floats (BSS) + per-row lengths — the embedding-
-            // column layout
-            val arrays = dense.map(_.asInstanceOf[Array[Float]])
-            val lens = arrays.map(_.length).toArray
-            val total = lens.sum
-            val flat = new Array[Float](total)
-            var off = 0
-            arrays.foreach { a => System.arraycopy(a, 0, flat, off, a.length); off += a.length }
-            val w = new ByteWriter(64 + total * 4)
-            val lensBin = Chunks.encodeInts(lens, 0, lens.length)
-            w.writeUvarint(lensBin.length)
-            w.writeBytes(lensBin)
-            w.writeBytes(Chunks.encodeFloats(flat, 0, total))
-            w.toArray
-          case ArrayType(StringType, _) =>
-            val arrays = dense.map(_.asInstanceOf[Array[Array[Byte]]])
-            val lens = arrays.map(_.length).toArray
-            val flat = arrays.toArray.flatten
-            val w = new ByteWriter(256)
-            val lensBin = Chunks.encodeInts(lens, 0, lens.length)
-            w.writeUvarint(lensBin.length)
-            w.writeBytes(lensBin)
-            w.writeBytes(Chunks.encodeStrings(flat, 0, flat.length))
-            w.toArray
-          case _: ArrayType =>
-            // values flattened + per-row lengths, like the token pipeline
-            val arrays = dense.map(_.asInstanceOf[Array[Int]])
-            val lens = arrays.map(_.length).toArray
-            val total = lens.sum
-            val flat = new Array[Int](total)
-            var off = 0
-            arrays.foreach { a => System.arraycopy(a, 0, flat, off, a.length); off += a.length }
-            val w = new ByteWriter(64 + total)
-            val lensBin = Chunks.encodeInts(lens, 0, lens.length)
-            w.writeUvarint(lensBin.length)
-            w.writeBytes(lensBin)
-            w.writeBytes(StreamedTokens.encode(flat, lens, lens.length, total)._1)
-            w.toArray
-        }
+        val b = builders(c)
+        val res = b.finish()
+        nulls(c) = b.nulls
+        mins(c) = res.min
+        maxs(c) = res.max
+        blooms(c) = res.bloom
         bins(c) =
-          if (nullCount == 0) inner
-          else {
-            val flags = new Array[Boolean](rows)
-            var i = 0
-            buf.foreach { v => flags(i) = v == null; i += 1 }
-            Chunks.wrapNullable(flags, rows, nullCount, inner)
-          }
+          if (b.nulls == 0) res.inner
+          else Chunks.wrapNullable(b.nullFlags.toArray, rows, b.nulls, res.inner)
         codecs(c) = Chunks.codecName(bins(c))
+        val crc = new java.util.zip.CRC32()
+        crc.update(bins(c))
+        colCrcs(c) = crc.getValue
         c += 1
       }
       val crc = new java.util.zip.CRC32()
       bins.foreach(crc.update)
+      blooms.foreach(crc.update)
       val chunk = GenericChunk(
         part_id = pid,
         chunk_id = (pid.toLong << 32) | chunkSeq,
@@ -350,25 +526,100 @@ object GenericEncode {
         col_types = types,
         col_codecs = codecs.toSeq,
         col_nulls = nulls.toSeq,
-        enc_bytes = bins.map(_.length.toLong).sum,
+        col_mins = mins.toSeq,
+        col_maxs = maxs.toSeq,
+        col_blooms = blooms.toSeq,
+        // stats + blooms counted: enc_bytes is ALL bytes a reader needs
+        enc_bytes = bins.map(_.length.toLong).sum + blooms.map(_.length.toLong).sum,
         crc32 = crc.getValue,
+        col_crcs = colCrcs.toSeq,
         cols_bin = bins.toSeq)
       chunkSeq += 1
       chunk
     }
   }
 
+  // --------------------------------------------------------------- pruning
+
+  /** Position of a (flattened) column in this chunk table's recorded
+    * schema — one metadata row, not a data read. */
+  def colIndexOf(chunks: Dataset[GenericChunk], colName: String): Int = {
+    val head = chunks.limit(1).collect()
+    require(head.nonEmpty, "empty chunk table")
+    val i = head(0).col_names.indexOf(colName)
+    require(i >= 0, s"no column '$colName' in ${head(0).col_names}")
+    i
+  }
+
+  /** Chunks whose [min,max] interval for `colName` may intersect
+    * [lo, hi] (inclusive, both optional). Numeric columns compare
+    * numerically (the rendered stats cast back losslessly); strings
+    * lexicographically. Chunks with untracked bounds are kept — pruning
+    * may only ever skip PROVABLY disjoint chunks (reference
+    * column_index.go:259-272 + search.go:31-101). */
+  def pruneRange(chunks: Dataset[GenericChunk], colName: String,
+                 lo: Option[String], hi: Option[String]): Dataset[GenericChunk] = {
+    val i = colIndexOf(chunks, colName)
+    val tpe = chunks.limit(1).collect()(0).col_types(i)
+    val numeric = tpe match {
+      case "int" | "bigint" | "double" | "float" | "date" | "timestamp" | "timestamp_ntz" => true
+      case t if t.startsWith("decimal(") => true
+      case _ => false
+    }
+    val mn0 = fcol("col_mins").getItem(i)
+    val mx0 = fcol("col_maxs").getItem(i)
+    val (mn, mx) = if (numeric) (mn0.cast("double"), mx0.cast("double")) else (mn0, mx0)
+    def bound(s: String) = if (numeric) flit(s).cast("double") else flit(s)
+    var cond = flit(true)
+    hi.foreach(h => cond = cond && (mn.isNull || mn <= bound(h)))
+    lo.foreach(l => cond = cond && (mx.isNull || mx >= bound(l)))
+    chunks.filter(cond)
+  }
+
+  /** Chunks whose bloom for `colName` may contain the value (pre-hashed:
+    * ints directly, longs via Bloom.foldLong, strings via Bloom.fnv1a of
+    * their UTF-8 bytes). Absent blooms keep the chunk. */
+  def pruneBloom(chunks: Dataset[GenericChunk], colName: String, hash: Int): Dataset[GenericChunk] = {
+    val i = colIndexOf(chunks, colName)
+    chunks.filter(org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.BloomProbe(
+        org.apache.spark.sql.catalyst.expressions.GetArrayItem(
+          org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute("col_blooms"),
+          org.apache.spark.sql.catalyst.expressions.Literal(i)),
+        org.apache.spark.sql.catalyst.expressions.Literal(hash))))
+  }
+
+  // ---------------------------------------------------------------- decode
+
   /** Chunk table → rows with the original schema (schema is read from
     * the chunks themselves — the reader needs no side channel; struct
-    * nesting rebuilds from the flattened leaf names). */
-  def decode(spark: SparkSession, chunks: Dataset[GenericChunk]): DataFrame = {
+    * nesting rebuilds from the flattened leaf names). `cols` restricts
+    * the decode to those TOP-LEVEL columns: skipped columns are never
+    * CRC'd or decoded (their bytes still ride in the chunk row — the
+    * per-column byte layout inside one parquet array column is the
+    * documented trade-off of the generic format). */
+  def decode(spark: SparkSession, chunks: Dataset[GenericChunk],
+             cols: Seq[String] = Seq.empty): DataFrame = {
     val head = chunks.limit(1).collect()
     if (head.isEmpty) return spark.emptyDataFrame
-    val schema = StructType(head(0).col_names.zip(head(0).col_types).map {
-      case (n, t) => StructField(n, parseType(t), nullable = true)
-    })
-    val rowRdd = chunks.rdd.flatMap(decodeChunk)
-    val flat = spark.createDataFrame(rowRdd, schema)
+    val allNames = head(0).col_names
+    val allTypes = head(0).col_types
+    val selected: Seq[Int] =
+      if (cols.isEmpty) allNames.indices
+      else {
+        val keep = allNames.zipWithIndex.filter { case (n, _) =>
+          cols.contains(n.split(Sep, 2)(0))
+        }
+        require(keep.nonEmpty, s"no requested column among $cols in table schema")
+        keep.map(_._2)
+      }
+    val schema = StructType(selected.map(i =>
+      StructField(allNames(i), parseType(allTypes(i)), nullable = true)))
+    val full = selected.size == allNames.size
+    val sel = selected.toArray
+    val rowRdd = chunks.rdd.flatMap(c => decodeChunkInternal(c, sel, full))
+    val flat = org.apache.spark.sql.graftbridge.ColumnBridge
+      .internalCreateDataFrame(spark, rowRdd, schema)
     if (schema.fieldNames.exists(_.contains(Sep))) unflatten(flat) else flat
   }
 
@@ -392,36 +643,49 @@ object GenericEncode {
     case other => throw new IllegalArgumentException(s"generic decode: $other")
   }
 
-  def decodeChunk(c: GenericChunk): Iterator[Row] = {
-    val crc = new java.util.zip.CRC32()
-    c.cols_bin.foreach(crc.update)
-    require(crc.getValue == c.crc32, s"generic chunk ${c.chunk_id}: CRC mismatch")
-    val n = c.col_names.length
-    val cols = new Array[Array[Any]](n)
-    var ci = 0
-    while (ci < n) {
+  /** Decode the selected columns of one chunk to InternalRows (Catalyst
+    * values — no java boxing, no Row/RowEncoder round-trip). A full
+    * decode verifies the whole-chunk CRC; a projected decode verifies
+    * the per-column CRCs of only what it reads. */
+  private def decodeChunkInternal(c: GenericChunk, selected: Array[Int],
+                                  full: Boolean): Iterator[InternalRow] = {
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    if (full) {
+      val crc = new java.util.zip.CRC32()
+      c.cols_bin.foreach(crc.update)
+      c.col_blooms.foreach(crc.update)
+      require(crc.getValue == c.crc32, s"generic chunk ${c.chunk_id}: CRC mismatch")
+    } else {
+      selected.foreach { i =>
+        val crc = new java.util.zip.CRC32()
+        crc.update(c.cols_bin(i))
+        require(crc.getValue == c.col_crcs(i),
+          s"generic chunk ${c.chunk_id}: column ${c.col_names(i)} CRC mismatch")
+      }
+    }
+    val nSel = selected.length
+    val cols = new Array[Array[Any]](nSel)
+    var si = 0
+    while (si < nSel) {
+      val ci = selected(si)
       val (flags, inner) = Chunks.unwrapNullable(c.cols_bin(ci))
       val dense: Array[Any] = c.col_types(ci) match {
-        case "int" => Chunks.decodeInts(inner).map(v => v: Any)
-        case "bigint" => Chunks.decodeLongs(inner).map(v => v: Any)
+        case "int" | "date" => Chunks.decodeInts(inner).map(v => v: Any)
+        case "bigint" | "timestamp" | "timestamp_ntz" =>
+          Chunks.decodeLongs(inner).map(v => v: Any)
         case "double" => Chunks.decodeDoubles(inner).map(v => v: Any)
         case "float" => Chunks.decodeFloats(inner).map(v => v: Any)
         case dec if dec.startsWith("decimal(") =>
-          val scale = parseType(dec).asInstanceOf[DecimalType].scale
+          val dt = parseType(dec).asInstanceOf[DecimalType]
           Chunks.decodeLongs(inner)
-            .map(u => java.math.BigDecimal.valueOf(u, scale): Any)
+            .map(u => org.apache.spark.sql.types.Decimal
+              .createUnsafe(u, dt.precision, dt.scale): Any)
         case "boolean" => Chunks.decodeBooleans(inner).map(v => v: Any)
-        case "string" => Chunks.decodeStrings(inner).map(b => new String(b, UTF_8): Any)
+        case "string" => Chunks.decodeStrings(inner).map(b => UTF8String.fromBytes(b): Any)
         case "binary" => Chunks.decodeStrings(inner).map(b => b: Any)
-        case "date" =>
-          Chunks.decodeInts(inner)
-            .map(d => org.apache.spark.sql.catalyst.util.DateTimeUtils.toJavaDate(d): Any)
-        case "timestamp" =>
-          Chunks.decodeLongs(inner)
-            .map(t => org.apache.spark.sql.catalyst.util.DateTimeUtils.toJavaTimestamp(t): Any)
-        case "timestamp_ntz" =>
-          Chunks.decodeLongs(inner)
-            .map(t => org.apache.spark.sql.catalyst.util.DateTimeUtils.microsToLocalDateTime(t): Any)
         case "array<int>" =>
           val r = new ByteReader(inner)
           val lensLen = r.readUvarint().toInt
@@ -432,7 +696,8 @@ object GenericEncode {
           var off = 0
           var i = 0
           while (i < lens.length) {
-            out(i) = java.util.Arrays.copyOfRange(flat, off, off + lens(i)).toSeq
+            out(i) = UnsafeArrayData.fromPrimitiveArray(
+              java.util.Arrays.copyOfRange(flat, off, off + lens(i)))
             off += lens(i)
             i += 1
           }
@@ -447,8 +712,10 @@ object GenericEncode {
           var off = 0
           var i = 0
           while (i < lens.length) {
-            out(i) = java.util.Arrays.copyOfRange(flat, off, off + lens(i))
-              .map(b => new String(b, UTF_8)).toSeq
+            val a = new Array[Any](lens(i))
+            var k = 0
+            while (k < lens(i)) { a(k) = UTF8String.fromBytes(flat(off + k)); k += 1 }
+            out(i) = new GenericArrayData(a)
             off += lens(i)
             i += 1
           }
@@ -463,14 +730,15 @@ object GenericEncode {
           var off = 0
           var i = 0
           while (i < lens.length) {
-            out(i) = java.util.Arrays.copyOfRange(flat, off, off + lens(i)).toSeq
+            out(i) = UnsafeArrayData.fromPrimitiveArray(
+              java.util.Arrays.copyOfRange(flat, off, off + lens(i)))
             off += lens(i)
             i += 1
           }
           out
         case other => throw new IllegalArgumentException(s"generic decode: $other")
       }
-      cols(ci) =
+      cols(si) =
         if (flags == null) dense
         else {
           val out = new Array[Any](c.num_rows)
@@ -482,10 +750,13 @@ object GenericEncode {
           }
           out
         }
-      ci += 1
+      si += 1
     }
     Iterator.tabulate(c.num_rows) { r =>
-      Row.fromSeq(Seq.tabulate(n)(ci => cols(ci)(r)))
+      val vals = new Array[Any](nSel)
+      var k = 0
+      while (k < nSel) { vals(k) = cols(k)(r); k += 1 }
+      new GenericInternalRow(vals): InternalRow
     }
   }
 }

@@ -1,0 +1,94 @@
+package graft
+
+import graft.spark._
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Per-column stats, blooms, CRCs, and projected decode on the generic
+  * (any-schema) chunk format — reference column_index.go:259-272 +
+  * bloom.go:16-70 applied to arbitrary columns. */
+class GenericStatsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+
+  /** 10k rows sorted by k, cut into ~20 chunks of 512 — tight per-chunk
+    * k ranges, so range pruning has something to prove. */
+  private lazy val chunks = {
+    val df = spark.range(10000).select(
+      col("id").cast("int").as("k"),
+      (col("id") * 7).as("v"),
+      format_string("key-%05d", col("id")).as("name"),
+      when(col("id") % 11 === 0, lit(null).cast("double"))
+        .otherwise(col("id") * 0.5).as("score"))
+      .coalesce(2).sortWithinPartitions("k")
+    GenericEncode.encode(df, rowsPerChunk = 512).cache()
+  }
+
+  test("range pruning skips provably disjoint chunks, keeps all matches") {
+    val total = chunks.count()
+    assert(total >= 15, s"need many chunks, got $total")
+    val pruned = GenericEncode.pruneRange(chunks, "k", Some("3000"), Some("3300"))
+    val kept = pruned.count()
+    assert(kept <= 3, s"expected <=3 covering chunks, kept $kept of $total")
+    val rows = GenericEncode.decode(spark, pruned)
+      .filter(col("k").between(3000, 3300)).collect()
+    assert(rows.length == 301)
+    // long column stats prune too (v = 7k)
+    val prunedV = GenericEncode.pruneRange(chunks, "v", Some("0"), Some("700"))
+    assert(prunedV.count() <= 2)
+    // string column: lexicographic bounds
+    val prunedS = GenericEncode.pruneRange(chunks, "name", Some("key-09990"), None)
+    assert(prunedS.count() <= 2)
+    // a column with nulls everywhere in a chunk keeps min/max of non-nulls
+    val prunedNull = GenericEncode.pruneRange(chunks, "score", Some("4999.5"), None)
+    assert(prunedNull.count() <= 2)
+  }
+
+  test("bloom pruning: present values keep their chunk, absent values prune hard") {
+    import graft.codec.Bloom
+    // string bloom
+    val hit = GenericEncode.pruneBloom(chunks, "name",
+      Bloom.fnv1a("key-04321".getBytes("UTF-8")))
+    assert(GenericEncode.decode(spark, hit, Seq("name"))
+      .filter(col("name") === "key-04321").count() == 1)
+    val miss = GenericEncode.pruneBloom(chunks, "name",
+      Bloom.fnv1a("no-such-key".getBytes("UTF-8")))
+    assert(miss.count() <= 3, s"bloom kept ${miss.count()} chunks for an absent key")
+    // int bloom
+    val intHit = GenericEncode.pruneBloom(chunks, "k", 4321)
+    assert(GenericEncode.decode(spark, intHit, Seq("k"))
+      .filter(col("k") === 4321).count() == 1)
+    // long bloom
+    val longMiss = GenericEncode.pruneBloom(chunks, "v", Bloom.foldLong(12345679L))
+    assert(longMiss.count() <= 3)
+  }
+
+  test("projected decode reads only requested columns and their CRCs") {
+    import spark.implicits._
+    val projected = GenericEncode.decode(spark, chunks, Seq("k", "name"))
+    assert(projected.columns.toSeq == Seq("k", "name"))
+    assert(projected.count() == 10000)
+    // corrupt the 'v' column payload: k/name decode unaffected, v fails loudly
+    val corrupted = chunks.map { c =>
+      val bins = c.cols_bin.updated(1, Array[Byte](1, 2, 3))
+      c.copy(cols_bin = bins)
+    }
+    assert(GenericEncode.decode(spark, corrupted, Seq("k", "name")).count() == 10000)
+    val ex = intercept[Exception] {
+      GenericEncode.decode(spark, corrupted, Seq("v")).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("CRC mismatch")), ex.toString)
+  }
+
+  test("array<int> element bounds allow contains-style pruning") {
+    val df = spark.range(2000).select(
+      col("id").cast("int").as("k"),
+      array(col("id").cast("int"), (col("id") + 1).cast("int")).as("toks"))
+      .coalesce(1).sortWithinPartitions("k")
+    val ch = GenericEncode.encode(df, rowsPerChunk = 256)
+    val pruned = GenericEncode.pruneRange(ch, "toks", Some("1500"), Some("1500"))
+    assert(pruned.count() <= 2, s"kept ${pruned.count()} of ${ch.count()}")
+  }
+}
