@@ -138,7 +138,7 @@ object SparkEntry {
         |       CASE WHEN l_discount > 0.08 THEN -1 ELSE 2 END AS n_tok,
         |       CASE WHEN l_returnflag = 'N' THEN NULL ELSE l_returnflag END AS source
         |FROM lineitem
-        |ORDER BY doc_id""".stripMargin,
+        |ORDER BY doc_id, n_tok, source NULLS FIRST""".stripMargin,
     // Generic-chunk stats pruning: pruned+projected decode must equal the
     // plain range select (o_orderkey is unique).
     "q_generic_prune" ->

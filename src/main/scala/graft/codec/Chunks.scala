@@ -392,11 +392,27 @@ object Chunks {
     val codec = if (forced >= 0) forced else selectStringCodec(src, off, n)
     val out = new ByteWriter(256)
     writeStringChunk(src, off, n, codec, out)
-    if (forced < 0) {
-      // never lose to DELTA_LENGTH (the reference's BYTE_ARRAY default)
-      val fallback = new ByteWriter(256)
-      writeStringChunk(src, off, n, DeltaLengthBytes, fallback)
-      if (fallback.length < out.length) return fallback.toArray
+    if (forced < 0 && codec != DeltaLengthBytes) {
+      // Never lose to DELTA_LENGTH (the reference's BYTE_ARRAY default) —
+      // but its size is EXACTLY computable from the packed lengths alone
+      // (lengths block + raw payload bytes), so only pay the second full
+      // encode when it actually wins (round 2 always double-encoded: ~2x
+      // string-encode CPU for a guarantee a size formula provides).
+      val lengths = new Array[Int](n)
+      var total = 0L
+      var i = 0
+      while (i < n) { lengths(i) = src(off + i).length; total += lengths(i); i += 1 }
+      val lensProbe = new ByteWriter(64 + n / 2)
+      DeltaBinaryPacked.encodeInts(lengths, 0, n, lensProbe)
+      val header = new ByteWriter(8)
+      header.writeByte(DeltaLengthBytes)
+      header.writeUvarint(n)
+      val fallbackSize = header.length + lensProbe.length + total
+      if (fallbackSize < out.length) {
+        val fallback = new ByteWriter(fallbackSize.toInt)
+        writeStringChunk(src, off, n, DeltaLengthBytes, fallback)
+        return fallback.toArray
+      }
     }
     out.toArray
   }

@@ -376,7 +376,9 @@ object RoundTrips {
           .otherwise(col("l_returnflag")).as("source"))
       .as[TokenRow]
     val chunks = EncodePipeline.encode(src, numParts = 4)
+    // (l_orderkey, l_linenumber) is NOT unique in the synthetic lineitem,
+    // so doc_id alone is not a total order — add the value columns
     EncodePipeline.decodeDF(chunks, Seq("doc_id", "n_tok", "source"))
-      .orderBy("doc_id")
+      .orderBy("doc_id", "n_tok", "source")
   }
 }

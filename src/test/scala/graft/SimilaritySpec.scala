@@ -1,0 +1,53 @@
+package graft
+
+import graft.queries.SimilarityOps
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** ANN index quality + layout: the full exact-vs-ANN recall comparison
+  * (moved out of the query hot path — the queries keep an O(1) planted-
+  * needle gate) and the directory-partitioned index layout. Runs on a
+  * self-synthesized embeddings table, no external data. */
+class SimilaritySpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+
+  /** Deterministic 64-dim embeddings parquet in a temp dir shaped like
+    * the driver's table (vec_id, embedding: array<float>). */
+  private lazy val dir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft-simspec").toString
+    val df = spark.range(600).select(
+      col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(63)),
+        j => sin(col("id") * 31 + j * 7).cast("float")).as("embedding"))
+    df.coalesce(2).write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    d
+  }
+
+  test("LSH and IVF ANN achieve full recall@20 vs the exact top-20") {
+    val (lshFound, n1) = SimilarityOps.fullRecallAt20(spark, dir,
+      SimilarityOps.lshAnn(spark, dir))
+    assert(lshFound == n1, s"LSH recall $lshFound/$n1")
+    val (ivfFound, n2) = SimilarityOps.fullRecallAt20(spark, dir,
+      SimilarityOps.ivfAnn(spark, dir))
+    assert(ivfFound == n2, s"IVF recall $ivfFound/$n2")
+  }
+
+  test("LSH index is directory-partitioned and the probe prunes partitions") {
+    val path = SimilarityOps.ensureLshIndex(spark, dir)
+    // layout: one directory per (tbl, bucket)
+    val root = new java.io.File(path)
+    val tblDirs = root.listFiles().filter(f => f.isDirectory && f.getName.startsWith("tbl="))
+    assert(tblDirs.length == 8, s"expected 8 tbl= dirs, got ${tblDirs.length}")
+    val bucketDirs = tblDirs.flatMap(_.listFiles())
+      .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+    assert(bucketDirs.length > 8, "expected many bucket= dirs")
+    // a probe filter on the partition columns shows up as PartitionFilters
+    // in the scan (directory pruning, not row-group stats)
+    val probe = spark.read.parquet(path)
+      .filter(col("tbl") === 0 && col("bucket") === 42)
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      (plan.contains("(tbl") || plan.contains("tbl#")), plan.take(2000))
+  }
+}
