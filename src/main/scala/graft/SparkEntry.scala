@@ -45,6 +45,7 @@ object SparkEntry {
     "q_rt_generic_temporal" -> ((s, d) => RoundTrips.genericTemporalRoundTrip(s, d)),
     "q_decode_project" -> ((s, d) => RoundTrips.decodeProject(s, d)),
     "q_generic_prune" -> ((s, d) => RoundTrips.genericPrune(s, d)),
+    "q_generic_seek" -> ((s, d) => RoundTrips.genericSeek(s, d)),
     "q_seek_rows" -> ((s, d) => RoundTrips.seekRows(s, d)),
     "q_compact_merge" -> ((s, d) => RoundTrips.compactMerge(s, d)),
     "q_codec_stats" -> ((s, d) => RoundTrips.codecStats(s, d)),
@@ -143,6 +144,14 @@ object SparkEntry {
     // plain range select (o_orderkey is unique).
     "q_generic_prune" ->
       "SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey BETWEEN 5000 AND 7000 ORDER BY o_orderkey",
+    // Schema-generic SeekToRow: range-sorted generic chunk table, so the
+    // row-offset read equals LIMIT/OFFSET over the doc_id order.
+    "q_generic_seek" ->
+      """SELECT doc_id, lang, n_chars FROM (
+        |  SELECT lpad(CAST(doc_id AS VARCHAR), 8, '0') AS doc_id, lang,
+        |         CAST(n_chars AS BIGINT) AS n_chars
+        |  FROM documents ORDER BY doc_id LIMIT 50 OFFSET 100)
+        |ORDER BY doc_id""".stripMargin,
     // SeekToRow: the chunk table's canonical order is global doc_id order
     // (range partitions, within-chunk sort), so a row-offset read equals
     // LIMIT/OFFSET over the same ordering.

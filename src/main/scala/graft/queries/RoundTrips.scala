@@ -356,6 +356,23 @@ object RoundTrips {
       .orderBy("o_orderkey")
   }
 
+  /** Schema-generic SeekToRow: documents generically encoded range-sorted
+    * on doc_id (range partitions concatenate in key order, doc_id is
+    * unique), so a row-offset seek equals LIMIT/OFFSET over the sorted
+    * table; only 3 columns decode, only covering chunks are touched. */
+  def genericSeek(spark: SparkSession, dir: String): DataFrame = {
+    val src = table(spark, dir, "documents")
+      .select(
+        lpad(col("doc_id").cast("string"), 8, "0").as("doc_id"),
+        col("lang"), col("n_chars").cast("long").as("n_chars"))
+      .repartitionByRange(2, col("doc_id"))
+      .sortWithinPartitions("doc_id")
+    val chunks = graft.spark.GenericEncode.encode(src, rowsPerChunk = 64)
+    graft.spark.GenericEncode.seekRows(spark, chunks, 100, 50,
+        Seq("doc_id", "lang", "n_chars"))
+      .orderBy("doc_id")
+  }
+
   /** Column-projection pushdown through the columnar decode plan: the
     * same nullable source as q_rt_nullable, but only (doc_id, n_tok,
     * source) are requested, so the token PAYLOAD stream is never decoded

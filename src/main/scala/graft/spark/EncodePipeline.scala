@@ -514,10 +514,15 @@ object EncodePipeline {
     * count, not the data); the within-part prefix is a window
     * partitioned by part_id (distributed). encodeCheckpointed persists
     * this next to the chunks so readers don't even pay the metadata job. */
-  def rowIndex(chunks: Dataset[EncodedChunk]): DataFrame = {
-    val spark = chunks.sparkSession
+  def rowIndex(chunks: Dataset[EncodedChunk]): DataFrame =
+    rowIndexOf(chunks.toDF())
+
+  /** Format-agnostic variant: any chunk metadata with (part_id, chunk_id,
+    * num_rows) columns — shared by the token pipeline and GenericEncode. */
+  def rowIndexOf(chunkMeta: DataFrame): DataFrame = {
+    val spark = chunkMeta.sparkSession
     import org.apache.spark.sql.expressions.Window
-    val meta = chunks.toDF().select(col("part_id"), col("chunk_id"), col("num_rows"))
+    val meta = chunkMeta.select(col("part_id"), col("chunk_id"), col("num_rows"))
     val partTotals = meta.groupBy("part_id")
       .agg(sum("num_rows").as("part_rows"))
       .orderBy("part_id")

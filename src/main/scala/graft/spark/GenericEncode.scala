@@ -589,6 +589,50 @@ object GenericEncode {
         org.apache.spark.sql.catalyst.expressions.Literal(hash))))
   }
 
+  /** Row-offset seek over a generic chunk table (schema-generic SeekToRow,
+    * reference file.go:684-709): covering chunks come from the same
+    * distributed row index the token pipeline uses, and each covering
+    * chunk decodes only the requested columns, sliced to the needed rows.
+    * Generic columns carry no intra-chunk page index, so partial-ness is
+    * chunk-granular (the token table additionally byte-skips pages). */
+  def seekRows(spark: SparkSession, chunks: Dataset[GenericChunk], start: Long, count: Long,
+               cols: Seq[String] = Seq.empty): DataFrame = {
+    val head = chunks.limit(1).collect()
+    if (head.isEmpty) return spark.emptyDataFrame
+    val covering = EncodePipeline.rowIndexOf(chunks.toDF())
+      .filter(fcol("row_start") < start + count &&
+        fcol("row_start") + fcol("num_rows") > start)
+      .collect() // O(covering chunks)
+    val ranges: Map[Long, (Int, Int)] = covering.map { r =>
+      val id = r.getLong(0)
+      val rowStart = r.getLong(1)
+      val n = r.getInt(2)
+      id -> ((math.max(start, rowStart) - rowStart).toInt,
+        (math.min(start + count, rowStart + n) - rowStart).toInt)
+    }.toMap
+    val bc = spark.sparkContext.broadcast(ranges)
+    val allNames = head(0).col_names
+    val allTypes = head(0).col_types
+    val selected: Seq[Int] =
+      if (cols.isEmpty) allNames.indices
+      else allNames.zipWithIndex.filter { case (n, _) =>
+        cols.contains(n.split(Sep, 2)(0))
+      }.map(_._2)
+    val schema = StructType(selected.map(i =>
+      StructField(allNames(i), parseType(allTypes(i)), nullable = true)))
+    val full = selected.size == allNames.size
+    val sel = selected.toArray
+    val rowRdd = chunks
+      .filter(fcol("chunk_id").isin(ranges.keys.toSeq.map(Long.box): _*))
+      .rdd.flatMap { c =>
+        val (from, to) = bc.value(c.chunk_id)
+        decodeChunkInternal(c, sel, full).slice(from, to)
+      }
+    val flat = org.apache.spark.sql.graftbridge.ColumnBridge
+      .internalCreateDataFrame(spark, rowRdd, schema)
+    if (schema.fieldNames.exists(_.contains(Sep))) unflatten(flat) else flat
+  }
+
   // ---------------------------------------------------------------- decode
 
   /** Chunk table → rows with the original schema (schema is read from

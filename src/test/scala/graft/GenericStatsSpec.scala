@@ -82,6 +82,21 @@ class GenericStatsSpec extends AnyFunSuite {
     assert(messages(ex).exists(_.contains("CRC mismatch")), ex.toString)
   }
 
+  test("seekRows: generic row-offset read touches only covering chunks") {
+    // chunks of 512 rows over 10000 sorted rows; a 20-row seek covers 1-2
+    val got = GenericEncode.seekRows(spark, chunks, 5000, 20, Seq("k", "name"))
+      .collect().sortBy(_.getInt(0))
+    assert(got.length == 20)
+    assert(got.map(_.getInt(0)).toSeq == (5000 until 5020))
+    assert(got.head.getString(1) == "key-05000")
+    // covering-chunk selection is via the shared distributed row index
+    val covering = EncodePipeline.rowIndexOf(chunks.toDF())
+      .filter(org.apache.spark.sql.functions.expr(
+        "row_start < 5020 and row_start + num_rows > 5000"))
+      .count()
+    assert(covering <= 2, s"$covering covering chunks for a 20-row seek")
+  }
+
   test("array<int> element bounds allow contains-style pruning") {
     val df = spark.range(2000).select(
       col("id").cast("int").as("k"),

@@ -35,17 +35,17 @@ class SimilaritySpec extends AnyFunSuite {
 
   test("LSH index is directory-partitioned and the probe prunes partitions") {
     val path = SimilarityOps.ensureLshIndex(spark, dir)
-    // layout: one directory per (tbl, bucket)
+    // layout: one directory per (tbl, bucket-group)
     val root = new java.io.File(path)
     val tblDirs = root.listFiles().filter(f => f.isDirectory && f.getName.startsWith("tbl="))
     assert(tblDirs.length == 8, s"expected 8 tbl= dirs, got ${tblDirs.length}")
-    val bucketDirs = tblDirs.flatMap(_.listFiles())
-      .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
-    assert(bucketDirs.length > 8, "expected many bucket= dirs")
+    val grpDirs = tblDirs.flatMap(_.listFiles())
+      .filter(f => f.isDirectory && f.getName.startsWith("bgrp="))
+    assert(grpDirs.length > 8, "expected many bgrp= dirs")
     // a probe filter on the partition columns shows up as PartitionFilters
     // in the scan (directory pruning, not row-group stats)
     val probe = spark.read.parquet(path)
-      .filter(col("tbl") === 0 && col("bucket") === 42)
+      .filter(col("tbl") === 0 && col("bgrp") === 5 && col("bucket") === 42)
     val plan = probe.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters") &&
       (plan.contains("(tbl") || plan.contains("tbl#")), plan.take(2000))
