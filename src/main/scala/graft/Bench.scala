@@ -35,10 +35,14 @@ object Bench {
   /** Child-JVM mode: measure one parallelism level, print one line.
     * Input is the pre-materialized parquet table (the north rule's
     * Iceberg-style source), scanned by Spark's vectorized reader.
-    * `encodeOnly` skips the decode/aligned passes (used for the low
-    * parallelism level, where every pass costs 4x the wall time). */
+    * Modes: "full" (2 warm + 3 timed encode, aligned, decode),
+    * "encdec" (1 warm + 2 timed encode, decode — the second weather
+    * sample for both signals), "enc" (encode only — the local[2]
+    * context level, where every extra pass costs 4x the wall time). */
   private def runLevel(cores: Int, inputPath: String, boundsPath: String,
-                       encodeOnly: Boolean): Unit = {
+                       mode: String): Unit = {
+    val encodeOnly = mode != "full"
+    val doDecode = mode != "enc"
     val spark = newSession(s"local[$cores]", cores)
     import spark.implicits._
     val bounds = {
@@ -68,8 +72,6 @@ object Bench {
       if (sec < best) { best = sec; toks = row.getLong(0); enc = row.getLong(1); raw = row.getLong(2) }
     }
     var bestAligned = -1.0
-    var bestDec = -1.0
-    var bestDecPruned = -1.0
     if (!encodeOnly) {
       // layout-aligned encode (no exchange — input already range-laid-out)
       bestAligned = Double.MaxValue
@@ -79,7 +81,14 @@ object Bench {
         val sec = (System.nanoTime() - t0) / 1e9
         if (sec < bestAligned) bestAligned = sec
       }
-      // decode path: chunk table (materialized once) → token rows
+    }
+    // decode runs in BOTH the full and encdec forks (two weather windows —
+    // the encode levels always had a second sample via the light forks,
+    // decode did not, and a single bad window produced bogus decode
+    // "scaling")
+    var bestDec = -1.0
+    var bestDecPruned = -1.0
+    if (doDecode) {
       val chunkPath = s"/dev/shm/graft-bench-chunks-$cores"
       EncodePipeline.encode(src, NumParts, boundsOverride = Some(bounds))
         .write.mode("overwrite").parquet(chunkPath)
@@ -176,7 +185,7 @@ object Bench {
 
   /** Fork a fresh JVM running `runLevel`. */
   private def forkLevel(cores: Int, inputPath: String, boundsPath: String,
-                        encodeOnly: Boolean = false): (Long, Long, Long, Double, Double, Double, Double) = {
+                        mode: String = "full"): (Long, Long, Long, Double, Double, Double, Double) = {
     val javaBin = System.getProperty("java.home") + "/bin/java"
     val opens = Seq(
       "java.base/java.lang", "java.base/java.lang.invoke",
@@ -209,8 +218,7 @@ object Bench {
         // (fewer kernel-side bytes copied beats the compress CPU)
         "-Dspark.shuffle.compress=" + sys.env.getOrElse("GRAFT_SHUFFLE_COMPRESS", "true"),
         "-cp", System.getProperty("java.class.path"),
-        "graft.Bench", "encode-level", cores.toString, inputPath, boundsPath,
-        if (encodeOnly) "enc" else "full")
+        "graft.Bench", "encode-level", cores.toString, inputPath, boundsPath, mode)
     val pb = new ProcessBuilder(cmd: _*)
     pb.redirectErrorStream(true)
     val proc = pb.start()
@@ -227,7 +235,7 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     if (args.length >= 4 && args(0) == "encode-level") {
-      runLevel(args(1).toInt, args(2), args(3), args.length > 4 && args(4) == "enc")
+      runLevel(args(1).toInt, args(2), args(3), if (args.length > 4) args(4) else "full")
       return
     }
 
@@ -289,14 +297,18 @@ object Bench {
     // multi-minute bursts that would otherwise poison one level's whole
     // best-of-3; the second (encode-only) fork gives each level a sample
     // from a different weather window.
-    val (tokX, _, _, secXa, _, _, _) = forkLevel(pXlo, inputPath, boundsPath, encodeOnly = true)
-    val (tok8, _, _, sec8a, dec8, al8, decP8) = forkLevel(pLo, inputPath, boundsPath)
-    val (tok32, enc32, raw32, sec32a, dec32, al32, decP32) = forkLevel(pHi, inputPath, boundsPath)
-    val (_, _, _, sec8b, _, _, _) = forkLevel(pLo, inputPath, boundsPath, encodeOnly = true)
-    val (_, _, _, sec32b, _, _, _) = forkLevel(pHi, inputPath, boundsPath, encodeOnly = true)
+    val (tokX, _, _, secXa, _, _, _) = forkLevel(pXlo, inputPath, boundsPath, mode = "enc")
+    val (tok8, _, _, sec8a, dec8a, al8, decP8a) = forkLevel(pLo, inputPath, boundsPath)
+    val (tok32, enc32, raw32, sec32a, dec32a, al32, decP32a) = forkLevel(pHi, inputPath, boundsPath)
+    val (_, _, _, sec8b, dec8b, _, decP8b) = forkLevel(pLo, inputPath, boundsPath, mode = "encdec")
+    val (_, _, _, sec32b, dec32b, _, decP32b) = forkLevel(pHi, inputPath, boundsPath, mode = "encdec")
     val secX = secXa
     val sec8 = math.min(sec8a, sec8b)
     val sec32 = math.min(sec32a, sec32b)
+    val dec8 = math.min(dec8a, dec8b)
+    val dec32 = math.min(dec32a, dec32b)
+    val decP8 = math.min(decP8a, decP8b)
+    val decP32 = math.min(decP32a, decP32b)
     val thrX = tokX / secX
     val thr8 = tok8 / sec8
     val thr32 = tok32 / sec32

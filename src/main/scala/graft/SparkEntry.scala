@@ -46,6 +46,8 @@ object SparkEntry {
     "q_decode_project" -> ((s, d) => RoundTrips.decodeProject(s, d)),
     "q_generic_prune" -> ((s, d) => RoundTrips.genericPrune(s, d)),
     "q_generic_seek" -> ((s, d) => RoundTrips.genericSeek(s, d)),
+    "q_search_token" -> ((s, d) => RoundTrips.searchToken(s, d)),
+    "q_rt_aligned" -> ((s, d) => RoundTrips.alignedRoundTrip(s, d)),
     "q_seek_rows" -> ((s, d) => RoundTrips.seekRows(s, d)),
     "q_compact_merge" -> ((s, d) => RoundTrips.compactMerge(s, d)),
     "q_codec_stats" -> ((s, d) => RoundTrips.codecStats(s, d)),
@@ -144,6 +146,15 @@ object SparkEntry {
     // plain range select (o_orderkey is unique).
     "q_generic_prune" ->
       "SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey BETWEEN 5000 AND 7000 ORDER BY o_orderkey",
+    // Pruned token search: doc_ids (orders) whose token set (sorted
+    // linenumbers) contains token 7.
+    "q_search_token" ->
+      "SELECT DISTINCT lpad(CAST(l_orderkey AS VARCHAR), 15, '0') AS doc_id FROM lineitem WHERE l_linenumber = 7 ORDER BY doc_id",
+    // Zero-shuffle aligned encode: identity restatement over documents.
+    "q_rt_aligned" ->
+      """SELECT lpad(CAST(doc_id AS VARCHAR), 8, '0') AS doc_id, lang AS source,
+        |       CAST(n_chars + length(lang) AS BIGINT) AS tok_sum
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // Schema-generic SeekToRow: range-sorted generic chunk table, so the
     // row-offset read equals LIMIT/OFFSET over the doc_id order.
     "q_generic_seek" ->

@@ -1,5 +1,12 @@
 package graft.codec
 
+/** Consumer for allocation-free string decode (Chunks.decodeStringsInto):
+  * values arrive in row order as (buffer, offset, length) views valid
+  * only until the next call. */
+trait BytesSink {
+  def put(buf: Array[Byte], off: Int, len: Int): Unit
+}
+
 /** Growable little-endian byte sink used by all codec kernels.
   *
   * Mirrors the append-style `dst []byte` convention of the reference's

@@ -478,6 +478,54 @@ object Chunks {
     }
   }
 
+  /** Decode a string chunk straight into a consumer — ZERO per-value
+    * allocation (the reference's decode-into-caller-buffer contract,
+    * encoding/encoding.go:69-71): PLAIN/DELTA_LENGTH values are slices of
+    * the chunk buffer itself, FSST values are slices of the one decoded
+    * blob, dictionary values are slices of the symbol table, and
+    * DELTA_BYTE_ARRAY front-coding reconstructs in a reused scratch
+    * buffer (the prefix is already in place from the previous value).
+    * Values arrive in row order; the buffer contents are only valid
+    * until the next `put` — the sink must copy what it keeps (column
+    * vectors do). Returns the value count. */
+  def decodeStringsInto(bytes: Array[Byte], sink: BytesSink): Int = {
+    val r = new ByteReader(bytes)
+    val codec = r.readByte()
+    val n = r.readUvarint().toInt
+    codec match {
+      case PlainBytes =>
+        var i = 0
+        while (i < n) {
+          val len = r.readLE32()
+          sink.put(r.buf, r.pos, len)
+          r.skip(len)
+          i += 1
+        }
+      case DeltaLengthBytes =>
+        val lengths = DeltaBinaryPacked.decodeInts(r)
+        var i = 0
+        while (i < n) {
+          sink.put(r.buf, r.pos, lengths(i))
+          r.skip(lengths(i))
+          i += 1
+        }
+      case DeltaBytes => DeltaByteArray.decodeInto(r, sink)
+      case DictBytes => DictBytesCodec.decodeInto(r, sink)
+      case FsstBytes =>
+        val lengths = DeltaBinaryPacked.decodeInts(r)
+        val blob = Fsst.decode(r)
+        var p = 0
+        var i = 0
+        while (i < n) {
+          sink.put(blob, p, lengths(i))
+          p += lengths(i)
+          i += 1
+        }
+      case other => throw new IllegalArgumentException(s"not a string codec: $other")
+    }
+    n
+  }
+
   def decodeStrings(bytes: Array[Byte]): Array[Array[Byte]] = {
     val r = new ByteReader(bytes)
     val codec = r.readByte()

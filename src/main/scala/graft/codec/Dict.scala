@@ -256,4 +256,22 @@ object DictBytesCodec {
     while (i < n) { dst(i) = syms(indexes(i)); i += 1 }
     dst
   }
+
+  /** Allocation-free variant: one symbol table, values emitted as symbol
+    * slices. */
+  def decodeInto(r: ByteReader, sink: BytesSink): Unit = {
+    val nSyms = r.readUvarint().toInt
+    val syms = DeltaLengthByteArray.decode(r)
+    require(syms.length == nSyms)
+    val n = r.readUvarint().toInt
+    val bw = r.readByte()
+    val indexes = new Array[Int](n)
+    Rle.decode(r, bw, indexes, 0, n)
+    var i = 0
+    while (i < n) {
+      val s = syms(indexes(i))
+      sink.put(s, 0, s.length)
+      i += 1
+    }
+  }
 }

@@ -74,4 +74,24 @@ object DeltaByteArray {
     }
     dst
   }
+
+  /** Allocation-free variant: values reconstruct in one reused scratch
+    * buffer — value i's prefix is already in place because scratch still
+    * holds value i-1 (and growth copies it along). */
+  def decodeInto(r: ByteReader, sink: BytesSink): Unit = {
+    val prefixLen = DeltaBinaryPacked.decodeInts(r)
+    val suffixLen = DeltaBinaryPacked.decodeInts(r)
+    val n = prefixLen.length
+    var scratch = new Array[Byte](64)
+    var i = 0
+    while (i < n) {
+      val len = prefixLen(i) + suffixLen(i)
+      if (len > scratch.length)
+        scratch = java.util.Arrays.copyOf(scratch, math.max(len, scratch.length * 2))
+      System.arraycopy(r.buf, r.pos, scratch, prefixLen(i), suffixLen(i))
+      r.skip(suffixLen(i))
+      sink.put(scratch, 0, len)
+      i += 1
+    }
+  }
 }

@@ -185,6 +185,27 @@ case class DecodeChunksExec(output: Seq[Attribute], child: SparkPlan)
     copy(child = newChild)
 }
 
+/** Writes decoded string values straight into a column vector in row
+  * order, interleaving nulls per the chunk's null flags (the vector
+  * copies each slice, honoring the sink's copy-what-you-keep contract). */
+private[plans] final class VectorBytesSink(
+    v: org.apache.spark.sql.execution.vectorized.WritableColumnVector,
+    nullFlags: Array[Boolean]) extends graft.codec.BytesSink {
+  private var r = 0
+  override def put(buf: Array[Byte], off: Int, len: Int): Unit = {
+    if (nullFlags != null) while (nullFlags(r)) { v.putNull(r); r += 1 }
+    v.putByteArray(r, buf, off, len)
+    r += 1
+  }
+  /** Mark any trailing null rows after the last non-null value. */
+  def finishNulls(n: Int): Unit =
+    while (r < n) {
+      require(nullFlags != null && nullFlags(r), s"row $r missing a value")
+      v.putNull(r)
+      r += 1
+    }
+}
+
 /** One ColumnarBatch per chunk row. Vectors are allocated once and
   * reset per chunk (the consumer copies what it keeps — the same reuse
   * contract as Spark's vectorized parquet reader). Only the streams the
@@ -259,9 +280,10 @@ private[plans] final class ChunkBatchIterator(
         case "doc_id" =>
           val docBin = row.getBinary(idx("docid_bin"))
           checkCrc(docBin, crcs(2), "docid", chunkId)
-          val docIds = Chunks.decodeStrings(BlockCompression.decompress(docBin))
-          var r = 0
-          while (r < n) { v.putByteArray(r, docIds(r)); r += 1 }
+          // allocation-free: values land in the vector as buffer slices
+          val sink = new VectorBytesSink(v, null)
+          val decoded = Chunks.decodeStringsInto(BlockCompression.decompress(docBin), sink)
+          require(decoded == n, s"chunk $chunkId: $decoded doc_ids for $n rows")
         case "tokens" =>
           val data = v.arrayData()
           data.reserve(flat.length)
@@ -286,14 +308,9 @@ private[plans] final class ChunkBatchIterator(
           val srcBin = row.getBinary(idx("source_bin"))
           checkCrc(srcBin, crcs(3), "source", chunkId)
           val (srcFlags, srcInner) = Chunks.unwrapNullable(BlockCompression.decompress(srcBin))
-          val dense = Chunks.decodeStrings(srcInner)
-          var r = 0
-          var k = 0
-          while (r < n) {
-            if (srcFlags != null && srcFlags(r)) v.putNull(r)
-            else { v.putByteArray(r, dense(k)); k += 1 }
-            r += 1
-          }
+          val sink = new VectorBytesSink(v, srcFlags)
+          Chunks.decodeStringsInto(srcInner, sink)
+          sink.finishNulls(n)
       }
       c += 1
     }

@@ -356,6 +356,49 @@ object RoundTrips {
       .orderBy("o_orderkey")
   }
 
+  /** Stats+bloom-pruned token search end-to-end (R11 Find/Search + R13
+    * bloom probe): the lineitem-derived token table is searched for one
+    * token id; min/max prunes chunks, the codegen'd bloom probe prunes
+    * again, and the projected columnar decode touches only the tokens and
+    * doc_id streams. Oracle: orders whose linenumber set contains the
+    * token. */
+  def searchToken(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rows = table(spark, dir, "lineitem")
+      .groupBy("l_orderkey")
+      .agg(sort_array(collect_list(col("l_linenumber"))).as("tokens"))
+      .select(
+        format_string("%015d", col("l_orderkey")).as("doc_id"),
+        col("tokens"),
+        size(col("tokens")).as("n_tok"),
+        lit("tpch").as("source"))
+      .as[TokenRow]
+    val chunks = EncodePipeline.encode(rows, numParts = 8, tokensPerChunk = 64 * 1024)
+    EncodePipeline.searchToken(chunks, 7).toDF("doc_id").orderBy("doc_id")
+  }
+
+  /** Layout-aligned (ZERO-shuffle) encode round-trip: the input is already
+    * range-laid-out on doc_id, so encodeAligned encodes each split in
+    * place — no exchange anywhere in the plan. Oracle is the identity
+    * restatement. */
+  def alignedRoundTrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val src = table(spark, dir, "documents")
+      .select(
+        lpad(col("doc_id").cast("string"), 8, "0").as("doc_id"),
+        array(col("n_chars").cast("int"), length(col("lang")).cast("int")).as("tokens"),
+        lit(2).as("n_tok"),
+        col("lang").as("source"))
+      .repartitionByRange(4, col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .as[TokenRow]
+    val chunks = EncodePipeline.encodeAligned(src, tokensPerChunk = 4096)
+    EncodePipeline.decodeDF(chunks)
+      .select(col("doc_id"), col("source"),
+        expr("aggregate(tokens, CAST(0 AS BIGINT), (a, x) -> a + x)").as("tok_sum"))
+      .orderBy("doc_id")
+  }
+
   /** Schema-generic SeekToRow: documents generically encoded range-sorted
     * on doc_id (range partitions concatenate in key order, doc_id is
     * unique), so a row-offset seek equals LIMIT/OFFSET over the sorted

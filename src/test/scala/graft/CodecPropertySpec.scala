@@ -66,8 +66,15 @@ class CodecPropertySpec extends AnyFunSuite {
   test("every string codec round-trips (property)") {
     forAll(byteArrays, Gen.oneOf(Codecs.PlainBytes, Codecs.DeltaLengthBytes,
       Codecs.DeltaBytes, Codecs.DictBytes, Codecs.FsstBytes)) { (a, codec) =>
-      val back = Chunks.decodeStrings(Chunks.encodeStrings(a, 0, a.length, codec))
+      val enc = Chunks.encodeStrings(a, 0, a.length, codec)
+      val back = Chunks.decodeStrings(enc)
       assert(back.map(_.toSeq).toSeq == a.map(_.toSeq).toSeq)
+      // the allocation-free sink decode yields the SAME values in the
+      // same order for every codec (values copied out per the contract)
+      val sunk = scala.collection.mutable.ArrayBuffer.empty[Seq[Byte]]
+      val n = Chunks.decodeStringsInto(enc, (buf: Array[Byte], off: Int, len: Int) =>
+        sunk += java.util.Arrays.copyOfRange(buf, off, off + len).toSeq)
+      assert(n == a.length && sunk.toSeq == a.map(_.toSeq).toSeq)
     }
   }
 
