@@ -48,6 +48,7 @@ object SparkEntry {
     "q_generic_seek" -> ((s, d) => RoundTrips.genericSeek(s, d)),
     "q_search_token" -> ((s, d) => RoundTrips.searchToken(s, d)),
     "q_rt_aligned" -> ((s, d) => RoundTrips.alignedRoundTrip(s, d)),
+    "q_streaming_ingest" -> ((s, d) => RoundTrips.streamingIngest(s, d)),
     "q_seek_rows" -> ((s, d) => RoundTrips.seekRows(s, d)),
     "q_compact_merge" -> ((s, d) => RoundTrips.compactMerge(s, d)),
     "q_codec_stats" -> ((s, d) => RoundTrips.codecStats(s, d)),
@@ -152,6 +153,11 @@ object SparkEntry {
       "SELECT DISTINCT lpad(CAST(l_orderkey AS VARCHAR), 15, '0') AS doc_id FROM lineitem WHERE l_linenumber = 7 ORDER BY doc_id",
     // Zero-shuffle aligned encode: identity restatement over documents.
     "q_rt_aligned" ->
+      """SELECT lpad(CAST(doc_id AS VARCHAR), 8, '0') AS doc_id, lang AS source,
+        |       CAST(n_chars + length(lang) AS BIGINT) AS tok_sum
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // Streaming ingest in 3 micro-batches must decode to the same identity.
+    "q_streaming_ingest" ->
       """SELECT lpad(CAST(doc_id AS VARCHAR), 8, '0') AS doc_id, lang AS source,
         |       CAST(n_chars + length(lang) AS BIGINT) AS tok_sum
         |FROM documents ORDER BY doc_id""".stripMargin,

@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.codec.{BlockCompression, Chunks, Codecs, StreamedTokens}
+import graft.codec.{BlockCompression, ByteReader, Chunks, Codecs, StreamedTokens}
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
@@ -117,8 +117,68 @@ object GraftStrategy extends SparkStrategy {
           s"chunk table has no column '$n'")
       }
       DecodeChunksExec(dc.output, planLater(dc.child)) :: Nil
+    case dg: DecodeGenericChunks =>
+      DecodeGenericChunksExec(dg.output, dg.colIndices, dg.colTypes,
+        planLater(dg.child)) :: Nil
     case _ => Nil
   }
+}
+
+/** Columnar decode for GENERIC (any-schema) chunk tables: output/
+  * colIndices/colTypes are parallel — each output attribute decodes the
+  * chunk column at its index. The child is the projected chunk metadata
+  * (num_rows, chunk_id, col_crcs, cols_bin); the per-column payloads
+  * live inside ONE array column, so projection saves decode CPU and CRC
+  * work, not parquet bytes (the documented generic-format trade-off). */
+case class DecodeGenericChunks(output: Seq[Attribute], colIndices: Seq[Int],
+                               colTypes: Seq[String], child: LogicalPlan)
+    extends UnaryNode {
+  override def references: AttributeSet = AttributeSet(child.output)
+  override def maxRows: Option[Long] = None
+  override protected def withNewChildInternal(newChild: LogicalPlan): DecodeGenericChunks =
+    copy(child = newChild)
+}
+
+/** Same automatic pruning as the token node: a narrower parent Project
+  * drops decode work column by column. */
+object DecodeGenericChunksPruning extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case p @ Project(projList, dg: DecodeGenericChunks)
+        if projList.forall(_.isInstanceOf[AttributeReference]) &&
+          projList.map(_.exprId).toSet.subsetOf(dg.output.map(_.exprId).toSet) &&
+          projList.length < dg.output.length =>
+      val keep = projList.map(_.exprId).toSet
+      val kept = dg.output.zipWithIndex.filter { case (a, _) => keep.contains(a.exprId) }
+      p.copy(child = dg.copy(
+        output = kept.map(_._1),
+        colIndices = kept.map { case (_, i) => dg.colIndices(i) },
+        colTypes = kept.map { case (_, i) => dg.colTypes(i) }))
+  }
+}
+
+case class DecodeGenericChunksExec(output: Seq[Attribute], colIndices: Seq[Int],
+                                   colTypes: Seq[String], child: SparkPlan)
+    extends UnaryExecNode {
+  override def supportsColumnar: Boolean = true
+  override def outputPartitioning: Partitioning = UnknownPartitioning(0)
+
+  private def batches(it: Iterator[InternalRow]): Iterator[ColumnarBatch] =
+    new GenericChunkBatchIterator(it, child.output.map(_.name), output,
+      colIndices.toArray, colTypes.toArray)
+
+  override protected def doExecuteColumnar(): RDD[ColumnarBatch] =
+    child.execute().mapPartitions(batches)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val outAttrs = output
+    child.execute().mapPartitions { it =>
+      val proj = UnsafeProjection.create(outAttrs, outAttrs)
+      batches(it).flatMap(b => b.rowIterator().asScala.map(proj))
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): DecodeGenericChunksExec =
+    copy(child = newChild)
 }
 
 object GraftPlans {
@@ -129,6 +189,8 @@ object GraftPlans {
       exp.extraStrategies = exp.extraStrategies :+ GraftStrategy
     if (!exp.extraOptimizations.contains(DecodeChunksPruning))
       exp.extraOptimizations = exp.extraOptimizations :+ DecodeChunksPruning
+    if (!exp.extraOptimizations.contains(DecodeGenericChunksPruning))
+      exp.extraOptimizations = exp.extraOptimizations :+ DecodeGenericChunksPruning
   }
 
   /** Chunk table (any plan with the chunk columns) → token rows, decoding
@@ -183,6 +245,144 @@ case class DecodeChunksExec(output: Seq[Attribute], child: SparkPlan)
 
   override protected def withNewChildInternal(newChild: SparkPlan): DecodeChunksExec =
     copy(child = newChild)
+}
+
+/** One ColumnarBatch per GENERIC chunk row: each selected column decodes
+  * from its payload in cols_bin (per-column CRC verified) straight into a
+  * reused OnHeapColumnVector — primitives land as positional puts with
+  * null interleaving, strings/binary via the allocation-free sink, array
+  * columns as bulk child-vector fills plus offsets. */
+private[plans] final class GenericChunkBatchIterator(
+    rows: Iterator[InternalRow], chunkCols: Seq[String], output: Seq[Attribute],
+    colIndices: Array[Int], colTypes: Array[String])
+  extends Iterator[ColumnarBatch] {
+
+  private val idx = chunkCols.zipWithIndex.toMap
+  private val iNumRows = idx("num_rows")
+  private val iChunkId = idx("chunk_id")
+  private val iCrcs = idx("col_crcs")
+  private val iBins = idx("cols_bin")
+  private val schema = StructType(output.map(a =>
+    StructField(a.name, a.dataType, nullable = true)).toArray)
+  private var vectors: Array[OnHeapColumnVector] = _
+
+  override def hasNext: Boolean = rows.hasNext
+
+  override def next(): ColumnarBatch = {
+    val row = rows.next()
+    val n = row.getInt(iNumRows)
+    val chunkId = row.getLong(iChunkId)
+    val crcs = row.getArray(iCrcs)
+    val bins = row.getArray(iBins)
+    if (vectors == null)
+      vectors = OnHeapColumnVector.allocateColumns(math.max(n, 1024), schema)
+    else {
+      var i = 0
+      while (i < vectors.length) { vectors(i).reset(); vectors(i).reserve(n); i += 1 }
+    }
+    var k = 0
+    while (k < colIndices.length) {
+      val ci = colIndices(k)
+      val bin = bins.getBinary(ci)
+      val crc = new java.util.zip.CRC32()
+      crc.update(bin)
+      require(crc.getValue == crcs.getLong(ci),
+        s"generic chunk $chunkId: column ${output(k).name} CRC mismatch")
+      val (flags, inner) = Chunks.unwrapNullable(bin)
+      fill(vectors(k), colTypes(k), flags, inner, n, output(k).dataType)
+      k += 1
+    }
+    new ColumnarBatch(vectors.asInstanceOf[Array[ColumnVector]], n)
+  }
+
+  /** Scatter a dense primitive decode across null flags. */
+  private def fill(v: OnHeapColumnVector, tpe: String, flags: Array[Boolean],
+                   inner: Array[Byte], n: Int, dt: DataType): Unit = {
+    @inline def scatter(put: (Int, Int) => Unit, denseLen: Int): Unit = {
+      var r = 0
+      var k = 0
+      while (r < n) {
+        if (flags != null && flags(r)) v.putNull(r)
+        else { put(r, k); k += 1 }
+        r += 1
+      }
+      require(k == denseLen, s"dense underflow: $k of $denseLen")
+    }
+    tpe match {
+      case "int" | "date" =>
+        val a = Chunks.decodeInts(inner)
+        if (flags == null) v.putInts(0, n, a, 0)
+        else scatter((r, k) => v.putInt(r, a(k)), a.length)
+      case "bigint" | "timestamp" | "timestamp_ntz" =>
+        val a = Chunks.decodeLongs(inner)
+        if (flags == null) v.putLongs(0, n, a, 0)
+        else scatter((r, k) => v.putLong(r, a(k)), a.length)
+      case dec if dec.startsWith("decimal(") =>
+        val a = Chunks.decodeLongs(inner)
+        val useInt = dt.asInstanceOf[DecimalType].precision <=
+          org.apache.spark.sql.types.Decimal.MAX_INT_DIGITS
+        // unscaled values land directly in the vector's int/long storage —
+        // no Decimal object per row (the vectorized-parquet convention)
+        if (useInt) scatter((r, k) => v.putInt(r, a(k).toInt), a.length)
+        else scatter((r, k) => v.putLong(r, a(k)), a.length)
+      case "double" =>
+        val a = Chunks.decodeDoubles(inner)
+        if (flags == null) v.putDoubles(0, n, a, 0)
+        else scatter((r, k) => v.putDouble(r, a(k)), a.length)
+      case "float" =>
+        val a = Chunks.decodeFloats(inner)
+        if (flags == null) v.putFloats(0, n, a, 0)
+        else scatter((r, k) => v.putFloat(r, a(k)), a.length)
+      case "boolean" =>
+        val a = Chunks.decodeBooleans(inner)
+        scatter((r, k) => v.putBoolean(r, a(k)), a.length)
+      case "string" | "binary" =>
+        val sink = new VectorBytesSink(v, flags)
+        Chunks.decodeStringsInto(inner, sink)
+        sink.finishNulls(n)
+      case "array<int>" =>
+        val r0 = new ByteReader(inner)
+        val lens = Chunks.decodeInts(r0.readBytes(r0.readUvarint().toInt))
+        val flat = StreamedTokens.decode(
+          java.util.Arrays.copyOfRange(r0.buf, r0.pos, r0.buf.length), lens)
+        val data = v.arrayData()
+        data.reserve(flat.length)
+        data.putInts(0, flat.length, flat, 0)
+        putArrays(v, flags, lens, n)
+      case "array<float>" =>
+        val r0 = new ByteReader(inner)
+        val lens = Chunks.decodeInts(r0.readBytes(r0.readUvarint().toInt))
+        val flat = Chunks.decodeFloats(
+          java.util.Arrays.copyOfRange(r0.buf, r0.pos, r0.buf.length))
+        val data = v.arrayData()
+        data.reserve(flat.length)
+        data.putFloats(0, flat.length, flat, 0)
+        putArrays(v, flags, lens, n)
+      case "array<string>" =>
+        val r0 = new ByteReader(inner)
+        val lens = Chunks.decodeInts(r0.readBytes(r0.readUvarint().toInt))
+        val data = v.arrayData()
+        data.reserve(math.max(1, lens.sum))
+        val sink = new VectorBytesSink(data, null)
+        Chunks.decodeStringsInto(
+          java.util.Arrays.copyOfRange(r0.buf, r0.pos, r0.buf.length), sink)
+        putArrays(v, flags, lens, n)
+      case other => throw new IllegalArgumentException(s"generic decode: $other")
+    }
+  }
+
+  /** Array offsets from per-row lengths, null rows interleaved. */
+  private def putArrays(v: OnHeapColumnVector, flags: Array[Boolean],
+                        lens: Array[Int], n: Int): Unit = {
+    var r = 0
+    var k = 0
+    var off = 0
+    while (r < n) {
+      if (flags != null && flags(r)) v.putNull(r)
+      else { v.putArray(r, off, lens(k)); off += lens(k); k += 1 }
+      r += 1
+    }
+  }
 }
 
 /** Writes decoded string values straight into a column vector in row

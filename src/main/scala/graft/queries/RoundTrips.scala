@@ -399,6 +399,43 @@ object RoundTrips {
       .orderBy("doc_id")
   }
 
+  /** Structured-Streaming ingest end-to-end: the documents table streams
+    * through a MemoryStream in three micro-batches, each encoded by the
+    * idempotent foreachBatch sink (aligned encode → dynamic overwrite of
+    * its batch_id partition), and the union of all batches' chunks must
+    * decode back to exactly the source table (identity oracle). The
+    * replay-idempotence property is additionally spec-verified. */
+  def streamingIngest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val rows = table(spark, dir, "documents")
+      .select(
+        lpad(col("doc_id").cast("string"), 8, "0").as("doc_id"),
+        array(col("n_chars").cast("int"), length(col("lang")).cast("int")).as("tokens"),
+        lit(2).as("n_tok"),
+        col("lang").as("source"))
+      .as[TokenRow].collect().sortBy(_.doc_id)
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft-stream-q-" +
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    val ms = MemoryStream[TokenRow](spark)
+    val q = graft.streaming.StreamingEncode.start(
+      spark, ms.toDF(), s"$base/chunks", s"$base/ckpt", tokensPerChunk = 4096)
+    try {
+      val batchSize = (rows.length + 2) / 3
+      rows.grouped(batchSize).foreach { g =>
+        ms.addData(g.toSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val chunks = spark.read.parquet(s"$base/chunks").as[graft.spark.EncodedChunk]
+    EncodePipeline.decodeDF(chunks)
+      .select(col("doc_id"), col("source"),
+        expr("aggregate(tokens, CAST(0 AS BIGINT), (a, x) -> a + x)").as("tok_sum"))
+      .orderBy("doc_id")
+  }
+
   /** Schema-generic SeekToRow: documents generically encoded range-sorted
     * on doc_id (range partitions concatenate in key order, doc_id is
     * unique), so a row-offset seek equals LIMIT/OFFSET over the sorted

@@ -641,7 +641,14 @@ object GenericEncode {
     * the decode to those TOP-LEVEL columns: skipped columns are never
     * CRC'd or decoded (their bytes still ride in the chunk row — the
     * per-column byte layout inside one parquet array column is the
-    * documented trade-off of the generic format). */
+    * documented trade-off of the generic format).
+    *
+    * The scan is COLUMNAR: a custom Catalyst plan
+    * (plans.DecodeGenericChunksExec) decodes each chunk column straight
+    * into reused OnHeapColumnVectors — no boxed value per row — and a
+    * parent Project narrows the decode automatically (same optimizer
+    * rule family as the token pipeline's decodeDF). Every read column's
+    * CRC is verified per chunk. */
   def decode(spark: SparkSession, chunks: Dataset[GenericChunk],
              cols: Seq[String] = Seq.empty): DataFrame = {
     val head = chunks.limit(1).collect()
@@ -657,14 +664,15 @@ object GenericEncode {
         require(keep.nonEmpty, s"no requested column among $cols in table schema")
         keep.map(_._2)
       }
-    val schema = StructType(selected.map(i =>
-      StructField(allNames(i), parseType(allTypes(i)), nullable = true)))
-    val full = selected.size == allNames.size
-    val sel = selected.toArray
-    val rowRdd = chunks.rdd.flatMap(c => decodeChunkInternal(c, sel, full))
-    val flat = org.apache.spark.sql.graftbridge.ColumnBridge
-      .internalCreateDataFrame(spark, rowRdd, schema)
-    if (schema.fieldNames.exists(_.contains(Sep))) unflatten(flat) else flat
+    val attrs = selected.map(i =>
+      org.apache.spark.sql.catalyst.expressions.AttributeReference(
+        allNames(i), parseType(allTypes(i)), nullable = true)())
+    graft.plans.GraftPlans.install(spark)
+    val bridge = org.apache.spark.sql.graftbridge.ColumnBridge
+    val projected = chunks.toDF().select("num_rows", "chunk_id", "col_crcs", "cols_bin")
+    val flat = bridge.ofRows(spark, graft.plans.DecodeGenericChunks(
+      attrs, selected, selected.map(allTypes(_)), bridge.analyzedPlan(projected)))
+    if (attrs.exists(_.name.contains(Sep))) unflatten(flat) else flat
   }
 
   private def parseType(s: String): DataType = s match {

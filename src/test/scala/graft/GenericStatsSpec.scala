@@ -82,6 +82,21 @@ class GenericStatsSpec extends AnyFunSuite {
     assert(messages(ex).exists(_.contains("CRC mismatch")), ex.toString)
   }
 
+  test("generic decode is columnar and prunes automatically") {
+    import spark.implicits._
+    val df = GenericEncode.decode(spark, chunks)
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("DecodeGenericChunks"), plan.take(1500))
+    assert(plan.contains("ColumnarToRow"), plan.take(1500))
+    // a narrow select over a corrupted unselected column must succeed —
+    // the optimizer rule pruned that column's decode (and its CRC check)
+    val corrupted = chunks.map { c =>
+      c.copy(cols_bin = c.cols_bin.updated(1, Array[Byte](1)))
+    }
+    assert(GenericEncode.decode(spark, corrupted).select("k").count() == 10000)
+  }
+
   test("seekRows: generic row-offset read touches only covering chunks") {
     // chunks of 512 rows over 10000 sorted rows; a 20-row seek covers 1-2
     val got = GenericEncode.seekRows(spark, chunks, 5000, 20, Seq("k", "name"))
