@@ -46,6 +46,7 @@ object SparkEntry {
     "q_decode_project" -> ((s, d) => RoundTrips.decodeProject(s, d)),
     "q_generic_prune" -> ((s, d) => RoundTrips.genericPrune(s, d)),
     "q_generic_seek" -> ((s, d) => RoundTrips.genericSeek(s, d)),
+    "q_generic_columnar" -> ((s, d) => RoundTrips.genericColumnar(s, d)),
     "q_search_token" -> ((s, d) => RoundTrips.searchToken(s, d)),
     "q_rt_aligned" -> ((s, d) => RoundTrips.alignedRoundTrip(s, d)),
     "q_streaming_ingest" -> ((s, d) => RoundTrips.streamingIngest(s, d)),
@@ -161,6 +162,11 @@ object SparkEntry {
       """SELECT lpad(CAST(doc_id AS VARCHAR), 8, '0') AS doc_id, lang AS source,
         |       CAST(n_chars + length(lang) AS BIGINT) AS tok_sum
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // Columnar-layout generic table: projected 2-of-4-column read + filter.
+    "q_generic_columnar" ->
+      """SELECT lpad(CAST(doc_id AS VARCHAR), 8, '0') AS doc_id,
+        |       CAST(n_chars AS BIGINT) AS n_chars
+        |FROM documents WHERE n_chars >= 200 ORDER BY doc_id""".stripMargin,
     // Schema-generic SeekToRow: range-sorted generic chunk table, so the
     // row-offset read equals LIMIT/OFFSET over the doc_id order.
     "q_generic_seek" ->

@@ -140,7 +140,9 @@ case class DecodeGenericChunks(output: Seq[Attribute], colIndices: Seq[Int],
 }
 
 /** Same automatic pruning as the token node: a narrower parent Project
-  * drops decode work column by column. */
+  * drops decode work column by column — and for the columnar table
+  * layout (bin_<i> parquet columns) it also re-narrows the node's child
+  * projection, so the scan skips the dropped columns' BYTES. */
 object DecodeGenericChunksPruning extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case p @ Project(projList, dg: DecodeGenericChunks)
@@ -149,10 +151,19 @@ object DecodeGenericChunksPruning extends Rule[LogicalPlan] {
           projList.length < dg.output.length =>
       val keep = projList.map(_.exprId).toSet
       val kept = dg.output.zipWithIndex.filter { case (a, _) => keep.contains(a.exprId) }
-      p.copy(child = dg.copy(
-        output = kept.map(_._1),
-        colIndices = kept.map { case (_, i) => dg.colIndices(i) },
-        colTypes = kept.map { case (_, i) => dg.colTypes(i) }))
+      val keptIndices = kept.map { case (_, i) => dg.colIndices(i) }
+      val newChild = dg.child match {
+        case Project(_, src) =>
+          val needed = Seq("num_rows", "chunk_id", "col_crcs") ++
+            keptIndices.map(ci => s"bin_$ci").filter(n => src.output.exists(_.name == n)) ++
+            src.output.map(_.name).filter(_ == "cols_bin")
+          if (needed.forall(n => src.output.exists(_.name == n)))
+            Project(needed.map(n => src.output.find(_.name == n).get), src)
+          else dg.child
+        case other => other
+      }
+      p.copy(child = DecodeGenericChunks(
+        kept.map(_._1), keptIndices, kept.map { case (_, i) => dg.colTypes(i) }, newChild))
   }
 }
 
@@ -261,7 +272,12 @@ private[plans] final class GenericChunkBatchIterator(
   private val iNumRows = idx("num_rows")
   private val iChunkId = idx("chunk_id")
   private val iCrcs = idx("col_crcs")
-  private val iBins = idx("cols_bin")
+  // two physical layouts: the chunk-row form (one cols_bin array) or the
+  // columnar table form (one bin_<i> parquet column per engine column —
+  // byte-level projection at the scan)
+  private val iBins = idx.getOrElse("cols_bin", -1)
+  private val binOrdinals: Array[Int] =
+    if (iBins >= 0) null else colIndices.map(ci => idx(s"bin_$ci"))
   private val schema = StructType(output.map(a =>
     StructField(a.name, a.dataType, nullable = true)).toArray)
   private var vectors: Array[OnHeapColumnVector] = _
@@ -273,7 +289,7 @@ private[plans] final class GenericChunkBatchIterator(
     val n = row.getInt(iNumRows)
     val chunkId = row.getLong(iChunkId)
     val crcs = row.getArray(iCrcs)
-    val bins = row.getArray(iBins)
+    val bins = if (iBins >= 0) row.getArray(iBins) else null
     if (vectors == null)
       vectors = OnHeapColumnVector.allocateColumns(math.max(n, 1024), schema)
     else {
@@ -283,7 +299,7 @@ private[plans] final class GenericChunkBatchIterator(
     var k = 0
     while (k < colIndices.length) {
       val ci = colIndices(k)
-      val bin = bins.getBinary(ci)
+      val bin = if (bins != null) bins.getBinary(ci) else row.getBinary(binOrdinals(k))
       val crc = new java.util.zip.CRC32()
       crc.update(bin)
       require(crc.getValue == crcs.getLong(ci),

@@ -436,6 +436,26 @@ object RoundTrips {
       .orderBy("doc_id")
   }
 
+  /** Columnar on-disk layout for generic chunks: one parquet column per
+    * engine column, so this 2-of-4-column read never fetches the other
+    * two columns' BYTES (ReadSchema asserted in GenericStatsSpec). */
+  def genericColumnar(spark: SparkSession, dir: String): DataFrame = {
+    val src = table(spark, dir, "documents")
+      .select(
+        lpad(col("doc_id").cast("string"), 8, "0").as("doc_id"),
+        col("lang"), col("n_chars").cast("long").as("n_chars"), col("source"))
+      .repartitionByRange(2, col("doc_id"))
+      .sortWithinPartitions("doc_id")
+    val chunks = graft.spark.GenericEncode.encode(src, rowsPerChunk = 256)
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft-gcol-q-" +
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    graft.spark.GenericEncode.writeColumnar(chunks, base)
+    graft.spark.GenericEncode.decodeColumnarTable(spark, base, Seq("doc_id", "n_chars"))
+      .filter(col("n_chars") >= 200L)
+      .orderBy("doc_id")
+  }
+
   /** Schema-generic SeekToRow: documents generically encoded range-sorted
     * on doc_id (range partitions concatenate in key order, doc_id is
     * unique), so a row-offset seek equals LIMIT/OFFSET over the sorted

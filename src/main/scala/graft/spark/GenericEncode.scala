@@ -633,6 +633,59 @@ object GenericEncode {
     if (schema.fieldNames.exists(_.contains(Sep))) unflatten(flat) else flat
   }
 
+  // ------------------------------------------------- columnar table layout
+
+  private val ChunkMetaCols = Seq(
+    "part_id", "chunk_id", "num_rows", "col_names", "col_types", "col_codecs",
+    "col_nulls", "col_mins", "col_maxs", "col_blooms", "enc_bytes", "crc32",
+    "col_crcs")
+
+  /** Write a chunk table with ONE PARQUET COLUMN PER ENGINE COLUMN
+    * (`bin_<i>`) instead of the single `cols_bin` array: a projected read
+    * of such a table skips the unselected columns' BYTES at the parquet
+    * layer — the full per-column I/O pruning the reference gets from its
+    * page layout (file.go:439-485) — not just their decode/CRC work. */
+  def writeColumnar(chunks: Dataset[GenericChunk], path: String): Unit = {
+    val head = chunks.limit(1).collect()
+    require(head.nonEmpty, "empty chunk table")
+    val n = head(0).col_names.length
+    val base = ChunkMetaCols.map(fcol)
+    val bins = (0 until n).map(i => fcol("cols_bin").getItem(i).as(s"bin_$i"))
+    chunks.toDF().select(base ++ bins: _*).write.mode("overwrite").parquet(path)
+  }
+
+  /** Columnar-layout reader: the decode plan's child selects only the
+    * requested columns' `bin_<i>` payloads, so parquet never reads the
+    * rest (and the pruning rule narrows it further under parent
+    * Projects). Same schema-from-the-chunks contract as `decode`. */
+  def decodeColumnarTable(spark: SparkSession, path: String,
+                          cols: Seq[String] = Seq.empty): DataFrame = {
+    val df = spark.read.parquet(path)
+    val head = df.select("col_names", "col_types").limit(1).collect()
+    if (head.isEmpty) return spark.emptyDataFrame
+    val allNames = head(0).getSeq[String](0)
+    val allTypes = head(0).getSeq[String](1)
+    val selected: Seq[Int] =
+      if (cols.isEmpty) allNames.indices
+      else {
+        val keep = allNames.zipWithIndex.filter { case (nm, _) =>
+          cols.contains(nm.split(Sep, 2)(0))
+        }
+        require(keep.nonEmpty, s"no requested column among $cols in table schema")
+        keep.map(_._2)
+      }
+    val attrs = selected.map(i =>
+      org.apache.spark.sql.catalyst.expressions.AttributeReference(
+        allNames(i), parseType(allTypes(i)), nullable = true)())
+    graft.plans.GraftPlans.install(spark)
+    val bridge = org.apache.spark.sql.graftbridge.ColumnBridge
+    val projected = df.select(
+      (Seq("num_rows", "chunk_id", "col_crcs") ++ selected.map(i => s"bin_$i")).map(fcol): _*)
+    val flat = bridge.ofRows(spark, graft.plans.DecodeGenericChunks(
+      attrs, selected, selected.map(allTypes(_)), bridge.analyzedPlan(projected)))
+    if (attrs.exists(_.name.contains(Sep))) unflatten(flat) else flat
+  }
+
   // ---------------------------------------------------------------- decode
 
   /** Chunk table → rows with the original schema (schema is read from

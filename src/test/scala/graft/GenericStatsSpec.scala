@@ -97,6 +97,30 @@ class GenericStatsSpec extends AnyFunSuite {
     assert(GenericEncode.decode(spark, corrupted).select("k").count() == 10000)
   }
 
+  test("columnar table layout: projected reads skip unselected columns' BYTES") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-gcol").toString
+    GenericEncode.writeColumnar(chunks, s"$dir/t")
+    // full round-trip parity with the array-layout decode
+    val full = GenericEncode.decodeColumnarTable(spark, s"$dir/t")
+      .orderBy("k").collect()
+    assert(full.length == 10000 && full(123).getInt(0) == 123)
+    // projected read: the parquet ReadSchema must contain ONLY the
+    // selected columns' payloads — bin_1 ('v') never read
+    val proj = GenericEncode.decodeColumnarTable(spark, s"$dir/t", Seq("k", "name"))
+    assert(proj.count() == 10000)
+    val plan = proj.queryExecution.executedPlan.toString
+    val readSchema = plan.split("ReadSchema:").last
+    assert(readSchema.contains("bin_0") && readSchema.contains("bin_2"), plan.take(2000))
+    assert(!readSchema.contains("bin_1") && !readSchema.contains("bin_3"),
+      readSchema.take(500))
+    // automatic: a narrow select over a FULL columnar decode re-narrows
+    // the scan through the pruning rule
+    val auto = GenericEncode.decodeColumnarTable(spark, s"$dir/t").select("name")
+    auto.count()
+    val autoRead = auto.queryExecution.executedPlan.toString.split("ReadSchema:").last
+    assert(autoRead.contains("bin_2") && !autoRead.contains("bin_1"), autoRead.take(500))
+  }
+
   test("seekRows: generic row-offset read touches only covering chunks") {
     // chunks of 512 rows over 10000 sorted rows; a 20-row seek covers 1-2
     val got = GenericEncode.seekRows(spark, chunks, 5000, 20, Seq("k", "name"))
