@@ -91,18 +91,16 @@ object DeltaBinaryPacked {
       var mb = 0
       while (mb < miniBlocks && i < n) {
         val w = r.buf(widthsPos + mb) & 0xFF
-        if (w > 0 || i < n) {
-          val have = math.min(mbLen, n - i)
-          if (w == 0) {
-            var j = 0
-            while (j < have) { prev = prev + minDelta; dst(i + j) = prev; j += 1 }
-          } else {
-            r.skip(BitPack.unpackInts(r.buf, r.pos, w, scratch, 0, mbLen))
-            var j = 0
-            while (j < have) { prev = prev + minDelta + scratch(j); dst(i + j) = prev; j += 1 }
-          }
-          i += have
+        val have = math.min(mbLen, n - i)
+        if (w == 0) {
+          var j = 0
+          while (j < have) { prev = prev + minDelta; dst(i + j) = prev; j += 1 }
+        } else {
+          r.skip(BitPack.unpackInts(r.buf, r.pos, w, scratch, 0, mbLen))
+          var j = 0
+          while (j < have) { prev = prev + minDelta + scratch(j); dst(i + j) = prev; j += 1 }
         }
+        i += have
         mb += 1
       }
     }
