@@ -266,6 +266,22 @@ object Bench {
         } finally spark.stop()
       }
 
+    // Checkpoint the query evidence to bench.json NOW (flagged partial):
+    // if anything kills the scaling phase, the per-query timings survive
+    // machine-readably; the final envelope overwrites this file.
+    locally {
+      def r3p(d: Double): String =
+        BigDecimal(d).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+      val qs = results.map { case (k, v) => "\"" + k + "\":" + r3p(v) }.mkString("{", ",", "}")
+      val errs = queryErrors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+        .mkString("{", ",", "}")
+      try java.nio.file.Files.write(java.nio.file.Paths.get("bench.json"),
+        (s"""{"metric":"total","value":${r3p(results.map(_._2).sum)},"unit":"sec",""" +
+          s""""queries":$qs,"query_errors":$errs,"sf":"$sfDir","partial":true}""" + "\n")
+          .getBytes(UTF_8))
+      catch { case e: Exception => System.err.println(s"bench.json write failed: $e") }
+    }
+
     // 2. north-rule scaling: identical job (same input, same 64-partition
     //    layout, persisted bounds) at N and 4N executor threads
     val benchRows = sys.env.getOrElse("GRAFT_BENCH_ROWS", "2000000").toLong
