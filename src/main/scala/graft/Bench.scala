@@ -250,6 +250,12 @@ object Bench {
       if (sys.env.contains("GRAFT_BENCH_SKIP_QUERIES")) Seq.empty[(String, Double)]
       else {
         val spark = newSession(s"local[$cpus]", cpus.toInt)
+        // untimed session warm-up (JIT + codegen + shuffle paths): the
+        // alphabetically-first query otherwise absorbs ~7-10 s of
+        // compiler time that is not its own cost
+        try EncodePipeline.encode(TokenTableGen.generate(spark, 2000, 4), 4)
+          .agg(org.apache.spark.sql.functions.sum("num_tokens")).collect()
+        catch { case e: Exception => System.err.println(s"warm-up failed: $e") }
         try SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
           val t0 = System.nanoTime()
           try {
