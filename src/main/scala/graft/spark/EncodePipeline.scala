@@ -757,13 +757,18 @@ object EncodePipeline {
     * rewrite (reference merges sorted runs with a k-way heap instead of
     * re-sorting, merge.go:177-273).
     *
-    * Grouping is a driver-side sweep over chunk [first,last] doc_id
-    * intervals in UTF8 byte order (metadata only — O(#chunks), never row
-    * data): transitively-overlapping chunks form a group; singleton
-    * groups pass through, multi-chunk groups decode + merge + re-encode.
-    * Output part_ids are group ordinals, so the compacted table's
-    * partition ranges are disjoint and globally ordered. Use `compact`
-    * instead when a fresh globally mass-balanced layout is wanted.
+    * Grouping is a DISTRIBUTED sweep over chunk [first,last] doc_id
+    * intervals (transitively-overlapping chunks form a group; a group
+    * boundary falls wherever an interval starts past the running max of
+    * every preceding interval's end): the metadata is range-partitioned
+    * on first_doc_id and the running max crosses partitions via the same
+    * two-phase prefix pattern as `rowIndex` — the driver holds only
+    * O(#partitions) carry values, never the chunk list (rounds 1-2 swept
+    * all chunk metadata on the driver). Group ids are globally
+    * consecutive ordinals, so the compacted table's partition ranges are
+    * disjoint and globally ordered. Singleton groups pass through
+    * byte-identical; multi-chunk groups decode + merge + re-encode. Use
+    * `compact` instead when a fresh mass-balanced layout is wanted.
     */
   def compactSorted(spark: SparkSession, chunkDirs: Seq[String], outDir: String,
                     tokensPerChunk: Int = DefaultTokensPerChunk): DataFrame = {
@@ -772,47 +777,79 @@ object EncodePipeline {
     val all: Dataset[(Int, EncodedChunk)] = chunkDirs.zipWithIndex.map { case (d, i) =>
       spark.read.parquet(d).as[EncodedChunk].map(c => (i, c))
     }.reduce(_ union _)
-    // Metadata-only sweep, genuinely: a column-level select straight off
-    // the parquet dirs, so column pruning skips every payload stream (a
-    // typed .map here would deserialize all chunk BYTES just to project
-    // four fields — a full-data read disguised as metadata).
+    // Metadata-only, genuinely: a column-level select straight off the
+    // parquet dirs (column pruning skips every payload stream), sorted by
+    // Spark's own UTF8-binary string order — the SAME order the per-row
+    // UTF8String comparisons below use.
     val meta = chunkDirs.zipWithIndex.map { case (d, i) =>
       spark.read.parquet(d).select(
         lit(i).as("run"), col("chunk_id"), col("first_doc_id"), col("last_doc_id"))
     }.reduce(_ unionByName _)
-      .collect()
-      .map(r => (r.getInt(0), r.getLong(1),
-        UTF8String.fromString(r.getString(2)), UTF8String.fromString(r.getString(3))))
-    val utf8Ord = Ordering.comparatorToOrdering(
-      java.util.Comparator.naturalOrder[UTF8String]())
-    val sorted = meta.sortBy(m => (m._3, m._2))(Ordering.Tuple2(utf8Ord, Ordering.Long))
-    val assign = scala.collection.mutable.HashMap.empty[(Int, Long), Int]
-    val groupSize = scala.collection.mutable.ArrayBuffer.empty[Int]
-    var end: UTF8String = null
-    for ((run, id, first, last) <- sorted) {
-      if (end == null || first.compareTo(end) > 0) { // new group starts past the sweep end
-        groupSize += 0
-        end = last
-      } else if (last.compareTo(end) > 0) end = last
-      assign((run, id)) = groupSize.length - 1
-      groupSize(groupSize.length - 1) += 1
+    val sortedMeta = meta
+      .repartitionByRange(math.max(1, spark.sessionState.conf.numShufflePartitions),
+        col("first_doc_id"), col("chunk_id"))
+      .sortWithinPartitions("first_doc_id", "chunk_id")
+      .as[(Int, Long, String, String)]
+      .cache()
+    sortedMeta.count() // pin the partition layout for the three passes
+    @inline def max(a: UTF8String, b: UTF8String): UTF8String =
+      if (a == null || (b != null && b.compareTo(a) > 0)) b else a
+    // pass 1: per-partition max(last) → driver-side prefix = carry-in
+    val partMax = sortedMeta.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var mx: UTF8String = null
+      it.foreach { case (_, _, _, l) => mx = max(mx, UTF8String.fromString(l)) }
+      Iterator.single((pid, Option(mx).map(_.toString)))
+    }.collect().sortBy(_._1)
+    val carryIn = new Array[String](partMax.length) // null = no preceding interval
+    var acc: UTF8String = null
+    partMax.foreach { case (pid, mx) =>
+      carryIn(pid) = if (acc == null) null else acc.toString
+      mx.foreach(m => acc = max(acc, UTF8String.fromString(m)))
     }
-    val passGroups = groupSize.zipWithIndex.collect { case (1, g) => g }.toSet
-    val bcAssign = spark.sparkContext.broadcast(assign.toMap)
-    val bcPass = spark.sparkContext.broadcast(passGroups)
+    val bcCarry = spark.sparkContext.broadcast(carryIn)
+    // pass 2: per-partition boundary counts → driver-side prefix = group base
+    val counts = sortedMeta.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var mx = Option(bcCarry.value(pid)).map(UTF8String.fromString).orNull
+      var c = 0
+      it.foreach { case (_, _, f, l) =>
+        if (mx == null || UTF8String.fromString(f).compareTo(mx) > 0) c += 1
+        mx = max(mx, UTF8String.fromString(l))
+      }
+      Iterator.single((pid, c))
+    }.collect().sortBy(_._1)
+    val groupBase = new Array[Int](counts.length)
+    var gAcc = 0
+    counts.foreach { case (pid, c) => groupBase(pid) = gAcc; gAcc += c }
+    val bcBase = spark.sparkContext.broadcast(groupBase)
+    // pass 3: the assignment TABLE (run, chunk_id, grp) — distributed, and
+    // joined to the payloads instead of broadcast from the driver
+    val assignment = spark.createDataset(
+      sortedMeta.rdd.mapPartitionsWithIndex { (pid, it) =>
+        var mx = Option(bcCarry.value(pid)).map(UTF8String.fromString).orNull
+        var g = bcBase.value(pid) - 1
+        it.map { case (runId, id, f, l) =>
+          if (mx == null || UTF8String.fromString(f).compareTo(mx) > 0) g += 1
+          mx = max(mx, UTF8String.fromString(l))
+          (runId, id, g)
+        }
+      }).toDF("a_run", "a_chunk_id", "grp")
+    // column order after the key join: (grp, a_run, a_chunk_id, gsz)
+    val sized = assignment.join(
+      assignment.groupBy("grp").agg(count(lit(1)).as("gsz")), "grp")
+      .as[(Int, Int, Long, Long)]
+    val joined = all.joinWith(sized,
+      all("_1") === sized("a_run") && all("_2.chunk_id") === sized("a_chunk_id"))
 
     // singleton groups: payload bytes untouched; only the table keys move
-    val pass = all
-      .filter(t => bcPass.value.contains(bcAssign.value((t._1, t._2.chunk_id))))
-      .map { case (run, c) =>
-        val g = bcAssign.value((run, c.chunk_id))
+    val pass = joined
+      .filter(_._2._4 == 1L)
+      .map { case ((_, c), (g, _, _, _)) =>
         c.copy(part_id = g, chunk_id = (g.toLong << 32) | (c.chunk_id & 0xFFFFFFFFL))
       }
     // overlapping groups: decode, co-partition by group, merge-sort, re-encode
-    val rows = all
-      .filter(t => !bcPass.value.contains(bcAssign.value((t._1, t._2.chunk_id))))
-      .flatMap { case (run, c) =>
-        val g = bcAssign.value((run, c.chunk_id))
+    val rows = joined
+      .filter(_._2._4 > 1L)
+      .flatMap { case ((_, c), (g, _, _, _)) =>
         decodeChunk(c).map(r => (r.doc_id, r.tokens, r.n_tok, r.source, g))
       }
       .toDF("doc_id", "tokens", "n_tok", "source", "part_id")
@@ -822,6 +859,7 @@ object EncodePipeline {
       rows.queryExecution.toRdd.mapPartitions(encodePartition(_, tokensPerChunk)))
     pass.toDF().unionByName(reencoded.toDF())
       .write.mode("overwrite").parquet(outDir)
+    sortedMeta.unpersist()
     spark.read.parquet(outDir)
   }
 
