@@ -378,9 +378,16 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     val errs = queryErrors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val json =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,""" +
-      s""""query_errors":$errs,"sf":"$sfDir",""" +
+    // The per-query map (51 entries, ~1.8 KB) lives ONLY in bench.json and on
+    // the GRAFT_QUERY_SECS diagnostic line above — including it in the printed
+    // envelope pushed the line past the driver's ~2.2 KB tail window three
+    // rounds running (r01–r03 all captured parsed:null). The printed line must
+    // stay ~700 B: scalar fields only.
+    def envelope(withQueries: Boolean): String = {
+      val qpart =
+        if (withQueries) s""""queries":$qs,"query_errors":$errs,""" else ""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec",$qpart"sf":"$sfDir",""" +
+      s""""n_queries":${results.size},"n_query_errors":${queryErrors.size},""" +
       s""""encode_bench":{"rows":$benchRows,"tokens":$tok32,""" +
       s""""n_executors":$pLo,"n4_executors":$pHi,""" +
       s""""n_sec":${r3(sec8)},"n4_sec":${r3(sec32)},""" +
@@ -401,9 +408,10 @@ object Bench {
       s""""kernel_scaling_efficiency":${r3((kThrHi / kThrLo) / 4.0)},""" +
       s""""bytes_per_token":${r3(enc32.toDouble / tok32)},""" +
       s""""compression_ratio":${r3(raw32.toDouble / enc32)}}}"""
+    }
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench.json"),
-      (json + "\n").getBytes(UTF_8))
+      (envelope(withQueries = true) + "\n").getBytes(UTF_8))
     catch { case e: Exception => System.err.println(s"bench.json write failed: $e") }
-    println(json)
+    println(envelope(withQueries = false))
   }
 }

@@ -75,6 +75,7 @@ object SparkEntry {
     "q_multimodal_meta" -> ((s, d) => TextOps.multimodalMeta(s, d)),
     "q_multimodal_frames" -> ((s, d) => TextOps.multimodalFrames(s, d)),
     "q_simhash" -> ((s, d) => TextOps.simHash(s, d)),
+    "q_simhash_neardup" -> ((s, d) => TextOps.simHashNearDup(s, d)),
     "q_minhash_lsh" -> ((s, d) => TextOps.minHashLsh(s, d)),
     "q_ngram_jaccard" -> ((s, d) => TextOps.ngramJaccard(s, d)),
     "q_cosine_topk" -> ((s, d) => SimilarityOps.cosineTopK(s, d)),
@@ -232,6 +233,65 @@ object SparkEntry {
       "SELECT doc_id, CAST((length(text) - length(replace(text, ' the ', ''))) / 5 AS BIGINT) AS en_hits, CAST((length(text) - length(replace(text, ' der ', ''))) / 5 AS BIGINT) AS de_hits, CAST((length(text) - length(replace(text, ' el ', ''))) / 4 AS BIGINT) AS es_hits, CAST((length(text) - length(replace(text, ' le ', ''))) / 4 AS BIGINT) AS fr_hits, CASE WHEN (length(text) - length(replace(text, ' the ', ''))) / 5 >= (length(text) - length(replace(text, ' der ', ''))) / 5 AND (length(text) - length(replace(text, ' the ', ''))) / 5 >= (length(text) - length(replace(text, ' el ', ''))) / 4 AND (length(text) - length(replace(text, ' the ', ''))) / 5 >= (length(text) - length(replace(text, ' le ', ''))) / 4 AND (length(text) - length(replace(text, ' the ', ''))) / 5 > 0 THEN 'en' WHEN (length(text) - length(replace(text, ' der ', ''))) / 5 >= (length(text) - length(replace(text, ' el ', ''))) / 4 AND (length(text) - length(replace(text, ' der ', ''))) / 5 >= (length(text) - length(replace(text, ' le ', ''))) / 4 AND (length(text) - length(replace(text, ' der ', ''))) / 5 > 0 THEN 'de' WHEN (length(text) - length(replace(text, ' el ', ''))) / 4 >= (length(text) - length(replace(text, ' le ', ''))) / 4 AND (length(text) - length(replace(text, ' el ', ''))) / 4 > 0 THEN 'es' WHEN (length(text) - length(replace(text, ' le ', ''))) / 4 > 0 THEN 'fr' ELSE 'other' END AS guess FROM documents ORDER BY doc_id",
     "q_fingerprint" ->
       "SELECT doc_id, md5(text) AS fp FROM documents ORDER BY doc_id",
+    // 64-bit SimHash recomputed from scratch: per-token hash is DuckDB's
+    // md5_number_lower (LE low 8 MD5 digest bytes — the Spark side reads
+    // the same bytes), bit votes summed per (doc, bit), signature bit set
+    // iff vote > 0. Bit 63 is the sign bit of the signed BIGINT output.
+    "q_simhash" ->
+      """WITH tok AS (
+        |  SELECT d.doc_id, t.tok
+        |  FROM documents d, UNNEST(string_split(d.text, ' ')) AS t(tok)
+        |  WHERE t.tok <> ''),
+        |votes AS (
+        |  SELECT doc_id, bb.b AS b,
+        |         SUM(CASE WHEN (md5_number_lower(tok) >> CAST(bb.b AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+        |  FROM tok, (SELECT UNNEST(range(64)) AS b) bb
+        |  GROUP BY doc_id, bb.b),
+        |sig AS (
+        |  SELECT doc_id,
+        |         CAST(SUM(CASE WHEN vote > 0 THEN
+        |           CASE WHEN b = 63 THEN -9223372036854775807 - 1
+        |                ELSE (CAST(1 AS BIGINT) << CAST(b AS INT)) END
+        |           ELSE 0 END) AS BIGINT) AS simhash
+        |  FROM votes GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(COALESCE(s.simhash, 0) AS BIGINT) AS simhash
+        |FROM documents d LEFT JOIN sig s ON s.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+    // All-pairs hamming <= 3 over the planted corpus (identical copy at
+    // +10^6, one-token edit at +2*10^6): the banded LSH + exact-hamming
+    // rerank must equal this set (pigeonhole over 4x16-bit bands makes
+    // recall at hamming<=3 deterministic).
+    "q_simhash_neardup" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 2000000 AS doc_id, text || ' x' AS text FROM documents WHERE doc_id % 10 = 0),
+        |tok AS (
+        |  SELECT c.doc_id, t.tok
+        |  FROM corpus c, UNNEST(string_split(c.text, ' ')) AS t(tok)
+        |  WHERE t.tok <> ''),
+        |votes AS (
+        |  SELECT doc_id, bb.b AS b,
+        |         SUM(CASE WHEN (md5_number_lower(tok) >> CAST(bb.b AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+        |  FROM tok, (SELECT UNNEST(range(64)) AS b) bb
+        |  GROUP BY doc_id, bb.b),
+        |sig AS (
+        |  SELECT doc_id,
+        |         CAST(SUM(CASE WHEN vote > 0 THEN
+        |           CASE WHEN b = 63 THEN -9223372036854775807 - 1
+        |                ELSE (CAST(1 AS BIGINT) << CAST(b AS INT)) END
+        |           ELSE 0 END) AS BIGINT) AS simhash
+        |  FROM votes GROUP BY doc_id),
+        |full_sig AS (
+        |  SELECT c.doc_id, CAST(COALESCE(s.simhash, 0) AS BIGINT) AS simhash
+        |  FROM corpus c LEFT JOIN sig s ON s.doc_id = c.doc_id)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+        |FROM full_sig a JOIN full_sig b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "q_multimodal_meta" ->
       "SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes FROM documents ORDER BY doc_id",
     // Frame sampling over the payload bytes; the corpus is ASCII so

