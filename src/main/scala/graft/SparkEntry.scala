@@ -52,6 +52,7 @@ object SparkEntry {
     "q_streaming_ingest" -> ((s, d) => RoundTrips.streamingIngest(s, d)),
     "q_seek_rows" -> ((s, d) => RoundTrips.seekRows(s, d)),
     "q_compact_merge" -> ((s, d) => RoundTrips.compactMerge(s, d)),
+    "q_compact_dedup" -> ((s, d) => RoundTrips.compactDedup(s, d)),
     "q_codec_stats" -> ((s, d) => RoundTrips.codecStats(s, d)),
     // --- relational / dataflow operators ---
     "q_filter" -> ((s, d) => Relational.filter(s, d)),
@@ -199,6 +200,12 @@ object SparkEntry {
         |  WHERE lpad(CAST(doc_id AS VARCHAR), 8, '0') >= '00000240'
         |    AND lpad(CAST(doc_id AS VARCHAR), 8, '0') < '00000260')
         |SELECT doc_id, source, tok_sum FROM rows ORDER BY doc_id""".stripMargin,
+    // Dedupe-during-merge: run C re-ingests identical rows, so the
+    // deduped compaction decodes to exactly the base corpus.
+    "q_compact_dedup" ->
+      """SELECT lpad(CAST(doc_id AS VARCHAR), 8, '0') AS doc_id, lang AS source,
+        |       CAST(n_chars AS BIGINT) AS tok_sum
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_filter" ->
       "SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_quantity FROM lineitem WHERE l_quantity >= 49.0 AND l_discount > 0.05 ORDER BY l_orderkey, l_linenumber",
     "q_transform" ->

@@ -245,6 +245,46 @@ object RoundTrips {
       .orderBy("doc_id")
   }
 
+  /** Dedupe-during-merge compaction (reference SortingWriter's
+    * DropDuplicatedRows, sorting.go:123-126 / config.go:671-673): runs A
+    * and B partition the corpus; run C re-ingests byte-identical rows
+    * for keys straddling the A/B boundary. compactSorted with
+    * dropDuplicates=true must merge the overlapping groups keeping ONE
+    * row per doc_id, so the merged table decodes to exactly the base
+    * corpus — which is the oracle. Non-overlapping chunks pass through
+    * byte-identical (asserted separately in PipelineSpec). */
+  def compactDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docsT = table(spark, dir, "documents")
+      .select(
+        lpad(col("doc_id").cast("string"), 8, "0").as("doc_id"),
+        array(col("n_chars").cast("int")).as("tokens"),
+        lit(1).as("n_tok"),
+        col("lang").as("source"))
+    val runA = docsT.filter(col("doc_id") < "00000250").as[TokenRow]
+    val runB = docsT.filter(col("doc_id") >= "00000250").as[TokenRow]
+    // duplicate re-ingest: identical rows, same doc_ids, straddling the boundary
+    val runC = docsT.filter(col("doc_id") >= "00000240" && col("doc_id") < "00000260")
+      .as[TokenRow]
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft-compactdd-q-" +
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    EncodePipeline.encode(runA, 2, tokensPerChunk = 2048)
+      .write.mode("overwrite").parquet(s"$base/runA")
+    EncodePipeline.encode(runB, 2, tokensPerChunk = 2048)
+      .write.mode("overwrite").parquet(s"$base/runB")
+    EncodePipeline.encode(runC, 1, tokensPerChunk = 2048)
+      .write.mode("overwrite").parquet(s"$base/runC")
+    val merged = EncodePipeline.compactSorted(
+      spark, Seq(s"$base/runA", s"$base/runB", s"$base/runC"), s"$base/merged",
+      tokensPerChunk = 2048, dropDuplicates = true)
+    EncodePipeline.decode(merged.as[graft.spark.EncodedChunk])
+      .toDF()
+      .select(col("doc_id"), col("source"),
+        expr("aggregate(tokens, CAST(0 AS BIGINT), (a, x) -> a + x)").as("tok_sum"))
+      .orderBy("doc_id")
+  }
+
   /** Codec auto-selector demo on the deterministic synth table: one row
     * per (column, codec) with chunk counts — shows the selector branches
     * actually taken. No SQL oracle (engine-internal stats). */

