@@ -154,9 +154,15 @@ object DecodeGenericChunksPruning extends Rule[LogicalPlan] {
       val keptIndices = kept.map { case (_, i) => dg.colIndices(i) }
       val newChild = dg.child match {
         case Project(_, src) =>
+          // which payload layout feeds this node: the single cols_bin
+          // array, or one bin_<i> parquet column per engine column. ALL
+          // kept bins must exist in the columnar case — silently dropping
+          // a missing one would surface later as a NoSuchElementException
+          // inside the batch iterator; fall back to the unmodified child
+          // instead, exactly as the meta-column forall below does.
+          val hasColsBin = src.output.exists(_.name == "cols_bin")
           val needed = Seq("num_rows", "chunk_id", "col_crcs") ++
-            keptIndices.map(ci => s"bin_$ci").filter(n => src.output.exists(_.name == n)) ++
-            src.output.map(_.name).filter(_ == "cols_bin")
+            (if (hasColsBin) Seq("cols_bin") else keptIndices.map(ci => s"bin_$ci"))
           if (needed.forall(n => src.output.exists(_.name == n)))
             Project(needed.map(n => src.output.find(_.name == n).get), src)
           else dg.child

@@ -320,7 +320,14 @@ object RoundTrips {
       (col("l_discount") > 0.05).as("discounted"),
       array(col("l_linenumber"), floor(col("l_quantity")).cast("int")).as("pair"))
     val chunks = graft.spark.GenericEncode.encode(src, rowsPerChunk = 16 * 1024)
-    graft.spark.GenericEncode.decode(spark, chunks)
+    // persist through the DEFAULT sink (columnar bin_<i> layout since
+    // round 4) and read back via the auto-detecting table reader, so the
+    // oracle checks the on-disk default path, not an in-memory shortcut
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft-generic-q-" +
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    graft.spark.GenericEncode.write(chunks, base)
+    graft.spark.GenericEncode.readTable(spark, base)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
         col("flag"), col("discounted"),
         expr("aggregate(pair, CAST(0 AS BIGINT), (a, x) -> a + x)").as("pair_sum"))

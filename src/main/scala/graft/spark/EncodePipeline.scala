@@ -587,6 +587,40 @@ object EncodePipeline {
     * assignment stable so re-encoded output is byte-identical
     * (deterministic generator + stable assignment).
     */
+  /** On-disk checkpoint format version. Bump whenever the chunk schema or
+    * byte layout changes incompatibly — a version mismatch must fail with
+    * THIS message, not a downstream schema/'CRC mismatch' error. History:
+    * v3 = round 3 (stream_crcs on token chunks; generic per-column
+    * stats/blooms folded into the whole-chunk CRC; leading-Sep map leaf
+    * names). Round-2-and-older checkpoints predate the marker entirely. */
+  final val FormatVersion = 3
+
+  /** Validate (or stamp) `FORMAT_VERSION` next to a checkpoint. A fresh
+    * dir gets the marker; a dir with data but no marker is a pre-round-3
+    * layout and fails explicitly; a marker from another version fails
+    * explicitly. */
+  private def checkFormatVersion(hfs: org.apache.hadoop.fs.FileSystem,
+                                 dir: org.apache.hadoop.fs.Path): Unit = {
+    val vf = new org.apache.hadoop.fs.Path(dir, "FORMAT_VERSION")
+    if (hfs.exists(vf)) {
+      val in = hfs.open(vf)
+      val v = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+      require(v == FormatVersion.toString,
+        s"checkpoint at $dir is on-disk format version $v; this build reads/writes " +
+          s"version $FormatVersion — re-encode the table (cross-version reads are refused " +
+          "explicitly rather than failing later with an opaque schema or CRC error)")
+    } else {
+      val hasData = Seq("chunks", "metrics", "metrics.staging", "metrics.old")
+        .exists(n => hfs.exists(new org.apache.hadoop.fs.Path(dir, n)))
+      require(!hasData,
+        s"checkpoint at $dir predates the FORMAT_VERSION marker (round-2-or-older " +
+          s"layout); this build writes version $FormatVersion — re-encode the table")
+      val out = hfs.create(vf, true)
+      try out.write(FormatVersion.toString.getBytes(UTF_8)) finally out.close()
+    }
+  }
+
   /** First existing complete metrics table among current / staging / old
     * (the staging and old names exist transiently during the swap below;
     * a crash inside the swap window leaves exactly one complete copy). */
@@ -608,6 +642,7 @@ object EncodePipeline {
     val dirPath = new org.apache.hadoop.fs.Path(dir)
     val hfs = dirPath.getFileSystem(hconf)
     hfs.mkdirs(dirPath)
+    checkFormatVersion(hfs, dirPath)
     val boundsPath = new org.apache.hadoop.fs.Path(dirPath, "bounds.txt")
     val bounds: Array[String] =
       if (hfs.exists(boundsPath)) {

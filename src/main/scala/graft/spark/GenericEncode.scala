@@ -333,6 +333,51 @@ object GenericEncode {
     override def clearValues(): Unit = buf.clear()
   }
 
+  /** Longest prefix of `b` with length <= limit that ends on a UTF-8
+    * character boundary: back off while the first EXCLUDED byte is a
+    * continuation byte (0b10xxxxxx), which also drops the partial lead
+    * byte. A naive byte-truncate (rounds 2-3) could split a multibyte
+    * char; the partial tail then decoded to U+FFFD (EF BF BD), which
+    * sorts ABOVE real 2/3-byte lead bytes — an UNSOUND lower bound that
+    * let pruneRange skip chunks containing matching rows. */
+  private def utf8BoundaryPrefix(b: Array[Byte], limit: Int): Array[Byte] = {
+    if (b.length <= limit) return b
+    var cut = limit
+    while (cut > 0 && (b(cut) & 0xC0) == 0x80) cut -= 1
+    java.util.Arrays.copyOf(b, cut)
+  }
+
+  /** Strict well-formedness check: stats render through String, and only
+    * valid UTF-8 survives that round-trip byte-identically — an invalid
+    * byte would be replaced by U+FFFD and corrupt the stored bound, so
+    * invalid values leave the bound untracked (null = never prune). */
+  private def isValidUtf8(b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < b.length) {
+      val c = b(i) & 0xFF
+      val len =
+        if (c < 0x80) 1
+        else if (c >= 0xC2 && c <= 0xDF) 2
+        else if (c >= 0xE0 && c <= 0xEF) 3
+        else if (c >= 0xF0 && c <= 0xF4) 4
+        else return false
+      if (i + len > b.length) return false
+      // continuation bytes, with the standard tightened ranges that
+      // reject overlongs and surrogates/out-of-range
+      var k = 1
+      while (k < len) {
+        val cc = b(i + k) & 0xFF
+        val ok = (cc & 0xC0) == 0x80 &&
+          (k != 1 || ((c != 0xE0 || cc >= 0xA0) && (c != 0xED || cc < 0xA0) &&
+            (c != 0xF0 || cc >= 0x90) && (c != 0xF4 || cc < 0x90)))
+        if (!ok) return false
+        k += 1
+      }
+      i += len
+    }
+    true
+  }
+
   /** string (tracked: bounded min/max + bloom) or opaque binary. */
   private final class BytesColBuilder(isString: Boolean) extends ColBuilder {
     private val buf = new scala.collection.mutable.ArrayBuffer[Array[Byte]](1024)
@@ -352,10 +397,14 @@ object GenericEncode {
           if (ord(arr(i), mx) > 0) mx = arr(i)
           i += 1
         }
-        // a truncated min stays a valid lower bound; a truncated MAX does
-        // not round up safely in UTF-8, so an over-long max is untracked
-        min = new String(mn.take(64), UTF_8)
-        max = if (mx.length <= 64) new String(mx, UTF_8) else null
+        // a truncated min stays a valid lower bound ONLY when the cut
+        // lands on a character boundary and the bytes are well-formed
+        // UTF-8 (String rendering replaces anything else with U+FFFD,
+        // which does not sort like the original bytes); a truncated MAX
+        // never rounds up safely, so an over-long max is untracked
+        val mnCut = utf8BoundaryPrefix(mn, 64)
+        min = if (isValidUtf8(mnCut)) new String(mnCut, UTF_8) else null
+        max = if (mx.length <= 64 && isValidUtf8(mx)) new String(mx, UTF_8) else null
         bloom = bloomOf(w => {
           var j = 0; while (j < arr.length) { Bloom.insert(w, Bloom.fnv1a(arr(j))); j += 1 }
         }, arr.length)
@@ -551,28 +600,78 @@ object GenericEncode {
     i
   }
 
+  /** Accepted natural bound spellings, converted to the internal stat
+    * representation driver-side (rounds 2-3 compared everything as
+    * double, so a "2026-01-01" timestamp bound or a "123.45" decimal
+    * bound silently mis-pruned, and bigints past 2^53 lost precision). */
+  private def dateDays(s: String): Long = {
+    val t = s.trim
+    if (t.matches("[+-]?\\d+")) t.toLong else java.time.LocalDate.parse(t).toEpochDay
+  }
+  private def tsMicros(s: String): Long = {
+    val t = s.trim
+    if (t.matches("[+-]?\\d+")) t.toLong
+    else {
+      val ldt =
+        if (t.contains(" ") || t.contains("T"))
+          java.time.LocalDateTime.parse(t.replace(' ', 'T'))
+        else java.time.LocalDate.parse(t).atStartOfDay()
+      val inst = ldt.toInstant(java.time.ZoneOffset.UTC)
+      inst.getEpochSecond * 1000000L + inst.getNano / 1000L
+    }
+  }
+  /** Decimal bound → unscaled long at the column's scale. Excess caller
+    * precision rounds CONSERVATIVELY (lo up, hi down): the filter
+    * interval only ever widens relative to representable values, so
+    * pruning still skips only provably disjoint chunks. */
+  private def decimalUnscaled(s: String, scale: Int, isLo: Boolean): Long =
+    new java.math.BigDecimal(s.trim)
+      .setScale(scale,
+        if (isLo) java.math.RoundingMode.CEILING else java.math.RoundingMode.FLOOR)
+      .unscaledValue().longValueExact()
+
   /** Chunks whose [min,max] interval for `colName` may intersect
-    * [lo, hi] (inclusive, both optional). Numeric columns compare
-    * numerically (the rendered stats cast back losslessly); strings
-    * lexicographically. Chunks with untracked bounds are kept — pruning
-    * may only ever skip PROVABLY disjoint chunks (reference
-    * column_index.go:259-272 + search.go:31-101). */
+    * [lo, hi] (inclusive, both optional). Bounds are NATURAL literals
+    * per type — int/bigint: integer; double/float: decimal number;
+    * date: ISO "2026-01-01" (or raw epoch-day integer); timestamp:
+    * ISO "2026-01-01[ T]HH:MM:SS[.ffffff]" interpreted as UTC (or raw
+    * epoch-micros integer); decimal: plain decimal number; string:
+    * compared lexicographically. Integer-backed types compare as LONGS
+    * (no 2^53 double precision loss). Chunks with untracked bounds are
+    * kept — pruning may only ever skip PROVABLY disjoint chunks
+    * (reference column_index.go:259-272 + search.go:31-101). */
   def pruneRange(chunks: Dataset[GenericChunk], colName: String,
                  lo: Option[String], hi: Option[String]): Dataset[GenericChunk] = {
     val i = colIndexOf(chunks, colName)
     val tpe = chunks.limit(1).collect()(0).col_types(i)
-    val numeric = tpe match {
-      case "int" | "bigint" | "double" | "float" | "date" | "timestamp" | "timestamp_ntz" => true
-      case t if t.startsWith("decimal(") => true
-      case _ => false
-    }
     val mn0 = fcol("col_mins").getItem(i)
     val mx0 = fcol("col_maxs").getItem(i)
-    val (mn, mx) = if (numeric) (mn0.cast("double"), mx0.cast("double")) else (mn0, mx0)
-    def bound(s: String) = if (numeric) flit(s).cast("double") else flit(s)
+    // (bound, isLo) → value in the stat's own representation
+    val longConv: Option[(String, Boolean) => Long] = tpe match {
+      case "int" | "bigint" => Some((s, _) => s.trim.toLong)
+      case "date" => Some((s, _) => dateDays(s))
+      case "timestamp" | "timestamp_ntz" => Some((s, _) => tsMicros(s))
+      case t if t.startsWith("decimal(") =>
+        val scale = t.stripPrefix("decimal(").stripSuffix(")").split(",")(1).trim.toInt
+        Some((s, isLo) => decimalUnscaled(s, scale, isLo))
+      case _ => None
+    }
     var cond = flit(true)
-    hi.foreach(h => cond = cond && (mn.isNull || mn <= bound(h)))
-    lo.foreach(l => cond = cond && (mx.isNull || mx >= bound(l)))
+    longConv match {
+      case Some(conv) =>
+        val mn = mn0.cast("bigint")
+        val mx = mx0.cast("bigint")
+        hi.foreach(h => cond = cond && (mn.isNull || mn <= flit(conv(h, false))))
+        lo.foreach(l => cond = cond && (mx.isNull || mx >= flit(conv(l, true))))
+      case None if tpe == "double" || tpe == "float" =>
+        val mn = mn0.cast("double")
+        val mx = mx0.cast("double")
+        hi.foreach(h => cond = cond && (mn.isNull || mn <= flit(h.trim.toDouble)))
+        lo.foreach(l => cond = cond && (mx.isNull || mx >= flit(l.trim.toDouble)))
+      case None =>
+        hi.foreach(h => cond = cond && (mn0.isNull || mn0 <= flit(h)))
+        lo.foreach(l => cond = cond && (mx0.isNull || mx0 >= flit(l)))
+    }
     chunks.filter(cond)
   }
 
@@ -615,9 +714,15 @@ object GenericEncode {
     val allTypes = head(0).col_types
     val selected: Seq[Int] =
       if (cols.isEmpty) allNames.indices
-      else allNames.zipWithIndex.filter { case (n, _) =>
-        cols.contains(n.split(Sep, 2)(0))
-      }.map(_._2)
+      else {
+        val keep = allNames.zipWithIndex.filter { case (n, _) =>
+          cols.contains(n.split(Sep, 2)(0))
+        }
+        // mirror decode(): a misspelled column must fail loudly, not
+        // silently return zero-column rows
+        require(keep.nonEmpty, s"no requested column among $cols in table schema")
+        keep.map(_._2)
+      }
     val schema = StructType(selected.map(i =>
       StructField(allNames(i), parseType(allTypes(i)), nullable = true)))
     val full = selected.size == allNames.size
@@ -639,6 +744,27 @@ object GenericEncode {
     "part_id", "chunk_id", "num_rows", "col_names", "col_types", "col_codecs",
     "col_nulls", "col_mins", "col_maxs", "col_blooms", "enc_bytes", "crc32",
     "col_crcs")
+
+  /** DEFAULT persisted layout for generic chunk tables: columnar
+    * (`bin_<i>`). Every new table should go through this sink; pre-
+    * round-4 tables in the single cols_bin array layout stay readable
+    * through [[readTable]]'s auto-detection. */
+  def write(chunks: Dataset[GenericChunk], path: String): Unit =
+    writeColumnar(chunks, path)
+
+  /** Read a persisted generic chunk table in EITHER layout — columnar
+    * `bin_<i>` (the default sink since round 4) or the legacy single
+    * cols_bin array — detected from the parquet schema. Projection
+    * (`cols`) reaches the parquet byte level on the columnar layout;
+    * on the legacy layout it saves decode/CRC work only. */
+  def readTable(spark: SparkSession, path: String,
+                cols: Seq[String] = Seq.empty): DataFrame = {
+    import spark.implicits._
+    val df = spark.read.parquet(path)
+    if (df.schema.fieldNames.contains("cols_bin"))
+      decode(spark, df.as[GenericChunk], cols)
+    else decodeColumnarTable(spark, path, cols)
+  }
 
   /** Write a chunk table with ONE PARQUET COLUMN PER ENGINE COLUMN
     * (`bin_<i>`) instead of the single `cols_bin` array: a projected read
