@@ -70,6 +70,7 @@ object SparkEntry {
     // --- training-data pipeline ops ---
     "q_exact_dedup" -> ((s, d) => TextOps.exactDedup(s, d)),
     "q_token_count" -> ((s, d) => TextOps.tokenCount(s, d)),
+    "q_token_count_bpe" -> ((s, d) => TextOps.tokenCountBpe(s, d)),
     "q_quality_score" -> ((s, d) => TextOps.qualityScore(s, d)),
     "q_langid" -> ((s, d) => TextOps.langId(s, d)),
     "q_fingerprint" -> ((s, d) => TextOps.fingerprint(s, d)),
@@ -234,6 +235,15 @@ object SparkEntry {
       "SELECT min(doc_id) AS keep_id, count(*) AS copies FROM documents GROUP BY text ORDER BY keep_id",
     "q_token_count" ->
       "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS n_spaces, CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens FROM documents ORDER BY doc_id",
+    // BPE-style pre-tokenizer class counts; the regex is plain character
+    // classes, identical under Java regex (Spark) and RE2 (DuckDB).
+    "q_token_count_bpe" ->
+      """SELECT doc_id,
+        |       CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) AS n_word,
+        |       CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_num,
+        |       CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS BIGINT) AS n_mark,
+        |       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_bpe
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_quality_score" ->
       "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, CAST((length(text) - length(replace(text, '.', ''))) AS BIGINT) AS n_dots, CAST((length(text) - length(replace(text, 'the', ''))) / 3 AS BIGINT) AS n_the, CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS n_spaces, CAST(length(text) - (length(text) - length(replace(text, ' ', ''))) AS DOUBLE) / CAST(length(text) - length(replace(text, ' ', '')) + 1 AS DOUBLE) AS avg_word_len FROM documents ORDER BY doc_id",
     "q_langid" ->

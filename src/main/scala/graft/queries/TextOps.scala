@@ -40,6 +40,26 @@ object TextOps {
       .withColumn("n_tokens", col("n_spaces") + lit(1L))
       .orderBy("doc_id")
 
+  /** BPE-style pre-tokenization counting: the GPT-2-family pre-tokenizer
+    * splits text into letter runs, digit runs, and single non-alnum
+    * marks before byte-pair merging — this operator counts those token
+    * classes per doc with a regex both engines implement identically
+    * (plain character classes: Java regex on the Spark side, RE2 in the
+    * DuckDB oracle), giving the corpus-level token budget a training
+    * pipeline sizes batches with. */
+  def tokenCountBpe(spark: SparkSession, dir: String): DataFrame = {
+    val txt = col("text")
+    docs(spark, dir)
+      .select(
+        col("doc_id"),
+        regexp_count(txt, lit("[A-Za-z]+")).cast("long").as("n_word"),
+        regexp_count(txt, lit("[0-9]+")).cast("long").as("n_num"),
+        regexp_count(txt, lit("[^A-Za-z0-9 ]")).cast("long").as("n_mark"),
+        regexp_count(txt, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"))
+          .cast("long").as("n_bpe"))
+      .orderBy("doc_id")
+  }
+
   /** Quality scoring: punctuation / stopword / word-length signals. */
   def qualityScore(spark: SparkSession, dir: String): DataFrame = {
     val txt = col("text")
