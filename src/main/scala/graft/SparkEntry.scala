@@ -50,6 +50,7 @@ object SparkEntry {
     "q_search_token" -> ((s, d) => RoundTrips.searchToken(s, d)),
     "q_rt_aligned" -> ((s, d) => RoundTrips.alignedRoundTrip(s, d)),
     "q_streaming_ingest" -> ((s, d) => RoundTrips.streamingIngest(s, d)),
+    "q_streaming_dedup" -> ((s, d) => RoundTrips.streamingDedup(s, d)),
     "q_seek_rows" -> ((s, d) => RoundTrips.seekRows(s, d)),
     "q_compact_merge" -> ((s, d) => RoundTrips.compactMerge(s, d)),
     "q_compact_dedup" -> ((s, d) => RoundTrips.compactDedup(s, d)),
@@ -165,6 +166,10 @@ object SparkEntry {
       """SELECT lpad(CAST(doc_id AS VARCHAR), 8, '0') AS doc_id, lang AS source,
         |       CAST(n_chars + length(lang) AS BIGINT) AS tok_sum
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // Streaming stateful dedup: re-ingested batches are dropped by the
+    // fingerprint-keyed state, leaving exactly the base corpus.
+    "q_streaming_dedup" ->
+      "SELECT doc_id, md5(text) AS fp FROM documents ORDER BY doc_id",
     // Columnar-layout generic table: projected 2-of-4-column read + filter.
     "q_generic_columnar" ->
       """SELECT lpad(CAST(doc_id AS VARCHAR), 8, '0') AS doc_id,

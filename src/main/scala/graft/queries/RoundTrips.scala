@@ -483,6 +483,26 @@ object RoundTrips {
       .orderBy("doc_id")
   }
 
+  /** Streaming stateful exact-dedup end-to-end: the documents table
+    * streams in, followed by two re-ingest batches (every 10th, then
+    * every 20th doc — same ids, same text). flatMapGroupsWithState
+    * keyed on the content fingerprint emits each distinct document
+    * exactly once, so the memory-sink result must equal the base
+    * corpus's (doc_id, md5) — the oracle. Batches fed in doc_id order
+    * make first-seen == min-id deterministic. */
+  def streamingDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = table(spark, dir, "documents").select("doc_id", "text")
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    val qname = "graft_stream_dedup_" +
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    graft.streaming.StreamingDedup.runBatches(spark,
+      Seq(docs, docs.filter(_._1 % 10 == 0), docs.filter(_._1 % 20 == 0)), qname)
+      .select(col("doc_id"), col("fp"))
+      .orderBy("doc_id")
+  }
+
   /** Columnar on-disk layout for generic chunks: one parquet column per
     * engine column, so this 2-of-4-column read never fetches the other
     * two columns' BYTES (ReadSchema asserted in GenericStatsSpec). */

@@ -297,6 +297,44 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(m2.selectExpr("sum(num_rows)").head().getLong(0) == 1500L)
   }
 
+  test("FORMAT_VERSION marker: mismatched or unversioned checkpoints fail explicitly") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt-ver").toString
+    val src = TokenTableGen.generate(spark, 800, 2)
+    EncodePipeline.encodeCheckpointed(spark, src, 2, dir, tokensPerChunk = 64 * 1024)
+    val vf = java.nio.file.Paths.get(dir, "FORMAT_VERSION")
+    assert(java.nio.file.Files.readString(vf).trim == EncodePipeline.FormatVersion.toString)
+    // stamped dir resumes fine (covered above); now corrupt the version
+    // (drop the local-FS checksum sidecar too — we bypass Hadoop on purpose)
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(dir, ".FORMAT_VERSION.crc"))
+    java.nio.file.Files.writeString(vf, "2")
+    val exMismatch = intercept[IllegalArgumentException] {
+      EncodePipeline.encodeCheckpointed(spark, src, 2, dir, tokensPerChunk = 64 * 1024)
+    }
+    assert(exMismatch.getMessage.contains("format version 2"), exMismatch.getMessage)
+    // unversioned dir WITH data = pre-marker layout → explicit error
+    java.nio.file.Files.delete(vf)
+    val exOld = intercept[IllegalArgumentException] {
+      EncodePipeline.encodeCheckpointed(spark, src, 2, dir, tokensPerChunk = 64 * 1024)
+    }
+    assert(exOld.getMessage.contains("predates"), exOld.getMessage)
+  }
+
+  test("streaming dedup: re-ingested content is dropped by keyed state, first-seen wins") {
+    val docs = (0L until 40L).map(i => (i, s"content-$i"))
+    val out = graft.streaming.StreamingDedup.runBatches(spark,
+      Seq(
+        docs,                                  // batch 1: everything
+        docs.filter(_._1 % 4 == 0),            // batch 2: replayed ids
+        Seq((999L, "content-7"), (1000L, "brand-new"))), // batch 3: same content, new id
+      "graft_stream_dedup_spec")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    // 40 originals + the one genuinely new doc; content-7 under id 999 was
+    // dropped because its fingerprint was first seen as doc 7
+    assert(out.length == 41, s"got ${out.length}")
+    assert(out.map(_._1).toSeq == ((0L until 40L) :+ 1000L))
+  }
+
   test("generic encode round-trips an arbitrary flat schema with nulls") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, when, lit, array, concat_ws}
@@ -478,6 +516,42 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       case Seq((_, _, aLast), (_, bFirst, _)) => assert(aLast <= bFirst, s"$aLast > $bFirst")
       case _ =>
     }
+  }
+
+  test("compaction dedupe drops duplicate doc_ids; pass-through chunks stay byte-identical") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, md5}
+    val base = java.nio.file.Files.createTempDirectory("graft-compact-dd").toString
+    def doc(i: Long) = f"doc/$i%012d"
+    def rows(range: Range) =
+      spark.createDataset(range.map(i =>
+        TokenRow(doc(i.toLong), Array.tabulate(40)(k => i + k), 40, "web")))
+    val a = rows(0 until 1000)
+    val b = rows(1000 until 2000)
+    val dup = rows(995 until 1005) // SAME doc_ids + payloads, straddling A/B
+    EncodePipeline.encode(a, 4, tokensPerChunk = 8 * 1024).write.parquet(s"$base/runA")
+    EncodePipeline.encode(b, 4, tokensPerChunk = 8 * 1024).write.parquet(s"$base/runB")
+    EncodePipeline.encode(dup, 1, tokensPerChunk = 8 * 1024).write.parquet(s"$base/runC")
+    val out = EncodePipeline.compactSorted(
+      spark, Seq(s"$base/runA", s"$base/runB", s"$base/runC"), s"$base/merged",
+      tokensPerChunk = 8 * 1024, dropDuplicates = true)
+    // exactly the deduped union: 2000 rows, each doc_id once
+    val decoded = EncodePipeline.decode(out.as[EncodedChunk])
+    assert(EncodePipeline.verifyRoundTrip(a.union(b), decoded) == 0L)
+    // chunks away from the overlap pass through byte-identical
+    val inHashes = Seq("runA", "runB", "runC")
+      .flatMap(r => spark.read.parquet(s"$base/$r")
+        .select(md5(col("tokens_bin"))).as[String].collect()).toSet
+    val outHashes = out.select(md5(col("tokens_bin"))).as[String].collect()
+    val passed = outHashes.count(inHashes)
+    assert(passed.toDouble >= outHashes.length * 0.5,
+      s"only $passed of ${outHashes.length} chunks passed through")
+    // and with no duplicates present, dropDuplicates=true changes nothing
+    val out2 = EncodePipeline.compactSorted(
+      spark, Seq(s"$base/runA", s"$base/runB"), s"$base/merged2",
+      tokensPerChunk = 8 * 1024, dropDuplicates = true)
+    assert(EncodePipeline.verifyRoundTrip(
+      a.union(b), EncodePipeline.decode(out2.as[EncodedChunk])) == 0L)
   }
 
   test("checkpointed encode resumes idempotently") {
