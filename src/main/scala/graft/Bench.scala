@@ -25,6 +25,15 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Split sizing for the toy-scale bench tables: the ~760 MB chunk
+      // table / ~1.6 GB input at the DEFAULT 128 MB maxPartitionBytes
+      // yield only ~6/~12 splits — the exchange-free paths (decode scan,
+      // aligned encode) were then split-bound at BOTH core counts and
+      // measured the file count, not the engine (decode clocked the same
+      // 1.9 s at local[8] and local[32] in rounds 3-4a). At 100 TB a
+      // chunk table has millions of files; 16 MB here restores the
+      // many-splits regime the criterion describes.
+      .config("spark.sql.files.maxPartitionBytes", (16 * 1024 * 1024).toString)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
@@ -90,8 +99,14 @@ object Bench {
     var bestDecPruned = -1.0
     if (doDecode) {
       val chunkPath = s"/dev/shm/graft-bench-chunks-$cores"
+      // small parquet row groups (4 MB ≈ 2 chunk rows) so the 16 MB split
+      // sizing above can actually subdivide the ~24 MB files — a 128 MB
+      // row group makes every file one indivisible split
       EncodePipeline.encode(src, NumParts, boundsOverride = Some(bounds))
-        .write.mode("overwrite").parquet(chunkPath)
+        .write.mode("overwrite")
+        .option("parquet.block.size", (4 * 1024 * 1024).toString)
+        .option("compression", EncodePipeline.ChunkTableCompression)
+        .parquet(chunkPath)
       val chunkTbl = spark.read.parquet(chunkPath).as[graft.spark.EncodedChunk]
       bestDec = Double.MaxValue
       import org.apache.spark.sql.functions.{col, count, max, size}

@@ -777,7 +777,9 @@ object GenericEncode {
     val n = head(0).col_names.length
     val base = ChunkMetaCols.map(fcol)
     val bins = (0 until n).map(i => fcol("cols_bin").getItem(i).as(s"bin_$i"))
-    chunks.toDF().select(base ++ bins: _*).write.mode("overwrite").parquet(path)
+    chunks.toDF().select(base ++ bins: _*).write.mode("overwrite")
+      .option("compression", EncodePipeline.ChunkTableCompression)
+      .parquet(path)
   }
 
   /** Columnar-layout reader: the decode plan's child selects only the

@@ -30,6 +30,7 @@ object StreamingEncode {
       .withColumn("batch_id", org.apache.spark.sql.functions.lit(batchId))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
+      .option("compression", EncodePipeline.ChunkTableCompression)
       .partitionBy("batch_id")
       .parquet(chunkDir)
 
