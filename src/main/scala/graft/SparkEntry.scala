@@ -45,6 +45,7 @@ object SparkEntry {
     "q_rt_generic_temporal" -> ((s, d) => RoundTrips.genericTemporalRoundTrip(s, d)),
     "q_decode_project" -> ((s, d) => RoundTrips.decodeProject(s, d)),
     "q_generic_prune" -> ((s, d) => RoundTrips.genericPrune(s, d)),
+    "q_auto_prune" -> ((s, d) => RoundTrips.autoPrune(s, d)),
     "q_generic_seek" -> ((s, d) => RoundTrips.genericSeek(s, d)),
     "q_generic_columnar" -> ((s, d) => RoundTrips.genericColumnar(s, d)),
     "q_search_token" -> ((s, d) => RoundTrips.searchToken(s, d)),
@@ -152,6 +153,10 @@ object SparkEntry {
     // plain range select (o_orderkey is unique).
     "q_generic_prune" ->
       "SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey BETWEEN 5000 AND 7000 ORDER BY o_orderkey",
+    // Automatic filter→chunk-stats pushdown (no manual pruneRange): same
+    // shape, the pruning comes from the optimizer rule.
+    "q_auto_prune" ->
+      "SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey BETWEEN 500 AND 900 ORDER BY o_orderkey",
     // Pruned token search: doc_ids (orders) whose token set (sorted
     // linenumbers) contains token 7.
     "q_search_token" ->

@@ -173,6 +173,138 @@ object DecodeGenericChunksPruning extends Rule[LogicalPlan] {
   }
 }
 
+/** Automatic chunk-level predicate pushdown for generic decodes: a
+  * row-level Filter over DecodeGenericChunks grows a CHUNK-metadata
+  * filter directly on the source relation (BELOW the node's stream
+  * projection, so the stats/bloom columns are scanned only when a
+  * filter exists) — per-column min/max interval checks, an
+  * all-null-chunk check, and a split-block bloom probe for equalities.
+  * Chunks that provably contain no matching row are never fetched,
+  * CRC'd, or decoded. The original row Filter stays on top for
+  * exactness; every chunk check is an implication of the row predicate,
+  * so an unhandled shape simply prunes nothing. Users write
+  * `readTable(...).filter(...)` — no manual pruneRange/pruneBloom —
+  * the declarative analog of the reference's column-index + bloom
+  * search (column_index.go:259-272, bloom.go:16-70, search.go:31-101).
+  */
+object GenericChunkFilterPushdown extends Rule[LogicalPlan]
+    with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
+  import org.apache.spark.sql.catalyst.expressions._
+  import org.apache.spark.sql.catalyst.plans.logical.Filter
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, dg: DecodeGenericChunks) =>
+      dg.child match {
+        // src still unfiltered (idempotence across fixpoint iterations)
+        // and carrying the chunk stats columns
+        case Project(projList, src)
+            if !src.isInstanceOf[Filter] &&
+              Seq("col_mins", "col_maxs", "col_nulls", "col_blooms", "num_rows")
+                .forall(n => src.output.exists(_.name == n)) =>
+          buildChunkCond(cond, dg, src) match {
+            case Some(cc) =>
+              f.copy(child = dg.copy(child = Project(projList, Filter(cc, src))))
+            case None => f
+          }
+        case _ => f
+      }
+  }
+
+  private def buildChunkCond(cond: Expression, dg: DecodeGenericChunks,
+                             src: LogicalPlan): Option[Expression] = try {
+    def attr(n: String): Attribute = src.output.find(_.name == n).get
+    val mins = attr("col_mins")
+    val maxs = attr("col_maxs")
+    val nulls = attr("col_nulls")
+    val blooms = attr("col_blooms")
+    val numRows = attr("num_rows")
+    val byId: Map[ExprId, (Int, String)] =
+      dg.output.zipWithIndex.map { case (a, k) =>
+        a.exprId -> (dg.colIndices(k), dg.colTypes(k))
+      }.toMap
+    def item(ar: Attribute, i: Int): Expression = GetArrayItem(ar, Literal(i))
+
+    /** Literal → its value in the stat representation + the type the
+      * stat string casts to for the comparison. Decimals round
+      * CONSERVATIVELY by bound direction (the interval only widens). */
+    def convert(tpe: String, lit: Literal, isLo: Boolean): Option[(Literal, DataType)] = {
+      if (lit.value == null) return None
+      tpe match {
+        case "int" | "date" =>
+          Some((Literal(lit.value.asInstanceOf[Int].toLong), LongType))
+        case "bigint" | "timestamp" | "timestamp_ntz" =>
+          Some((Literal(lit.value.asInstanceOf[Long]), LongType))
+        case t if t.startsWith("decimal(") =>
+          val scale = t.stripPrefix("decimal(").stripSuffix(")").split(",")(1).trim.toInt
+          lit.value match {
+            case d: org.apache.spark.sql.types.Decimal =>
+              val bd = d.toJavaBigDecimal.setScale(scale,
+                if (isLo) java.math.RoundingMode.CEILING
+                else java.math.RoundingMode.FLOOR)
+              Some((Literal(bd.unscaledValue().longValueExact()), LongType))
+            case _ => None
+          }
+        case "double" =>
+          val v = lit.value.asInstanceOf[Double]
+          if (v.isNaN) None else Some((Literal(v), DoubleType))
+        case "float" =>
+          val v = lit.value.asInstanceOf[Float]
+          if (v.isNaN) None else Some((Literal(v.toDouble), DoubleType))
+        case "string" => Some((lit, StringType))
+        case _ => None
+      }
+    }
+    def statCast(e: Expression, ct: DataType): Expression =
+      if (ct == StringType) e else Cast(e, ct)
+    // a chunk whose every row is null for the column can satisfy no
+    // comparison predicate
+    def notAllNull(i: Int): Expression = LessThan(item(nulls, i), numRows)
+    def hiCheck(i: Int, tpe: String, l: Literal): Seq[Expression] =
+      convert(tpe, l, isLo = false).map { case (sl, ct) =>
+        Seq(Or(IsNull(item(mins, i)),
+          LessThanOrEqual(statCast(item(mins, i), ct), sl)), notAllNull(i))
+      }.getOrElse(Nil)
+    def loCheck(i: Int, tpe: String, l: Literal): Seq[Expression] =
+      convert(tpe, l, isLo = true).map { case (sl, ct) =>
+        Seq(Or(IsNull(item(maxs, i)),
+          GreaterThanOrEqual(statCast(item(maxs, i), ct), sl)), notAllNull(i))
+      }.getOrElse(Nil)
+    def bloomCheck(i: Int, tpe: String, l: Literal): Seq[Expression] = {
+      if (l.value == null) return Nil
+      val hash: Option[Int] = tpe match {
+        case "int" | "date" => Some(l.value.asInstanceOf[Int])
+        case "bigint" | "timestamp" | "timestamp_ntz" =>
+          Some(graft.codec.Bloom.foldLong(l.value.asInstanceOf[Long]))
+        case "string" =>
+          Some(graft.codec.Bloom.fnv1a(
+            l.value.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes))
+        case _ => None // empty/absent blooms keep the chunk anyway
+      }
+      hash.map(h =>
+        graft.functions.BloomProbe(item(blooms, i), Literal(h)): Expression).toSeq
+    }
+    def on(at: AttributeReference)(f: (Int, String) => Seq[Expression]): Seq[Expression] =
+      byId.get(at.exprId).map { case (i, tpe) => f(i, tpe) }.getOrElse(Nil)
+
+    val checks = splitConjunctivePredicates(cond).flatMap {
+      case EqualTo(at: AttributeReference, l: Literal) =>
+        on(at)((i, t) => hiCheck(i, t, l) ++ loCheck(i, t, l) ++ bloomCheck(i, t, l))
+      case EqualTo(l: Literal, at: AttributeReference) =>
+        on(at)((i, t) => hiCheck(i, t, l) ++ loCheck(i, t, l) ++ bloomCheck(i, t, l))
+      case LessThan(at: AttributeReference, l: Literal) => on(at)(hiCheck(_, _, l))
+      case LessThanOrEqual(at: AttributeReference, l: Literal) => on(at)(hiCheck(_, _, l))
+      case GreaterThan(at: AttributeReference, l: Literal) => on(at)(loCheck(_, _, l))
+      case GreaterThanOrEqual(at: AttributeReference, l: Literal) => on(at)(loCheck(_, _, l))
+      case LessThan(l: Literal, at: AttributeReference) => on(at)(loCheck(_, _, l))
+      case LessThanOrEqual(l: Literal, at: AttributeReference) => on(at)(loCheck(_, _, l))
+      case GreaterThan(l: Literal, at: AttributeReference) => on(at)(hiCheck(_, _, l))
+      case GreaterThanOrEqual(l: Literal, at: AttributeReference) => on(at)(hiCheck(_, _, l))
+      case _ => Nil
+    }
+    if (checks.isEmpty) None else Some(checks.distinct.reduce(And))
+  } catch { case scala.util.control.NonFatal(_) => None }
+}
+
 case class DecodeGenericChunksExec(output: Seq[Attribute], colIndices: Seq[Int],
                                    colTypes: Seq[String], child: SparkPlan)
     extends UnaryExecNode {
@@ -208,6 +340,8 @@ object GraftPlans {
       exp.extraOptimizations = exp.extraOptimizations :+ DecodeChunksPruning
     if (!exp.extraOptimizations.contains(DecodeGenericChunksPruning))
       exp.extraOptimizations = exp.extraOptimizations :+ DecodeGenericChunksPruning
+    if (!exp.extraOptimizations.contains(GenericChunkFilterPushdown))
+      exp.extraOptimizations = exp.extraOptimizations :+ GenericChunkFilterPushdown
   }
 
   /** Chunk table (any plan with the chunk columns) → token rows, decoding

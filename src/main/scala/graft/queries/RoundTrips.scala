@@ -403,6 +403,28 @@ object RoundTrips {
       .orderBy("o_orderkey")
   }
 
+  /** AUTOMATIC chunk pruning: a plain `.filter` over the default
+    * persisted generic table — no manual pruneRange/pruneBloom call
+    * anywhere — must prune chunks via the GenericChunkFilterPushdown
+    * optimizer rule (min/max interval + null-count + bloom checks grown
+    * below the decode node). GenericStatsSpec proves the pruning is
+    * real with corrupted out-of-range chunks; this query proves the
+    * end-to-end values against the SQL restatement. */
+  def autoPrune(spark: SparkSession, dir: String): DataFrame = {
+    val src = table(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("o_orderstatus"))
+      .repartitionByRange(4, col("o_orderkey"))
+      .sortWithinPartitions("o_orderkey")
+    val chunks = graft.spark.GenericEncode.encode(src, rowsPerChunk = 2048)
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft-autoprune-q-" +
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    graft.spark.GenericEncode.write(chunks, base)
+    graft.spark.GenericEncode.readTable(spark, base, Seq("o_orderkey", "o_totalprice"))
+      .filter(col("o_orderkey").between(500L, 900L))
+      .orderBy("o_orderkey")
+  }
+
   /** Stats+bloom-pruned token search end-to-end (R11 Find/Search + R13
     * bloom probe): the lineitem-derived token table is searched for one
     * token id; min/max prunes chunks, the codegen'd bloom probe prunes

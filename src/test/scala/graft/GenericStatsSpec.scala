@@ -141,6 +141,39 @@ class GenericStatsSpec extends AnyFunSuite {
     assert(GenericEncode.decode(spark, corrupted).select("k").count() == 10000)
   }
 
+  test("row-level filters push down to chunk stats and blooms automatically") {
+    import spark.implicits._
+    // corrupt the payloads of every chunk whose k-min is above 3300 and
+    // PERSIST the table (the pushdown targets relation-backed tables —
+    // for in-memory Datasets the object-serializer pruning has already
+    // dropped the stats columns, so nothing can be pushed there): a
+    // plain .filter succeeds ONLY if the optimizer pruned those chunks
+    // before any CRC check or decode (no manual pruneRange anywhere)
+    val corrupted = chunks.map { c =>
+      if (c.col_mins(0).toLong > 3300L)
+        c.copy(cols_bin = c.cols_bin.map(_ => Array[Byte](9)))
+      else c
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-gpush").toString
+    GenericEncode.write(corrupted, s"$dir/t")
+    // corruption is real: an unfiltered read that touches the payload
+    // fails loudly (count() alone prunes to metadata-only by design)
+    intercept[Exception] {
+      GenericEncode.readTable(spark, s"$dir/t").select("k").collect()
+    }
+    val out = GenericEncode.readTable(spark, s"$dir/t")
+      .filter(col("k") >= 3000 && col("k") <= 3300)
+    assert(out.count() == 301)
+    assert(out.queryExecution.optimizedPlan.toString.contains("col_mins"),
+      out.queryExecution.optimizedPlan.toString.take(2000))
+    // equality additionally probes the per-column split-block bloom
+    val eq = GenericEncode.readTable(spark, s"$dir/t")
+      .filter(col("name") === "key-03100")
+    assert(eq.count() == 1)
+    assert(eq.queryExecution.optimizedPlan.toString.contains("col_blooms"),
+      eq.queryExecution.optimizedPlan.toString.take(2000))
+  }
+
   test("columnar table layout: projected reads skip unselected columns' BYTES") {
     val dir = java.nio.file.Files.createTempDirectory("graft-gcol").toString
     // the DEFAULT sink IS the columnar layout (round-4 judge item 7)
