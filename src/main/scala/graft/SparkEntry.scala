@@ -49,6 +49,7 @@ object SparkEntry {
     "q_generic_seek" -> ((s, d) => RoundTrips.genericSeek(s, d)),
     "q_generic_columnar" -> ((s, d) => RoundTrips.genericColumnar(s, d)),
     "q_search_token" -> ((s, d) => RoundTrips.searchToken(s, d)),
+    "q_auto_search" -> ((s, d) => RoundTrips.autoSearch(s, d)),
     "q_rt_aligned" -> ((s, d) => RoundTrips.alignedRoundTrip(s, d)),
     "q_streaming_ingest" -> ((s, d) => RoundTrips.streamingIngest(s, d)),
     "q_streaming_dedup" -> ((s, d) => RoundTrips.streamingDedup(s, d)),
@@ -160,6 +161,10 @@ object SparkEntry {
     // Pruned token search: doc_ids (orders) whose token set (sorted
     // linenumbers) contains token 7.
     "q_search_token" ->
+      "SELECT DISTINCT lpad(CAST(l_orderkey AS VARCHAR), 15, '0') AS doc_id FROM lineitem WHERE l_linenumber = 7 ORDER BY doc_id",
+    // Same membership search, but via a plain .filter over the persisted
+    // chunk table — pruning grown by the automatic pushdown rule.
+    "q_auto_search" ->
       "SELECT DISTINCT lpad(CAST(l_orderkey AS VARCHAR), 15, '0') AS doc_id FROM lineitem WHERE l_linenumber = 7 ORDER BY doc_id",
     // Zero-shuffle aligned encode: identity restatement over documents.
     "q_rt_aligned" ->

@@ -305,6 +305,74 @@ object GenericChunkFilterPushdown extends Rule[LogicalPlan]
   } catch { case scala.util.control.NonFatal(_) => None }
 }
 
+/** Token-table analog of [[GenericChunkFilterPushdown]]: `doc_id`
+  * comparisons become [first_doc_id, last_doc_id] interval checks (the
+  * persisted per-chunk key range — lineage doubling as an index), and
+  * `array_contains(tokens, t)` becomes the [tokens_min, tokens_max]
+  * interval check plus the CRC-verified split-block bloom probe — the
+  * exact pruning `EncodePipeline.searchToken` applies by hand, grown
+  * automatically under any plain `.filter` over a relation-backed
+  * chunk table. */
+object TokenChunkFilterPushdown extends Rule[LogicalPlan]
+    with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
+  import org.apache.spark.sql.catalyst.expressions._
+  import org.apache.spark.sql.catalyst.plans.logical.Filter
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, dc: DecodeChunks) =>
+      dc.child match {
+        case Project(projList, src)
+            if !src.isInstanceOf[Filter] &&
+              Seq("first_doc_id", "last_doc_id", "tokens_min", "tokens_max",
+                "tokens_bloom", "stream_crcs")
+                .forall(n => src.output.exists(_.name == n)) =>
+          buildChunkCond(cond, dc, src) match {
+            case Some(cc) =>
+              f.copy(child = dc.copy(child = Project(projList, Filter(cc, src))))
+            case None => f
+          }
+        case _ => f
+      }
+  }
+
+  private def buildChunkCond(cond: Expression, dc: DecodeChunks,
+                             src: LogicalPlan): Option[Expression] = try {
+    def attr(n: String): Attribute = src.output.find(_.name == n).get
+    val first = attr("first_doc_id")
+    val last = attr("last_doc_id")
+    val tMin = attr("tokens_min")
+    val tMax = attr("tokens_max")
+    val bloom = attr("tokens_bloom")
+    val crcs = attr("stream_crcs")
+    val docId = dc.output.find(_.name == "doc_id").map(_.exprId)
+    val tokens = dc.output.find(_.name == "tokens").map(_.exprId)
+    def isDoc(a: AttributeReference) = docId.contains(a.exprId)
+    def isTok(a: AttributeReference) = tokens.contains(a.exprId)
+    def hi(l: Literal): Seq[Expression] = Seq(LessThanOrEqual(first, l))
+    def lo(l: Literal): Seq[Expression] = Seq(GreaterThanOrEqual(last, l))
+    val checks = splitConjunctivePredicates(cond).flatMap {
+      case EqualTo(a: AttributeReference, l: Literal) if isDoc(a) && l.value != null =>
+        hi(l) ++ lo(l)
+      case EqualTo(l: Literal, a: AttributeReference) if isDoc(a) && l.value != null =>
+        hi(l) ++ lo(l)
+      case LessThan(a: AttributeReference, l: Literal) if isDoc(a) && l.value != null => hi(l)
+      case LessThanOrEqual(a: AttributeReference, l: Literal) if isDoc(a) && l.value != null => hi(l)
+      case GreaterThan(a: AttributeReference, l: Literal) if isDoc(a) && l.value != null => lo(l)
+      case GreaterThanOrEqual(a: AttributeReference, l: Literal) if isDoc(a) && l.value != null => lo(l)
+      case LessThan(l: Literal, a: AttributeReference) if isDoc(a) && l.value != null => lo(l)
+      case LessThanOrEqual(l: Literal, a: AttributeReference) if isDoc(a) && l.value != null => lo(l)
+      case GreaterThan(l: Literal, a: AttributeReference) if isDoc(a) && l.value != null => hi(l)
+      case GreaterThanOrEqual(l: Literal, a: AttributeReference) if isDoc(a) && l.value != null => hi(l)
+      case ArrayContains(a: AttributeReference, l: Literal) if isTok(a) && l.value != null =>
+        val v = Literal(l.value.asInstanceOf[Int])
+        Seq(LessThanOrEqual(tMin, v), GreaterThanOrEqual(tMax, v),
+          graft.functions.BloomMightContain(bloom, crcs, v))
+      case _ => Nil
+    }
+    if (checks.isEmpty) None else Some(checks.distinct.reduce(And))
+  } catch { case scala.util.control.NonFatal(_) => None }
+}
+
 case class DecodeGenericChunksExec(output: Seq[Attribute], colIndices: Seq[Int],
                                    colTypes: Seq[String], child: SparkPlan)
     extends UnaryExecNode {
@@ -342,6 +410,8 @@ object GraftPlans {
       exp.extraOptimizations = exp.extraOptimizations :+ DecodeGenericChunksPruning
     if (!exp.extraOptimizations.contains(GenericChunkFilterPushdown))
       exp.extraOptimizations = exp.extraOptimizations :+ GenericChunkFilterPushdown
+    if (!exp.extraOptimizations.contains(TokenChunkFilterPushdown))
+      exp.extraOptimizations = exp.extraOptimizations :+ TokenChunkFilterPushdown
   }
 
   /** Chunk table (any plan with the chunk columns) → token rows, decoding

@@ -446,6 +446,36 @@ object RoundTrips {
     EncodePipeline.searchToken(chunks, 7).toDF("doc_id").orderBy("doc_id")
   }
 
+  /** AUTOMATIC token search: the same membership query as
+    * [[searchToken]] but written as a plain `.filter(array_contains)`
+    * over a PERSISTED chunk table — the TokenChunkFilterPushdown rule
+    * grows the min/max + bloom chunk pruning that searchToken applies
+    * by hand (PipelineSpec proves the pruning with corrupted
+    * out-of-range chunks). Same oracle as q_search_token. */
+  def autoSearch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rows = table(spark, dir, "lineitem")
+      .groupBy("l_orderkey")
+      .agg(sort_array(collect_list(col("l_linenumber"))).as("tokens"))
+      .select(
+        format_string("%015d", col("l_orderkey")).as("doc_id"),
+        col("tokens"),
+        size(col("tokens")).as("n_tok"),
+        lit("tpch").as("source"))
+      .as[TokenRow]
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft-autosearch-q-" +
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    EncodePipeline.encode(rows, numParts = 8, tokensPerChunk = 64 * 1024)
+      .write.mode("overwrite")
+      .option("compression", EncodePipeline.ChunkTableCompression)
+      .parquet(base)
+    EncodePipeline.decodeDF(spark.read.parquet(base).as[graft.spark.EncodedChunk])
+      .filter(array_contains(col("tokens"), 7))
+      .select("doc_id")
+      .orderBy("doc_id")
+  }
+
   /** Layout-aligned (ZERO-shuffle) encode round-trip: the input is already
     * range-laid-out on doc_id, so encodeAligned encodes each split in
     * place — no exchange anywhere in the plan. Oracle is the identity

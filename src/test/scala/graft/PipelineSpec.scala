@@ -518,6 +518,38 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("token filters push down to chunk ranges and blooms automatically") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{array_contains, col}
+    // docs sorted by id; tokens(i) = [i/100] so per-chunk token ranges are
+    // tight intervals aligned with the doc ranges
+    val rows = spark.createDataset((0 until 2000).map(i =>
+      TokenRow(f"doc/$i%06d", Array(i / 100), 1, "web")))
+    val base = java.nio.file.Files.createTempDirectory("graft-tok-push").toString
+    // corrupt every chunk whose doc range starts past doc/001000: reads
+    // succeed only when pruning skips those chunks entirely
+    EncodePipeline.encode(rows, 4, tokensPerChunk = 256)
+      .map(c => if (c.first_doc_id > "doc/001000")
+        c.copy(tokens_bin = Array[Byte](1, 2, 3)) else c)
+      .write.parquet(s"$base/t")
+    val tbl = spark.read.parquet(s"$base/t").as[EncodedChunk]
+    // corruption is real: an unpruned read of the payload fails
+    intercept[Exception] {
+      EncodePipeline.decodeDF(tbl).selectExpr("size(tokens)").collect()
+    }
+    // doc_id range filter → [first_doc_id, last_doc_id] chunk pruning
+    val byDoc = EncodePipeline.decodeDF(tbl)
+      .filter(col("doc_id") < "doc/000500")
+    assert(byDoc.selectExpr("sum(size(tokens))").collect()(0).getLong(0) == 500L)
+    assert(byDoc.queryExecution.optimizedPlan.toString.contains("first_doc_id"))
+    // array_contains → tokens_min/max + CRC-verified bloom probe
+    val byTok = EncodePipeline.decodeDF(tbl)
+      .filter(array_contains(col("tokens"), 3))
+    assert(byTok.count() == 100)
+    val p = byTok.queryExecution.optimizedPlan.toString
+    assert(p.contains("tokens_min") && p.contains("bloom"), p.take(2000))
+  }
+
   test("compaction dedupe drops duplicate doc_ids; pass-through chunks stay byte-identical") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, md5}
