@@ -51,6 +51,7 @@ object SparkEntry {
     "q_search_token" -> ((s, d) => RoundTrips.searchToken(s, d)),
     "q_auto_search" -> ((s, d) => RoundTrips.autoSearch(s, d)),
     "q_rt_aligned" -> ((s, d) => RoundTrips.alignedRoundTrip(s, d)),
+    "q_sql_table" -> ((s, d) => RoundTrips.sqlTable(s, d)),
     "q_streaming_ingest" -> ((s, d) => RoundTrips.streamingIngest(s, d)),
     "q_streaming_dedup" -> ((s, d) => RoundTrips.streamingDedup(s, d)),
     "q_seek_rows" -> ((s, d) => RoundTrips.seekRows(s, d)),
@@ -171,6 +172,15 @@ object SparkEntry {
       """SELECT lpad(CAST(doc_id AS VARCHAR), 8, '0') AS doc_id, lang AS source,
         |       CAST(n_chars + length(lang) AS BIGINT) AS tok_sum
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // Pure-SQL read over the registered chunk-table view: decode +
+    // pushdown behind plain spark.sql; oracle restates the range select.
+    "q_sql_table" ->
+      """SELECT lpad(CAST(doc_id AS VARCHAR), 8, '0') AS doc_id, lang AS source,
+        |       CAST(n_chars + length(lang) AS BIGINT) AS tok_sum
+        |FROM documents
+        |WHERE lpad(CAST(doc_id AS VARCHAR), 8, '0') >= '00000100'
+        |  AND lpad(CAST(doc_id AS VARCHAR), 8, '0') < '00000300'
+        |ORDER BY doc_id""".stripMargin,
     // Streaming ingest in 3 micro-batches must decode to the same identity.
     "q_streaming_ingest" ->
       """SELECT lpad(CAST(doc_id AS VARCHAR), 8, '0') AS doc_id, lang AS source,

@@ -476,6 +476,35 @@ object RoundTrips {
       .orderBy("doc_id")
   }
 
+  /** Pure-SQL read path: a persisted chunk table registered as a temp
+    * view, queried with plain `spark.sql` — the filter and projection
+    * ride the same decode plan, pushdown rules and all. Oracle restates
+    * the SQL over the source table. */
+  def sqlTable(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val src = table(spark, dir, "documents")
+      .select(
+        lpad(col("doc_id").cast("string"), 8, "0").as("doc_id"),
+        array(col("n_chars").cast("int"), length(col("lang")).cast("int")).as("tokens"),
+        lit(2).as("n_tok"),
+        col("lang").as("source"))
+      .as[TokenRow]
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft-sqltbl-q-" +
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    EncodePipeline.encode(src, numParts = 4, tokensPerChunk = 4096)
+      .write.mode("overwrite")
+      .option("compression", EncodePipeline.ChunkTableCompression)
+      .parquet(base)
+    graft.spark.GraftTables.registerTokenTable(spark, "graft_docs", base)
+    spark.sql(
+      """SELECT doc_id, source,
+        |       aggregate(tokens, CAST(0 AS BIGINT), (a, x) -> a + x) AS tok_sum
+        |FROM graft_docs
+        |WHERE doc_id >= '00000100' AND doc_id < '00000300'
+        |ORDER BY doc_id""".stripMargin)
+  }
+
   /** Layout-aligned (ZERO-shuffle) encode round-trip: the input is already
     * range-laid-out on doc_id, so encodeAligned encodes each split in
     * place — no exchange anywhere in the plan. Oracle is the identity

@@ -548,6 +548,12 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(byTok.count() == 100)
     val p = byTok.queryExecution.optimizedPlan.toString
     assert(p.contains("tokens_min") && p.contains("bloom"), p.take(2000))
+    // and the same pruning behind plain SQL over a registered view
+    graft.spark.GraftTables.registerTokenTable(spark, "graft_push_t", s"$base/t")
+    val viaSql = spark.sql(
+      "SELECT count(*) AS c FROM graft_push_t WHERE array_contains(tokens, 3)")
+    assert(viaSql.collect()(0).getLong(0) == 100L)
+    assert(viaSql.queryExecution.optimizedPlan.toString.contains("tokens_min"))
   }
 
   test("compaction dedupe drops duplicate doc_ids; pass-through chunks stay byte-identical") {
