@@ -285,6 +285,48 @@ object GenericChunkFilterPushdown extends Rule[LogicalPlan]
     }
     def on(at: AttributeReference)(f: (Int, String) => Seq[Expression]): Seq[Expression] =
       byId.get(at.exprId).map { case (i, tpe) => f(i, tpe) }.getOrElse(Nil)
+    // IN-list: the chunk must intersect [min(list), max(list)] AND (when
+    // every value hashes) pass at least one bloom probe
+    def inCheck(i: Int, tpe: String, lits: Seq[Literal]): Seq[Expression] = {
+      val ordered = lits.sortWith { (a, b) =>
+        (a.value, b.value) match {
+          // exact integral compares first: doubleValue() loses precision
+          // past 2^53 and a mis-picked extreme would prune unsoundly
+          case (x: java.lang.Long, y: java.lang.Long) => x < y
+          case (x: java.lang.Integer, y: java.lang.Integer) => x < y
+          case (x: java.lang.Number, y: java.lang.Number) =>
+            x.doubleValue() < y.doubleValue()
+          case (x: org.apache.spark.unsafe.types.UTF8String,
+                y: org.apache.spark.unsafe.types.UTF8String) => x.compareTo(y) < 0
+          case (x: org.apache.spark.sql.types.Decimal,
+                y: org.apache.spark.sql.types.Decimal) => x.compareTo(y) < 0
+          case _ => throw new IllegalArgumentException("unorderable IN list")
+        }
+      }
+      val range = hiCheck(i, tpe, ordered.last) ++ loCheck(i, tpe, ordered.head)
+      val probes = lits.map(l => bloomCheck(i, tpe, l))
+      val blooms =
+        if (probes.forall(_.nonEmpty)) Seq(probes.map(_.head).reduce(Or)) else Nil
+      range ++ blooms
+    }
+    // startsWith(prefix): matches live in [prefix, nextPrefix) byte-wise
+    def prefixCheck(i: Int, tpe: String, l: Literal): Seq[Expression] = {
+      if (tpe != "string" || l.value == null) return Nil
+      val p = l.value.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
+      if (p.isEmpty) return Nil
+      val lower = Or(IsNull(item(maxs, i)), GreaterThanOrEqual(item(maxs, i), l))
+      var cut = p.length - 1
+      while (cut >= 0 && p(cut) == 0xFF.toByte) cut -= 1
+      val upper =
+        if (cut < 0) Nil
+        else {
+          val u = java.util.Arrays.copyOf(p, cut + 1)
+          u(cut) = (u(cut) + 1).toByte
+          Seq(Or(IsNull(item(mins, i)), LessThan(item(mins, i),
+            Literal(org.apache.spark.unsafe.types.UTF8String.fromBytes(u), StringType))))
+        }
+      Seq(lower, notAllNull(i)) ++ upper
+    }
 
     val checks = splitConjunctivePredicates(cond).flatMap {
       case EqualTo(at: AttributeReference, l: Literal) =>
@@ -299,6 +341,13 @@ object GenericChunkFilterPushdown extends Rule[LogicalPlan]
       case LessThanOrEqual(l: Literal, at: AttributeReference) => on(at)(loCheck(_, _, l))
       case GreaterThan(l: Literal, at: AttributeReference) => on(at)(hiCheck(_, _, l))
       case GreaterThanOrEqual(l: Literal, at: AttributeReference) => on(at)(hiCheck(_, _, l))
+      case In(at: AttributeReference, vs)
+          if vs.nonEmpty && vs.forall {
+            case lit: Literal => lit.value != null
+            case _ => false
+          } =>
+        on(at)(inCheck(_, _, vs.map(_.asInstanceOf[Literal])))
+      case StartsWith(at: AttributeReference, l: Literal) => on(at)(prefixCheck(_, _, l))
       case _ => Nil
     }
     if (checks.isEmpty) None else Some(checks.distinct.reduce(And))
@@ -367,6 +416,36 @@ object TokenChunkFilterPushdown extends Rule[LogicalPlan]
         val v = Literal(l.value.asInstanceOf[Int])
         Seq(LessThanOrEqual(tMin, v), GreaterThanOrEqual(tMax, v),
           graft.functions.BloomMightContain(bloom, crcs, v))
+      case In(a: AttributeReference, vs)
+          if isDoc(a) && vs.nonEmpty && vs.forall {
+            case lit: Literal =>
+              lit.value.isInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+            case _ => false
+          } =>
+        val lits = vs.map(_.asInstanceOf[Literal]).sortWith { (x, y) =>
+          x.value.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+            .compareTo(y.value.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]) < 0
+        }
+        hi(lits.last) ++ lo(lits.head)
+      case StartsWith(a: AttributeReference, l: Literal)
+          if isDoc(a) && l.value != null =>
+        // matches live in [prefix, nextPrefix) byte-wise
+        val p = l.value.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
+        if (p.isEmpty) Nil
+        else {
+          var cut = p.length - 1
+          while (cut >= 0 && p(cut) == 0xFF.toByte) cut -= 1
+          val upper =
+            if (cut < 0) Nil
+            else {
+              val u = java.util.Arrays.copyOf(p, cut + 1)
+              u(cut) = (u(cut) + 1).toByte
+              Seq(LessThan(first,
+                Literal(org.apache.spark.unsafe.types.UTF8String.fromBytes(u),
+                  StringType)): Expression)
+            }
+          lo(l) ++ upper
+        }
       case _ => Nil
     }
     if (checks.isEmpty) None else Some(checks.distinct.reduce(And))

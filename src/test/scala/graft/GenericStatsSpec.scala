@@ -172,6 +172,16 @@ class GenericStatsSpec extends AnyFunSuite {
     assert(eq.count() == 1)
     assert(eq.queryExecution.optimizedPlan.toString.contains("col_blooms"),
       eq.queryExecution.optimizedPlan.toString.take(2000))
+    // IN-list: [min,max] range + OR'd bloom probes
+    val inQ = GenericEncode.readTable(spark, s"$dir/t")
+      .filter(col("k").isin(3000, 3100, 3200))
+    assert(inQ.count() == 3)
+    assert(inQ.queryExecution.optimizedPlan.toString.contains("col_mins"))
+    // startsWith: byte-wise [prefix, nextPrefix) window
+    val pfx = GenericEncode.readTable(spark, s"$dir/t")
+      .filter(col("name").startsWith("key-031"))
+    assert(pfx.count() == 100)
+    assert(pfx.queryExecution.optimizedPlan.toString.contains("col_maxs"))
   }
 
   test("columnar table layout: projected reads skip unselected columns' BYTES") {

@@ -548,6 +548,16 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(byTok.count() == 100)
     val p = byTok.queryExecution.optimizedPlan.toString
     assert(p.contains("tokens_min") && p.contains("bloom"), p.take(2000))
+    // doc_id IN-list → interval over the list extremes
+    val inDocs = EncodePipeline.decodeDF(tbl)
+      .filter(col("doc_id").isin("doc/000010", "doc/000200"))
+    assert(inDocs.count() == 2)
+    assert(inDocs.queryExecution.optimizedPlan.toString.contains("first_doc_id"))
+    // doc_id prefix scan → byte-wise [prefix, nextPrefix) window
+    val pfx = EncodePipeline.decodeDF(tbl)
+      .filter(col("doc_id").startsWith("doc/0003"))
+    assert(pfx.count() == 100)
+    assert(pfx.queryExecution.optimizedPlan.toString.contains("last_doc_id"))
     // and the same pruning behind plain SQL over a registered view
     graft.spark.GraftTables.registerTokenTable(spark, "graft_push_t", s"$base/t")
     val viaSql = spark.sql(
