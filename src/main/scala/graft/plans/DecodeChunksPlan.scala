@@ -288,6 +288,15 @@ object GenericChunkFilterPushdown extends Rule[LogicalPlan]
     // IN-list: the chunk must intersect [min(list), max(list)] AND (when
     // every value hashes) pass at least one bloom probe
     def inCheck(i: Int, tpe: String, lits: Seq[Literal]): Seq[Expression] = {
+      // Spark's NaN = NaN is TRUE, but a NaN match lies outside any
+      // [min(list), max(list)] interval (the stats exclude NaN too) —
+      // an IN list containing NaN must not prune at all
+      val hasNaN = lits.exists(l => l.value match {
+        case d: java.lang.Double => d.isNaN
+        case f: java.lang.Float => f.isNaN
+        case _ => false
+      })
+      if (hasNaN) return Nil
       val ordered = lits.sortWith { (a, b) =>
         (a.value, b.value) match {
           // exact integral compares first: doubleValue() loses precision
