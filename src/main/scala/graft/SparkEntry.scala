@@ -87,6 +87,7 @@ object SparkEntry {
     "q_cosine_topk" -> ((s, d) => SimilarityOps.cosineTopK(s, d)),
     "q_lsh_ann" -> ((s, d) => SimilarityOps.lshAnn(s, d)),
     "q_ivf_ann" -> ((s, d) => SimilarityOps.ivfAnn(s, d)),
+    "q_ivf_ann_q8" -> ((s, d) => SimilarityOps.ivfAnnQuantized(s, d)),
     "q_embedding_neardup" -> ((s, d) => SimilarityOps.embeddingNearDup(s, d))
   )
 
@@ -376,6 +377,18 @@ object SparkEntry {
         |SELECT vec_id, round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), CAST((SELECT qe FROM q) AS DOUBLE[])), 6) AS cos
         |FROM corpus ORDER BY cos DESC, vec_id LIMIT 20""".stripMargin,
     "q_ivf_ann" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings ORDER BY vec_id LIMIT 1),
+        |corpus AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT 1000000 + t.j AS vec_id,
+        |         list_transform((SELECT qe FROM q), x -> x * CAST(1.0 + 0.01 * (t.j + 1) AS FLOAT)) AS embedding
+        |  FROM range(30) t(j))
+        |SELECT vec_id, round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), CAST((SELECT qe FROM q) AS DOUBLE[])), 6) AS cos
+        |FROM corpus ORDER BY cos DESC, vec_id LIMIT 20""".stripMargin,
+    // Int8-quantized IVF: coarse integer scoring over the 4x-smaller
+    // index + exact rerank of the candidates — same exact top-20.
+    "q_ivf_ann_q8" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings ORDER BY vec_id LIMIT 1),
         |corpus AS (
         |  SELECT vec_id, embedding FROM embeddings

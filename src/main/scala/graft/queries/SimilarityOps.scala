@@ -281,6 +281,99 @@ object SimilarityOps {
     ann
   }
 
+  /** Per-vector int8 quantization: scale = max|x|/127, bytes =
+    * round(x/scale) clamped to [-127,127]. Scaling a vector divides out
+    * of its own quantization, so a scale-copy needle produces the
+    * IDENTICAL byte pattern as the query — cell assignment and coarse
+    * ordering stay scaling-invariant by construction. */
+  @inline private def quantize(v: Array[Float]): (Array[Byte], Float) = {
+    var mx = 0.0f
+    var i = 0
+    while (i < v.length) { val a = math.abs(v(i)); if (a > mx) mx = a; i += 1 }
+    val scale = if (mx == 0.0f) 1.0f else mx / 127.0f
+    val out = new Array[Byte](v.length)
+    i = 0
+    while (i < v.length) {
+      out(i) = math.max(-127, math.min(127, math.round(v(i) / scale))).toByte
+      i += 1
+    }
+    (out, scale)
+  }
+
+  /** Quantized cosine: integer dot + integer norms — no float math in
+    * the coarse pass (the per-vector scales cancel in the cosine). */
+  @inline private def q8Cosine(a: Array[Byte], b: Array[Byte]): Double = {
+    var dot = 0L
+    var na = 0L
+    var nb = 0L
+    var i = 0
+    while (i < a.length) {
+      dot += a(i).toLong * b(i)
+      na += a(i).toLong * a(i)
+      nb += b(i).toLong * b(i)
+      i += 1
+    }
+    if (na == 0 || nb == 0) 0.0 else dot.toDouble / math.sqrt(na.toDouble * nb.toDouble)
+  }
+
+  /** Int8-quantized IVF ANN — the memory-bound regime at 10^9+ vectors:
+    * the inverted index stores per-vector int8 embeddings (4× smaller
+    * than f32 — the difference between an index that fits executor
+    * memory and one that pages), the probe scores the nprobe cells with
+    * INTEGER dot products for a coarse top-`coarseK` candidate set, and
+    * only those candidates' full-precision vectors are fetched back
+    * from the corpus for the exact top-20. Planted needles quantize to
+    * the query's exact byte pattern (see [[quantize]]), so they top the
+    * coarse ordering deterministically and the final result equals
+    * q_ivf_ann's oracle. */
+  def ivfAnnQuantized(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (assignPath, centPath) = ensureIvfIndex(spark, dir)
+    val q8Path = s"${indexRoot(dir)}/ivf_q8"
+    if (!exists(spark, q8Path)) {
+      spark.read.parquet(assignPath)
+        .select("cell", "vec_id", "embedding")
+        .as[(Int, Long, Seq[Float])]
+        .map { case (cell, id, v) =>
+          val (bytes, scale) = quantize(v.toArray)
+          (cell, id, bytes, scale)
+        }
+        .toDF("cell", "vec_id", "q8", "scale")
+        .repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(q8Path)
+    }
+    val centroids = spark.read.parquet(centPath)
+      .as[(Int, Seq[Double])].collect().sortBy(_._1).map(_._2.toArray)
+    val q = queryVec(spark, dir)
+    val qn = normalize(q).map(_.toDouble)
+    val nprobe = math.max(1, math.min(DefaultNprobe, centroids.length))
+    val cells = centroids.zipWithIndex
+      .map { case (c, i) => (i, sqDist(qn, c)) }
+      .sortBy(_._2).take(nprobe).map(_._1)
+    val bq8 = spark.sparkContext.broadcast(quantize(q)._1)
+    val coarseK = 100
+    // coarse pass: int8 index only — f32 vectors never leave the corpus
+    val candidates = spark.read.parquet(q8Path)
+      .filter(col("cell").isin(cells.map(Integer.valueOf): _*))
+      .select("vec_id", "q8").as[(Long, Array[Byte])]
+      .map { case (id, bytes) => (id, q8Cosine(bytes, bq8.value)) }
+      .toDF("vec_id", "qcos")
+      .orderBy(col("qcos").desc, col("vec_id"))
+      .limit(coarseK)
+    // exact rerank: join the candidates' FULL-precision vectors back
+    val bq = spark.sparkContext.broadcast(q)
+    val ann = candidates
+      .join(corpusWithNeedles(spark, dir).toDF("vec_id", "embedding"), Seq("vec_id"))
+      .select("vec_id", "embedding").as[(Long, Seq[Float])]
+      .map { case (id, v) => (id, cosine(v.toArray, bq.value)) }
+      .toDF("vec_id", "cos")
+      .withColumn("cos", round(col("cos"), 6))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(20)
+    assertNeedleRecall("ivfAnnQuantized", spark, ann)
+    ann
+  }
+
   /** O(1) in-query recall gate: the exact top-20 over the needle-planted
     * corpus is KNOWN by construction (the 20 lowest-id needles — all 30
     * needles have cosine 1.0, the natural corpus tops out ~0.51), so the

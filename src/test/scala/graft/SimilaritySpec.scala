@@ -45,6 +45,12 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("quantized IVF achieves full recall@20 via coarse int8 + exact rerank") {
+    val (found, n) = SimilarityOps.fullRecallAt20(spark, dir,
+      SimilarityOps.ivfAnnQuantized(spark, dir))
+    assert(found == n, s"quantized IVF recall $found/$n")
+  }
+
   test("IVF probe reads at most nprobe cell directories") {
     import spark.implicits._
     val (assignPath, _) = SimilarityOps.ensureIvfIndex(spark, dir)
