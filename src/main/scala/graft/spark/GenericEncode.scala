@@ -340,7 +340,7 @@ object GenericEncode {
     * char; the partial tail then decoded to U+FFFD (EF BF BD), which
     * sorts ABOVE real 2/3-byte lead bytes — an UNSOUND lower bound that
     * let pruneRange skip chunks containing matching rows. */
-  private def utf8BoundaryPrefix(b: Array[Byte], limit: Int): Array[Byte] = {
+  private[graft] def utf8BoundaryPrefix(b: Array[Byte], limit: Int): Array[Byte] = {
     if (b.length <= limit) return b
     var cut = limit
     while (cut > 0 && (b(cut) & 0xC0) == 0x80) cut -= 1
@@ -351,7 +351,7 @@ object GenericEncode {
     * valid UTF-8 survives that round-trip byte-identically — an invalid
     * byte would be replaced by U+FFFD and corrupt the stored bound, so
     * invalid values leave the bound untracked (null = never prune). */
-  private def isValidUtf8(b: Array[Byte]): Boolean = {
+  private[graft] def isValidUtf8(b: Array[Byte]): Boolean = {
     var i = 0
     while (i < b.length) {
       val c = b(i) & 0xFF

@@ -172,6 +172,38 @@ class CodecPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("utf8 stats truncation: boundary prefixes are valid UTF-8 lower bounds") {
+    import java.nio.charset.StandardCharsets.UTF_8
+    val strings: Gen[String] = for {
+      n <- Gen.choose(0, 120)
+      cs <- Gen.listOfN(n, Gen.oneOf(
+        Gen.alphaNumChar, Gen.const('é'), Gen.const('€'), Gen.const('齉'),
+        Gen.const('ÿ'), Gen.choose(0x0400, 0x9FFF).map(_.toChar) // 2-3 byte encodings
+      ))
+    } yield new String(cs.toArray)
+    forAll(strings, Gen.choose(0, 80)) { (s, limit) =>
+      val b = s.getBytes(UTF_8) // any String encodes to valid UTF-8
+      val p = graft.spark.GenericEncode.utf8BoundaryPrefix(b, limit)
+      assert(p.length <= math.max(limit, 0) || b.length <= limit)
+      // the prefix must round-trip through String byte-identically —
+      // exactly the property the rendered min stat needs to stay a
+      // SOUND lower bound under UTF8 binary comparison
+      assert(graft.spark.GenericEncode.isValidUtf8(p), p.mkString(","))
+      assert(java.util.Arrays.equals(new String(p, UTF_8).getBytes(UTF_8), p))
+      // prefix sorts <= the original byte-wise
+      val cmp = java.util.Arrays.compare(p, b)
+      assert(cmp <= 0)
+    }
+    // the validator rejects classic invalid shapes
+    for (bad <- Seq(
+      Array(0xC0, 0x80), // overlong
+      Array(0xED, 0xA0, 0x80), // surrogate
+      Array(0xF5, 0x80, 0x80, 0x80), // > U+10FFFF lead
+      Array(0xC3), // truncated tail
+      Array(0x80) // bare continuation
+    )) assert(!graft.spark.GenericEncode.isValidUtf8(bad.map(_.toByte)), bad.mkString(","))
+  }
+
   test("no chunk stream can collide with the compression frame magic") {
     // decompress() passes unframed bytes through by checking the first
     // byte against 0xC2 — sound only while no chunk stream starts there
