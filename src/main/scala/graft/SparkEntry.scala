@@ -54,6 +54,7 @@ object SparkEntry {
     "q_sql_table" -> ((s, d) => RoundTrips.sqlTable(s, d)),
     "q_streaming_ingest" -> ((s, d) => RoundTrips.streamingIngest(s, d)),
     "q_streaming_dedup" -> ((s, d) => RoundTrips.streamingDedup(s, d)),
+    "q_streaming_window" -> ((s, d) => RoundTrips.streamingWindow(s, d)),
     "q_seek_rows" -> ((s, d) => RoundTrips.seekRows(s, d)),
     "q_compact_merge" -> ((s, d) => RoundTrips.compactMerge(s, d)),
     "q_compact_dedup" -> ((s, d) => RoundTrips.compactDedup(s, d)),
@@ -191,6 +192,12 @@ object SparkEntry {
     // fingerprint-keyed state, leaving exactly the base corpus.
     "q_streaming_dedup" ->
       "SELECT doc_id, md5(text) AS fp FROM documents ORDER BY doc_id",
+    // Watermarked streaming tumbling windows must equal the batch
+    // restatement once every window is closed (UTC hour alignment).
+    "q_streaming_window" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+        |       event_type, count(*) AS cnt, min(value) AS min_v, max(value) AS max_v
+        |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
     // Columnar-layout generic table: projected 2-of-4-column read + filter.
     "q_generic_columnar" ->
       """SELECT lpad(CAST(doc_id AS VARCHAR), 8, '0') AS doc_id,

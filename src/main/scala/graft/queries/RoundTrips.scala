@@ -476,6 +476,50 @@ object RoundTrips {
       .orderBy("doc_id")
   }
 
+  /** Watermarked streaming windowed aggregation: the events table
+    * streams in ts order in 3 micro-batches through a 1-hour tumbling
+    * window with a zero-lateness watermark (append mode — a window only
+    * emits once the watermark passes its end). A sentinel event 2 hours
+    * past the last real timestamp closes every real window; the
+    * sentinel's own window never finalizes, so it is absent from the
+    * output by construction. min/max aggregates are order-independent,
+    * making the result exactly the batch restatement the oracle runs. */
+  def streamingWindow(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val rows = table(spark, dir, "events")
+      .select(col("ts"), col("event_type"), col("value"))
+      .as[(java.sql.Timestamp, String, Double)]
+      .collect().sortBy(_._1.getTime)
+    val sentinel = {
+      val maxTs = rows.last._1.getTime
+      (new java.sql.Timestamp(maxTs + 2 * 3600 * 1000L), "sentinel", 0.0)
+    }
+    val ms = MemoryStream[(java.sql.Timestamp, String, Double)](spark)
+    val agg = ms.toDF().toDF("ts", "event_type", "value")
+      .withWatermark("ts", "0 seconds")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), min("value").as("min_v"), max("value").as("max_v"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+        col("event_type"), col("cnt"), col("min_v"), col("max_v"))
+    val qname = "graft_stream_window_" +
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName(qname).start()
+    try {
+      val batchSize = (rows.length + 2) / 3
+      rows.grouped(batchSize).foreach { g =>
+        ms.addData(g.toSeq)
+        q.processAllAvailable()
+      }
+      ms.addData(Seq(sentinel))
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table(qname).orderBy("win_start", "event_type")
+  }
+
   /** Pure-SQL read path: a persisted chunk table registered as a temp
     * view, queried with plain `spark.sql` — the filter and projection
     * ride the same decode plan, pushdown rules and all. Oracle restates
