@@ -286,7 +286,7 @@ object SimilarityOps {
     * of its own quantization, so a scale-copy needle produces the
     * IDENTICAL byte pattern as the query — cell assignment and coarse
     * ordering stay scaling-invariant by construction. */
-  @inline private def quantize(v: Array[Float]): (Array[Byte], Float) = {
+  @inline private[graft] def quantize(v: Array[Float]): (Array[Byte], Float) = {
     var mx = 0.0f
     var i = 0
     while (i < v.length) { val a = math.abs(v(i)); if (a > mx) mx = a; i += 1 }
@@ -302,7 +302,7 @@ object SimilarityOps {
 
   /** Quantized cosine: integer dot + integer norms — no float math in
     * the coarse pass (the per-vector scales cancel in the cosine). */
-  @inline private def q8Cosine(a: Array[Byte], b: Array[Byte]): Double = {
+  @inline private[graft] def q8Cosine(a: Array[Byte], b: Array[Byte]): Double = {
     var dot = 0L
     var na = 0L
     var nb = 0L

@@ -45,6 +45,33 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("int8 quantization is scale-invariant and tracks true cosine") {
+    val r = new java.util.Random(7)
+    for (_ <- 1 to 100) {
+      val v = Array.fill(64)(r.nextGaussian().toFloat)
+      val c = 0.01f + r.nextFloat() * 100f
+      val (qv, _) = SimilarityOps.quantize(v)
+      val (qs, _) = SimilarityOps.quantize(v.map(_ * c))
+      // per-vector scaling divides out of the quantization up to float
+      // rounding (a 1-ulp .5-boundary flip can nudge a byte), so the
+      // quantized cosine of a scale-copy is ~1 — far above any natural
+      // pair, which is all the coarse pass needs
+      assert(SimilarityOps.q8Cosine(qv, qs) >= 0.999)
+      // and quantized cosine approximates the true cosine closely
+      val w = Array.fill(64)(r.nextGaussian().toFloat)
+      val (qw, _) = SimilarityOps.quantize(w)
+      val trueCos = {
+        var d = 0.0; var nv = 0.0; var nw = 0.0
+        for (i <- 0 until 64) {
+          d += v(i).toDouble * w(i); nv += v(i).toDouble * v(i); nw += w(i).toDouble * w(i)
+        }
+        d / math.sqrt(nv * nw)
+      }
+      assert(math.abs(SimilarityOps.q8Cosine(qv, qw) - trueCos) < 0.02,
+        s"q8 ${SimilarityOps.q8Cosine(qv, qw)} vs $trueCos")
+    }
+  }
+
   test("quantized IVF achieves full recall@20 via coarse int8 + exact rerank") {
     val (found, n) = SimilarityOps.fullRecallAt20(spark, dir,
       SimilarityOps.ivfAnnQuantized(spark, dir))
