@@ -335,6 +335,43 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.map(_._1).toSeq == ((0L until 40L) :+ 1000L))
   }
 
+  test("generic encode round-trips RANDOM schemas (fuzz)") {
+    import org.apache.spark.sql.functions._
+    val r = new java.util.Random(20260817L)
+    for (iter <- 1 to 8) {
+      val nCols = 1 + r.nextInt(6)
+      val picks = Array.fill(nCols)(r.nextInt(10))
+      val cols = picks.zipWithIndex.map { case (t, i) =>
+        val base = t match {
+          case 0 => (col("id") * 31 % 977).cast("int")
+          case 1 => (col("id") * 7919L).cast("bigint")
+          case 2 => (col("id") * 0.37).cast("double")
+          case 3 => (col("id") * 0.5).cast("float")
+          case 4 => (col("id") % 2 === 0).cast("boolean")
+          case 5 => concat(lit("s-"), ((col("id") * 131) % 389).cast("string"))
+          case 6 => (col("id").cast("decimal(12,3)") / lit(7).cast("decimal(4,0)"))
+            .cast("decimal(12,3)")
+          case 7 => date_add(lit(java.sql.Date.valueOf("2020-01-01")),
+            (col("id") % 900).cast("int"))
+          case 8 => (lit("2026-01-01 00:00:00").cast("timestamp")
+            + expr(s"make_interval(0,0,0,0,0,0, CAST(id % 86400 AS INT))"))
+          case _ => array((col("id") % 97).cast("int"), ((col("id") * 3) % 89).cast("int"))
+        }
+        // column-dependent null stripes (never on the unique key below)
+        when(pmod(col("id") + lit(i), lit(7)) === 0, lit(null)).otherwise(base).as(s"c$i")
+      }
+      val df = spark.range(2500)
+        .select(Seq(col("id")) ++ cols: _*)
+        .coalesce(2)
+      val back = GenericEncode.decode(spark,
+        GenericEncode.encode(df, rowsPerChunk = 257))
+      // unique id per row → two-sided except is an exact multiset compare
+      assert(back.count() == 2500, s"schema #$iter (${picks.mkString(",")})")
+      assert(df.exceptAll(back).count() == 0 && back.exceptAll(df).count() == 0,
+        s"schema #$iter (${picks.mkString(",")}) mismatch")
+    }
+  }
+
   test("generic encode round-trips an arbitrary flat schema with nulls") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, when, lit, array, concat_ws}
