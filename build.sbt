@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST stdout line of `sbt "runMain graft.Bench"` as
+// JSON. Two sbt decorations broke that for four rounds: the logger prefixes
+// forked stdout with "[info] ", and a "[success] Total time: …" banner
+// follows the envelope. StdoutOutput passes forked output through verbatim,
+// and showSuccess drops the banner, so the bare JSON envelope is the final
+// line. The bare project-level setting delegates to every run-family task
+// (run, runMain, Test/run) — task-scoped copies would miss runMain.
+outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys ++= Set(outputStrategy, showSuccess)
 // tests run small workloads — skip the big pre-touched bench heap
 Test / javaOptions := (Test / javaOptions).value
   .filterNot(o => o.startsWith("-Xms") || o == "-XX:+AlwaysPreTouch") ++ Seq("-Xms2g")

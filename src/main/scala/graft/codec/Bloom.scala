@@ -77,11 +77,36 @@ object Bloom {
     }
   }
 
-  /** Probe the serialized (little-endian) filter. */
+  /** Serialized-filter header: [Magic][CRC32 of the block bytes, LE] —
+    * the filter carries its own integrity check, because a PRUNING
+    * structure fails in the one direction CRCs exist for: a flipped bit
+    * yields false negatives, and a pruned chunk is never decoded so its
+    * whole-chunk CRC is never consulted. Probes verify the embedded CRC
+    * before trusting a zero bit. Legacy headerless filters (length an
+    * exact multiple of the block size; the header's `5 + 32k` length can
+    * never be) still probe, unverified. */
+  private final val Magic = 0xB7
+  private final val HeaderBytes = 5
+
+  /** Probe the serialized (little-endian) filter, verifying the embedded
+    * CRC when the filter carries one. Throws on CRC mismatch — corrupted
+    * pruning metadata must fail loudly, not silently drop chunks. */
   def mightContain(bytes: Array[Byte], v: Int): Boolean = {
     if (bytes == null || bytes.length < BytesPerBlock) return true // no filter => can't prune
+    var off0 = 0
+    var len = bytes.length
+    if ((bytes(0) & 0xFF) == Magic && (bytes.length - HeaderBytes) % BytesPerBlock == 0 &&
+      bytes.length > HeaderBytes) {
+      val crc = new java.util.zip.CRC32()
+      crc.update(bytes, HeaderBytes, bytes.length - HeaderBytes)
+      val stored = (bytes(1) & 0xFFL) | ((bytes(2) & 0xFFL) << 8) |
+        ((bytes(3) & 0xFFL) << 16) | ((bytes(4) & 0xFFL) << 24)
+      require(crc.getValue == stored, "bloom filter CRC mismatch")
+      off0 = HeaderBytes
+      len = bytes.length - HeaderBytes
+    } else if (bytes.length % BytesPerBlock != 0) return true // unrecognized => can't prune
     val h = hashInt(v)
-    val blockOff = blockIndex(h, bytes.length / BytesPerBlock) * BytesPerBlock
+    val blockOff = off0 + blockIndex(h, len / BytesPerBlock) * BytesPerBlock
     val x = h.toInt
     var i = 0
     while (i < WordsPerBlock) {
@@ -95,16 +120,25 @@ object Bloom {
   }
 
   def serialize(words: Array[Int]): Array[Byte] = {
-    val out = new Array[Byte](words.length * 4)
+    val out = new Array[Byte](HeaderBytes + words.length * 4)
     var i = 0
     while (i < words.length) {
       val w = words(i)
-      out(i * 4) = w.toByte
-      out(i * 4 + 1) = (w >>> 8).toByte
-      out(i * 4 + 2) = (w >>> 16).toByte
-      out(i * 4 + 3) = (w >>> 24).toByte
+      val o = HeaderBytes + i * 4
+      out(o) = w.toByte
+      out(o + 1) = (w >>> 8).toByte
+      out(o + 2) = (w >>> 16).toByte
+      out(o + 3) = (w >>> 24).toByte
       i += 1
     }
+    val crc = new java.util.zip.CRC32()
+    crc.update(out, HeaderBytes, words.length * 4)
+    val c = crc.getValue
+    out(0) = Magic.toByte
+    out(1) = c.toByte
+    out(2) = (c >>> 8).toByte
+    out(3) = (c >>> 16).toByte
+    out(4) = (c >>> 24).toByte
     out
   }
 }

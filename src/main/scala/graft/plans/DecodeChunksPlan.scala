@@ -248,8 +248,13 @@ object GenericChunkFilterPushdown extends Rule[LogicalPlan]
           val v = lit.value.asInstanceOf[Double]
           if (v.isNaN) None else Some((Literal(v), DoubleType))
         case "float" =>
+          // compare in FLOAT space: the stat string round-trips through
+          // Float.toString/parseFloat exactly, while widening either side
+          // to double independently does NOT (0.7f -> "0.7" casts to the
+          // double 0.7, but 0.7f.toDouble = 0.699999988...; the mismatch
+          // pruned chunks containing exact float matches)
           val v = lit.value.asInstanceOf[Float]
-          if (v.isNaN) None else Some((Literal(v.toDouble), DoubleType))
+          if (v.isNaN) None else Some((Literal(v, FloatType), FloatType))
         case "string" => Some((lit, StringType))
         case _ => None
       }

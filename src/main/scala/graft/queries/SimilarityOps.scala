@@ -91,10 +91,17 @@ object SimilarityOps {
     * probed by newer code. */
   private final val IndexVersion = "v4" // v4: (tbl, bucket-group) directories
 
-  private def indexRoot(dir: String): String = {
+  /** Root for persisted ANN index tables. Defaults to the local tmpdir
+    * (right for the single-node sandbox); on a cluster set
+    * `spark.graft.ann.indexRoot` to a SHARED filesystem URI (hdfs:/s3a:)
+    * — every path below goes through the Hadoop FS API, so any scheme
+    * works unchanged. */
+  private def indexRoot(spark: SparkSession, dir: String): String = {
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
-    s"${System.getProperty("java.io.tmpdir")}/graft-simidx-$IndexVersion-$key"
+    val base = spark.conf.getOption("spark.graft.ann.indexRoot")
+      .getOrElse(System.getProperty("java.io.tmpdir"))
+    s"${base.stripSuffix("/")}/graft-simidx-$IndexVersion-$key"
   }
 
   private def exists(spark: SparkSession, path: String): Boolean = {
@@ -144,7 +151,7 @@ object SimilarityOps {
     * columns so each directory is one file, sorted by bucket inside. */
   private[graft] def ensureLshIndex(spark: SparkSession, dir: String): String = {
     import spark.implicits._
-    val path = s"${indexRoot(dir)}/lsh"
+    val path = s"${indexRoot(spark, dir)}/lsh"
     if (!exists(spark, path)) {
       corpusWithNeedles(spark, dir)
         .flatMap { case (id, v) =>
@@ -204,8 +211,8 @@ object SimilarityOps {
     * driver holds only the k×Dims centroid matrix. */
   private[graft] def ensureIvfIndex(spark: SparkSession, dir: String): (String, String) = {
     import spark.implicits._
-    val assignPath = s"${indexRoot(dir)}/ivf_assign"
-    val centPath = s"${indexRoot(dir)}/ivf_cent"
+    val assignPath = s"${indexRoot(spark, dir)}/ivf_assign"
+    val centPath = s"${indexRoot(spark, dir)}/ivf_cent"
     if (!exists(spark, assignPath) || !exists(spark, centPath)) {
       val vecs = corpusWithNeedles(spark, dir)
         .map { case (id, v) => (id, normalize(v.toArray).toSeq) }
@@ -329,7 +336,7 @@ object SimilarityOps {
   def ivfAnnQuantized(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val (assignPath, centPath) = ensureIvfIndex(spark, dir)
-    val q8Path = s"${indexRoot(dir)}/ivf_q8"
+    val q8Path = s"${indexRoot(spark, dir)}/ivf_q8"
     if (!exists(spark, q8Path)) {
       spark.read.parquet(assignPath)
         .select("cell", "vec_id", "embedding")

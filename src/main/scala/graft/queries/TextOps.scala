@@ -203,9 +203,20 @@ object TextOps {
     * 10th doc gets a byte-identical copy at id+10⁶ (hamming 0) and a
     * one-token-appended copy at id+2·10⁶ (usually a few bits). The
     * exact hamming rerank makes the output equal the all-pairs
-    * hamming ≤ 3 set, which the DuckDB oracle computes directly. A
-    * per-bucket width cap bounds the worst (boilerplate) bucket; pairs
-    * in a capped bucket are still caught via the other 3 bands. */
+    * hamming ≤ 3 set, which the DuckDB oracle computes directly.
+    *
+    * Skew control is RECURSIVE banding, not row dropping: a bucket wider
+    * than the cap (boilerplate 16-bit collisions) is not joined directly
+    * — its members, which already agree on that band, are RE-banded on
+    * the three remaining 16-bit bands. A pair at hamming ≤ 3 inside the
+    * bucket has all its ≤ 3 differing bits in those 48 bits, so by the
+    * same pigeonhole it agrees exactly on ≥ 1 sub-band — recall at the
+    * threshold stays deterministic (a flat cap silently lost pairs whose
+    * only agreeing band was the capped one). A sub-bucket still over the
+    * cap means > cap documents share 32 identical signature bits — its
+    * members are pairwise near-identical, so the EXACT OUTPUT is itself
+    * quadratic in the bucket width; such buckets are joined anyway and
+    * the width is surfaced on stderr as the honest cost driver. */
   def simHashNearDup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val base = docs(spark, dir).select("doc_id", "text").as[(Long, String)]
@@ -220,24 +231,43 @@ object TextOps {
       (0 until 4).iterator.map(b => (b, (sig >>> (16 * b)) & 0xFFFFL, id, sig))
     }.toDF("band", "band_bits", "doc_id", "simhash")
     val cap = 10000L
-    val sized = banded.join(
+    val withWidth = banded.join(
       banded.groupBy("band", "band_bits").agg(count(lit(1)).as("width")),
-      Seq("band", "band_bits"))
-      .filter(col("width") <= cap)
-    val a = sized.as("a")
-    val b = sized.as("b")
-    val out = a.join(b, col("a.band") === col("b.band") &&
-        col("a.band_bits") === col("b.band_bits") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.simhash").as("sig_a"), col("b.simhash").as("sig_b"))
+      Seq("band", "band_bits")).persist()
+    val sized = withWidth.filter(col("width") <= cap)
+    def pairsOf(df: DataFrame, keys: Seq[String]): DataFrame = {
+      val a = df.as("a")
+      val b = df.as("b")
+      val joinCond = keys.map(k => col(s"a.$k") === col(s"b.$k"))
+        .reduce(_ && _) && col("a.doc_id") < col("b.doc_id")
+      a.join(b, joinCond)
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.simhash").as("sig_a"), col("b.simhash").as("sig_b"))
+    }
+    val direct = pairsOf(sized, Seq("band", "band_bits"))
+    // capped buckets: re-band the members on the three bands they do NOT
+    // already share; ≤3 differing bits over 48 bits → ≥1 agreeing sub-band
+    val capped = withWidth.filter(col("width") > cap)
+    val cappedBuckets = capped.select("band", "band_bits").distinct().count()
+    if (cappedBuckets > 0)
+      System.err.println(s"simHashNearDup: $cappedBuckets band buckets over " +
+        s"the $cap-row cap — re-banded on remaining 16-bit sub-bands")
+    val sub = capped.select("band", "band_bits", "doc_id", "simhash")
+      .as[(Int, Long, Long, Long)]
+      .flatMap { case (band, bits, id, sig) =>
+        (0 until 4).iterator.filter(_ != band).map(b2 =>
+          (band, bits, b2, (sig >>> (16 * b2)) & 0xFFFFL, id, sig))
+      }.toDF("band", "band_bits", "band2", "sub_bits", "doc_id", "simhash")
+    val subPairs = pairsOf(sub, Seq("band", "band_bits", "band2", "sub_bits"))
+    val out = direct.unionByName(subPairs)
       .distinct()
       .withColumn("hamming", expr("bit_count(sig_a ^ sig_b)").cast("long"))
       .filter(col("hamming") <= 3)
       .select("doc_a", "doc_b", "hamming")
       .orderBy("doc_a", "doc_b")
       .cache()
-    out.count() // materialize before unpersisting the signature table
+    out.count() // materialize before unpersisting the upstream tables
+    withWidth.unpersist()
     sigs.unpersist()
     out
   }

@@ -605,12 +605,21 @@ object EncodePipeline {
   final val FormatVersion = 3
 
   /** Validate (or stamp) `FORMAT_VERSION` next to a checkpoint. A fresh
-    * dir gets the marker; a dir with data but no marker is a pre-round-3
-    * layout and fails explicitly; a marker from another version fails
-    * explicitly. */
-  private def checkFormatVersion(hfs: org.apache.hadoop.fs.FileSystem,
+    * dir gets the marker; a marker from another version fails explicitly.
+    * A dir with data but NO marker (the marker only exists since round 4)
+    * is PROBED: a chunk table whose parquet schema carries `stream_crcs`
+    * IS the current v3 layout, so it is stamped and accepted in place —
+    * refusing it would force a needless full re-encode of a compatible
+    * table. Anything else fails with an honest "version unknown" message
+    * (not a claim about which round wrote it). */
+  private def checkFormatVersion(spark: SparkSession,
+                                 hfs: org.apache.hadoop.fs.FileSystem,
                                  dir: org.apache.hadoop.fs.Path): Unit = {
     val vf = new org.apache.hadoop.fs.Path(dir, "FORMAT_VERSION")
+    def stamp(): Unit = {
+      val out = hfs.create(vf, true)
+      try out.write(FormatVersion.toString.getBytes(UTF_8)) finally out.close()
+    }
     if (hfs.exists(vf)) {
       val in = hfs.open(vf)
       val v = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
@@ -622,11 +631,17 @@ object EncodePipeline {
     } else {
       val hasData = Seq("chunks", "metrics", "metrics.staging", "metrics.old")
         .exists(n => hfs.exists(new org.apache.hadoop.fs.Path(dir, n)))
-      require(!hasData,
-        s"checkpoint at $dir predates the FORMAT_VERSION marker (round-2-or-older " +
-          s"layout); this build writes version $FormatVersion — re-encode the table")
-      val out = hfs.create(vf, true)
-      try out.write(FormatVersion.toString.getBytes(UTF_8)) finally out.close()
+      if (!hasData) { stamp(); return }
+      val chunksPath = new org.apache.hadoop.fs.Path(dir, "chunks")
+      val isV3 = hfs.exists(chunksPath) &&
+        (try spark.read.parquet(chunksPath.toString)
+          .schema.fieldNames.contains("stream_crcs")
+        catch { case scala.util.control.NonFatal(_) => false })
+      if (isV3) stamp()
+      else throw new IllegalArgumentException(
+        s"checkpoint at $dir has no FORMAT_VERSION marker and its layout does not " +
+          s"match version $FormatVersion (probed the chunk schema); the version that " +
+          "wrote it is unknown — re-encode the table")
     }
   }
 
@@ -651,7 +666,7 @@ object EncodePipeline {
     val dirPath = new org.apache.hadoop.fs.Path(dir)
     val hfs = dirPath.getFileSystem(hconf)
     hfs.mkdirs(dirPath)
-    checkFormatVersion(hfs, dirPath)
+    checkFormatVersion(spark, hfs, dirPath)
     val boundsPath = new org.apache.hadoop.fs.Path(dirPath, "bounds.txt")
     val bounds: Array[String] =
       if (hfs.exists(boundsPath)) {
@@ -929,13 +944,16 @@ object EncodePipeline {
     val mergedRdd =
       if (!dropDuplicates) rowRdd
       else rowRdd.mapPartitions { it =>
+        // UTF8String comparison straight off the row buffer — no String
+        // per row in the merge hot loop; only a RETAINED key is cloned
+        // (the unsafe row backing `d` is reused by the iterator)
         var prevPart = Int.MinValue
-        var prevDoc: String = null
+        var prevDoc: UTF8String = null
         it.filter { r =>
           val p = r.getInt(4)
-          val d = r.getUTF8String(0).toString
-          val keep = p != prevPart || d != prevDoc
-          if (keep) { prevPart = p; prevDoc = d }
+          val d = r.getUTF8String(0)
+          val keep = p != prevPart || prevDoc == null || !d.equals(prevDoc)
+          if (keep) { prevPart = p; prevDoc = d.clone() }
           keep
         }
       }

@@ -297,16 +297,29 @@ object GenericEncode {
     override def clearValues(): Unit = buf.clear()
   }
 
+  /** Floating-point stats follow the parquet-writer convention for NaN:
+    * min/max track only non-NaN values, and a chunk that SAW a NaN gets
+    * a null (untracked) max — under Spark's ordering NaN sorts greater
+    * than every value, so the true upper bound of such a chunk is not
+    * representable and a finite stat would let `col > L` pruning drop
+    * NaN rows the row filter keeps. The min is unaffected (NaN is never
+    * the minimum); all-NaN chunks track neither bound. */
   private final class DoubleColBuilder extends ColBuilder {
     private val buf = new DoubleBuf
     override def add(row: InternalRow, c: Int): Unit = buf += row.getDouble(c)
     override def finish(): ColResult = {
       var mn = Double.PositiveInfinity; var mx = Double.NegativeInfinity
+      var hasNaN = false; var nonNaN = 0
       var i = 0
-      while (i < buf.n) { val v = buf.a(i); if (v < mn) mn = v; if (v > mx) mx = v; i += 1 }
+      while (i < buf.n) {
+        val v = buf.a(i)
+        if (v != v) hasNaN = true
+        else { nonNaN += 1; if (v < mn) mn = v; if (v > mx) mx = v }
+        i += 1
+      }
       ColResult(Chunks.encodeDoubles(buf.a, 0, buf.n),
-        if (buf.n == 0 || mn.isNaN) null else mn.toString,
-        if (buf.n == 0 || mx.isNaN) null else mx.toString, NoBloom)
+        if (nonNaN == 0) null else mn.toString,
+        if (nonNaN == 0 || hasNaN) null else mx.toString, NoBloom)
     }
     override def clearValues(): Unit = buf.clear()
   }
@@ -316,11 +329,17 @@ object GenericEncode {
     override def add(row: InternalRow, c: Int): Unit = buf += row.getFloat(c)
     override def finish(): ColResult = {
       var mn = Float.PositiveInfinity; var mx = Float.NegativeInfinity
+      var hasNaN = false; var nonNaN = 0
       var i = 0
-      while (i < buf.n) { val v = buf.a(i); if (v < mn) mn = v; if (v > mx) mx = v; i += 1 }
+      while (i < buf.n) {
+        val v = buf.a(i)
+        if (v != v) hasNaN = true
+        else { nonNaN += 1; if (v < mn) mn = v; if (v > mx) mx = v }
+        i += 1
+      }
       ColResult(Chunks.encodeFloats(buf.a, 0, buf.n),
-        if (buf.n == 0 || mn.isNaN) null else mn.toString,
-        if (buf.n == 0 || mx.isNaN) null else mx.toString, NoBloom)
+        if (nonNaN == 0) null else mn.toString,
+        if (nonNaN == 0 || hasNaN) null else mx.toString, NoBloom)
     }
     override def clearValues(): Unit = buf.clear()
   }
@@ -648,7 +667,11 @@ object GenericEncode {
     val mx0 = fcol("col_maxs").getItem(i)
     // (bound, isLo) → value in the stat's own representation
     val longConv: Option[(String, Boolean) => Long] = tpe match {
-      case "int" | "bigint" => Some((s, _) => s.trim.toLong)
+      // integer-array stats are ELEMENT bounds — integers, so they must
+      // compare numerically too (the string fallback would prune "9" vs
+      // "10" lexicographically, which is unsound)
+      case "int" | "bigint" | "array<int>" | "array<bigint>" =>
+        Some((s, _) => s.trim.toLong)
       case "date" => Some((s, _) => dateDays(s))
       case "timestamp" | "timestamp_ntz" => Some((s, _) => tsMicros(s))
       case t if t.startsWith("decimal(") =>
@@ -663,11 +686,19 @@ object GenericEncode {
         val mx = mx0.cast("bigint")
         hi.foreach(h => cond = cond && (mn.isNull || mn <= flit(conv(h, false))))
         lo.foreach(l => cond = cond && (mx.isNull || mx >= flit(conv(l, true))))
-      case None if tpe == "double" || tpe == "float" =>
+      case None if tpe == "double" =>
         val mn = mn0.cast("double")
         val mx = mx0.cast("double")
         hi.foreach(h => cond = cond && (mn.isNull || mn <= flit(h.trim.toDouble)))
         lo.foreach(l => cond = cond && (mx.isNull || mx >= flit(l.trim.toDouble)))
+      case None if tpe == "float" =>
+        // float space on BOTH sides (stat strings round-trip via
+        // Float.parseFloat; widening only one side to double mis-prunes
+        // bounds like 0.7 — see GenericChunkFilterPushdown)
+        val mn = mn0.cast("float")
+        val mx = mx0.cast("float")
+        hi.foreach(h => cond = cond && (mn.isNull || mn <= flit(h.trim.toFloat)))
+        lo.foreach(l => cond = cond && (mx.isNull || mx >= flit(l.trim.toFloat)))
       case None =>
         hi.foreach(h => cond = cond && (mn0.isNull || mn0 <= flit(h)))
         lo.foreach(l => cond = cond && (mx0.isNull || mx0 >= flit(l)))

@@ -231,6 +231,84 @@ class GenericStatsSpec extends AnyFunSuite {
     assert(covering <= 2, s"$covering covering chunks for a 20-row seek")
   }
 
+  test("float filter pushdown compares in FLOAT space — boundary literals keep their chunk") {
+    import spark.implicits._
+    // values like 0.7f whose double widening (0.699999988…) differs from
+    // the double their Float.toString stat casts to (0.7) — the round-4
+    // mismatch pruned the chunk holding the exact match; plus a pseudo-
+    // random spread so chunk boundaries land ON values
+    val vals: Seq[Float] = Seq(0.7f, 0.1f, 0.3f, -0.7f, 1e-7f, 123.456f, 3.3f) ++
+      (1 to 57).map(i => (math.sin(i.toDouble) * 1000).toFloat)
+    val df = vals.zipWithIndex.map { case (f, i) => (i, f) }.toDF("id", "x")
+      .coalesce(1).sortWithinPartitions("x")
+    val dir = java.nio.file.Files.createTempDirectory("graft-float").toString
+    GenericEncode.write(GenericEncode.encode(df, rowsPerChunk = 8), s"$dir/t")
+    val t = () => GenericEncode.readTable(spark, s"$dir/t")
+    vals.distinct.foreach { f =>
+      val got = t().filter(col("x") === f).count()
+      val want = vals.count(_ == f)
+      assert(got == want, s"equality on $f: got $got want $want")
+    }
+    // range bounds landing exactly on stored values (== chunk min/max)
+    val sorted = vals.sorted
+    Seq(sorted(8), sorted(16), sorted(40)).foreach { b =>
+      assert(t().filter(col("x") >= b).count() == vals.count(_ >= b), s">= $b")
+      assert(t().filter(col("x") <= b).count() == vals.count(_ <= b), s"<= $b")
+    }
+  }
+
+  test("NaN rows survive float/double range pruning (NaN sorts greatest in Spark)") {
+    val df = spark.range(100).select(
+      col("id").cast("int").as("k"),
+      when(col("id") % 10 === 0, lit(Double.NaN))
+        .otherwise(col("id").cast("double") / 10).as("d"),
+      when(col("id") % 10 === 0, lit(Float.NaN))
+        .otherwise((col("id").cast("double") / 10).cast("float")).as("f"))
+      .coalesce(1).sortWithinPartitions("k")
+    val dir = java.nio.file.Files.createTempDirectory("graft-nan").toString
+    GenericEncode.write(GenericEncode.encode(df, rowsPerChunk = 10), s"$dir/t")
+    // every non-NaN value is <= 9.9, so `> 9.9` matches EXACTLY the 10 NaN
+    // rows — which live in chunks whose finite max is far below the bound
+    // (a finite max stat would prune them; NaN-seen chunks track no max)
+    assert(GenericEncode.readTable(spark, s"$dir/t")
+      .filter(col("d") > 9.9).count() == 10)
+    assert(GenericEncode.readTable(spark, s"$dir/t")
+      .filter(col("f") > lit(9.9f)).count() == 10)
+    // equality against NaN matches too (Spark: NaN = NaN is true)
+    assert(GenericEncode.readTable(spark, s"$dir/t")
+      .filter(col("d") === Double.NaN).count() == 10)
+  }
+
+  test("corrupted bloom bytes fail the probe loudly (no silent chunk drop)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-bloomcrc").toString
+    // flip one bit inside every bloom's block payload (past the 5-byte
+    // header) — a false NEGATIVE is the corruption pruning can't tolerate
+    val corrupted = chunks.map { c =>
+      val blooms = c.col_blooms.map { b =>
+        if (b.length > 6) { val x = b.clone(); x(6) = (x(6) ^ 0x10).toByte; x } else b
+      }
+      c.copy(col_blooms = blooms)
+    }
+    GenericEncode.write(corrupted, s"$dir/t")
+    val ex = intercept[Exception] {
+      GenericEncode.readTable(spark, s"$dir/t")
+        .filter(col("name") === "key-04321").count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("bloom filter CRC mismatch")), ex.toString)
+    // legacy headerless filters (pre-round-5 tables) still probe, unverified
+    val legacyBloom = {
+      val words = new Array[Int](16)
+      graft.codec.Bloom.insert(words, 42)
+      val withHeader = graft.codec.Bloom.serialize(words)
+      java.util.Arrays.copyOfRange(withHeader, 5, withHeader.length)
+    }
+    assert(legacyBloom.length % 32 == 0)
+    assert(graft.codec.Bloom.mightContain(legacyBloom, 42))
+  }
+
   test("array<int> element bounds allow contains-style pruning") {
     val df = spark.range(2000).select(
       col("id").cast("int").as("k"),

@@ -312,12 +312,23 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       EncodePipeline.encodeCheckpointed(spark, src, 2, dir, tokensPerChunk = 64 * 1024)
     }
     assert(exMismatch.getMessage.contains("format version 2"), exMismatch.getMessage)
-    // unversioned dir WITH data = pre-marker layout → explicit error
+    // unversioned dir whose chunk schema IS the current layout: probed,
+    // stamped v3 in place, and accepted (the marker only exists since
+    // round 4 — refusing compatible pre-marker checkpoints forced a
+    // needless full re-encode)
     java.nio.file.Files.delete(vf)
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(dir, ".FORMAT_VERSION.crc"))
+    val m3 = EncodePipeline.encodeCheckpointed(spark, src, 2, dir, tokensPerChunk = 64 * 1024)
+    assert(java.nio.file.Files.readString(vf).trim == EncodePipeline.FormatVersion.toString)
+    assert(m3.selectExpr("sum(num_rows)").head().getLong(0) == 800L)
+    // unversioned dir whose chunk schema does NOT match → honest
+    // "version unknown" error (not a claim about which round wrote it)
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-ckpt-ver2").toString
+    spark.range(5).toDF("x").write.parquet(s"$dir2/chunks")
     val exOld = intercept[IllegalArgumentException] {
-      EncodePipeline.encodeCheckpointed(spark, src, 2, dir, tokensPerChunk = 64 * 1024)
+      EncodePipeline.encodeCheckpointed(spark, src, 2, dir2, tokensPerChunk = 64 * 1024)
     }
-    assert(exOld.getMessage.contains("predates"), exOld.getMessage)
+    assert(exOld.getMessage.contains("unknown"), exOld.getMessage)
   }
 
   test("streaming dedup: re-ingested content is dropped by keyed state, first-seen wins") {
