@@ -43,6 +43,8 @@ object SparkEntry {
     "q_rt_nullable" -> ((s, d) => RoundTrips.nullableRoundTrip(s, d)),
     "q_rt_generic" -> ((s, d) => RoundTrips.genericRoundTrip(s, d)),
     "q_rt_generic_temporal" -> ((s, d) => RoundTrips.genericTemporalRoundTrip(s, d)),
+    "q_rt_generic_arrays" -> ((s, d) => RoundTrips.genericArrays(s, d)),
+    "q_generic_evolve" -> ((s, d) => RoundTrips.genericEvolve(s, d)),
     "q_decode_project" -> ((s, d) => RoundTrips.decodeProject(s, d)),
     "q_generic_prune" -> ((s, d) => RoundTrips.genericPrune(s, d)),
     "q_auto_prune" -> ((s, d) => RoundTrips.autoPrune(s, d)),
@@ -138,6 +140,28 @@ object SparkEntry {
         |       CAST(l_linenumber + floor(l_quantity) AS BIGINT) AS pair_sum
         |FROM lineitem
         |ORDER BY l_orderkey, l_linenumber, l_quantity, pair_sum, discounted, flag NULLS FIRST""".stripMargin,
+    // Array element values AND null slots restated positionally: l2 is
+    // null every 3rd key, d2 every 5th — a dropped or shifted element
+    // null in the rep/def bitmaps is a hash mismatch.
+    "q_rt_generic_arrays" ->
+      """SELECT o_orderkey,
+        |       CAST(o_orderkey * 1000000007 AS BIGINT) AS l1,
+        |       CASE WHEN o_orderkey % 3 = 0 THEN NULL
+        |            ELSE CAST(o_orderkey * 2 AS BIGINT) END AS l2,
+        |       CAST(o_custkey AS BIGINT) AS l3,
+        |       CAST(o_totalprice AS DOUBLE) AS d1,
+        |       CASE WHEN o_orderkey % 5 = 0 THEN NULL
+        |            ELSE CAST(o_totalprice AS DOUBLE) / 2 END AS d2
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    // Schema-evolving merge: v1 rows (c_custkey % 3 != 0) carry
+    // float-rounded acctbal and a null c_name; v2 rows the reverse.
+    "q_generic_evolve" ->
+      """SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+        |       CASE WHEN c_custkey % 3 <> 0 THEN CAST(CAST(c_acctbal AS FLOAT) AS DOUBLE)
+        |            ELSE CAST(c_acctbal AS DOUBLE) END AS c_acctbal,
+        |       CASE WHEN c_custkey % 3 <> 0 THEN c_mktsegment END AS c_mktsegment,
+        |       CASE WHEN c_custkey % 3 = 0 THEN c_name END AS c_name
+        |FROM customer ORDER BY c_custkey""".stripMargin,
     "q_rt_generic_temporal" ->
       """SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
         |       strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day_str,

@@ -659,32 +659,53 @@ private[plans] final class GenericChunkBatchIterator(
         val sink = new VectorBytesSink(v, flags)
         Chunks.decodeStringsInto(inner, sink)
         sink.finishNulls(n)
-      case "array<int>" =>
+      case t if t.startsWith("array<") =>
         val r0 = new ByteReader(inner)
         val lens = Chunks.decodeInts(r0.readBytes(r0.readUvarint().toInt))
-        val flat = StreamedTokens.decode(
-          java.util.Arrays.copyOfRange(r0.buf, r0.pos, r0.buf.length), lens)
+        val rest = java.util.Arrays.copyOfRange(r0.buf, r0.pos, r0.buf.length)
+        // element stream: dense values, or dense values inside a NULLABLE
+        // wrapper whose bitmap spans ALL elements (lens count null
+        // elements too — rep/def-level analog)
+        val (ef, denseBin) = Chunks.unwrapNullable(rest)
         val data = v.arrayData()
-        data.reserve(flat.length)
-        data.putInts(0, flat.length, flat, 0)
-        putArrays(v, flags, lens, n)
-      case "array<float>" =>
-        val r0 = new ByteReader(inner)
-        val lens = Chunks.decodeInts(r0.readBytes(r0.readUvarint().toInt))
-        val flat = Chunks.decodeFloats(
-          java.util.Arrays.copyOfRange(r0.buf, r0.pos, r0.buf.length))
-        val data = v.arrayData()
-        data.reserve(flat.length)
-        data.putFloats(0, flat.length, flat, 0)
-        putArrays(v, flags, lens, n)
-      case "array<string>" =>
-        val r0 = new ByteReader(inner)
-        val lens = Chunks.decodeInts(r0.readBytes(r0.readUvarint().toInt))
-        val data = v.arrayData()
-        data.reserve(math.max(1, lens.sum))
-        val sink = new VectorBytesSink(data, null)
-        Chunks.decodeStringsInto(
-          java.util.Arrays.copyOfRange(r0.buf, r0.pos, r0.buf.length), sink)
+        var totalElems = 0
+        locally { var i = 0; while (i < lens.length) { totalElems += lens(i); i += 1 } }
+        data.reserve(math.max(1, totalElems))
+        @inline def scatterElems(put: (Int, Int) => Unit): Unit = {
+          var e = 0
+          var k = 0
+          while (e < totalElems) {
+            if (ef(e)) data.putNull(e) else { put(e, k); k += 1 }
+            e += 1
+          }
+        }
+        t match {
+          case "array<int>" =>
+            if (ef == null) {
+              val flat = StreamedTokens.decode(denseBin, lens)
+              data.putInts(0, flat.length, flat, 0)
+            } else {
+              val a = Chunks.decodeInts(denseBin)
+              scatterElems((e, k) => data.putInt(e, a(k)))
+            }
+          case "array<bigint>" =>
+            val a = Chunks.decodeLongs(denseBin)
+            if (ef == null) data.putLongs(0, a.length, a, 0)
+            else scatterElems((e, k) => data.putLong(e, a(k)))
+          case "array<float>" =>
+            val a = Chunks.decodeFloats(denseBin)
+            if (ef == null) data.putFloats(0, a.length, a, 0)
+            else scatterElems((e, k) => data.putFloat(e, a(k)))
+          case "array<double>" =>
+            val a = Chunks.decodeDoubles(denseBin)
+            if (ef == null) data.putDoubles(0, a.length, a, 0)
+            else scatterElems((e, k) => data.putDouble(e, a(k)))
+          case "array<string>" =>
+            val sink = new VectorBytesSink(data, ef)
+            Chunks.decodeStringsInto(denseBin, sink)
+            if (ef != null) sink.finishNulls(totalElems)
+          case other => throw new IllegalArgumentException(s"generic decode: $other")
+        }
         putArrays(v, flags, lens, n)
       case other => throw new IllegalArgumentException(s"generic decode: $other")
     }

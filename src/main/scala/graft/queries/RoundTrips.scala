@@ -334,6 +334,68 @@ object RoundTrips {
       .orderBy("l_orderkey", "l_linenumber", "l_quantity", "pair_sum", "discounted", "flag")
   }
 
+  /** Int64/double ARRAYS with ELEMENT nulls through the generic encoder —
+    * the rep/def-level analog the reference gives every repeated leaf
+    * (column_buffer.go:421-454): per-row arrays of bigint (one slot
+    * nulled every 3rd key) and double (one slot nulled every 5th key)
+    * round-trip through the persisted columnar layout, then restate as
+    * positional scalars so the oracle checks every element — including
+    * the null slots — by value. */
+  def genericArrays(spark: SparkSession, dir: String): DataFrame = {
+    val src = table(spark, dir, "orders").select(
+      col("o_orderkey"),
+      array(
+        (col("o_orderkey") * 1000000007L).cast("long"),
+        when(col("o_orderkey") % 3 === 0, lit(null))
+          .otherwise(col("o_orderkey") * 2).cast("long"),
+        col("o_custkey").cast("long")).as("longs"),
+      array(
+        col("o_totalprice").cast("double"),
+        when(col("o_orderkey") % 5 === 0, lit(null))
+          .otherwise(col("o_totalprice").cast("double") / 2).cast("double")).as("dbls"))
+    val chunks = graft.spark.GenericEncode.encode(src, rowsPerChunk = 16 * 1024)
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft-garr-q-" +
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    graft.spark.GenericEncode.write(chunks, base)
+    graft.spark.GenericEncode.readTable(spark, base)
+      .select(col("o_orderkey"),
+        element_at(col("longs"), 1).as("l1"),
+        element_at(col("longs"), 2).as("l2"),
+        element_at(col("longs"), 3).as("l3"),
+        element_at(col("dbls"), 1).as("d1"),
+        element_at(col("dbls"), 2).as("d2"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Schema-evolving compaction (reference MergeRowGroups + Convert,
+    * merge.go:20-72, convert.go:348-443): two ingests of the customer
+    * table with DIFFERENT schemas — v2 reorders columns, drops
+    * c_mktsegment, adds c_name, and widens c_custkey int→bigint and
+    * c_acctbal float→double — merge into one table on the union schema
+    * (missing columns null-filled, shared columns widened). */
+  def genericEvolve(spark: SparkSession, dir: String): DataFrame = {
+    val cust = table(spark, dir, "customer")
+    val v1 = cust.filter(col("c_custkey") % 3 =!= 0).select(
+      col("c_custkey").cast("int").as("c_custkey"),
+      col("c_acctbal").cast("float").as("c_acctbal"),
+      col("c_mktsegment"))
+    val v2 = cust.filter(col("c_custkey") % 3 === 0).select(
+      col("c_name"),
+      col("c_custkey").cast("long").as("c_custkey"),
+      col("c_acctbal").cast("double").as("c_acctbal"))
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    val base = System.getProperty("java.io.tmpdir")
+    val d1 = s"$base/graft-gev1-q-$key"
+    val d2 = s"$base/graft-gev2-q-$key"
+    graft.spark.GenericEncode.write(graft.spark.GenericEncode.encode(v1), d1)
+    graft.spark.GenericEncode.write(graft.spark.GenericEncode.encode(v2), d2)
+    graft.spark.GenericEncode
+      .mergeTables(spark, Seq(d1, d2), s"$base/graft-gevm-q-$key")
+      .orderBy("c_custkey")
+  }
+
   /** Temporal + float type breadth through the generic encoder: events
     * (timestamp, date, float, array<float>) round-trip with an identity
     * oracle — covers the chunk format's physical-type reach beyond the

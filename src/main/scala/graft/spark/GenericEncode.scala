@@ -39,36 +39,24 @@ final case class GenericChunk(
 
 /** Encode/decode ANY flat DataFrame whose columns are int / long /
   * double / float / string / boolean / binary / date / timestamp /
-  * decimal(<=18) / array<int|float|string> (plus nested structs and maps
-  * via flattening) to a chunk table and back. Layout follows the input
-  * partitioning (use repartition/sort upstream for range layouts); each
-  * partition cuts chunks at a row budget.
+  * decimal(<=18) / array<int|bigint|float|double|string> — with full
+  * element-null support (rep/def-level analog) — plus nested structs and
+  * maps via flattening, to a chunk table and back. Layout follows the
+  * input partitioning (use repartition/sort upstream for range layouts);
+  * each partition cuts chunks at a row budget.
   */
 object GenericEncode {
 
   final val DefaultRowsPerChunk: Int = 64 * 1024
 
+  private val ArrayElemTypes: Set[DataType] =
+    Set(IntegerType, LongType, FloatType, DoubleType, StringType)
+
   private val Supported: Set[DataType] =
     Set(IntegerType, LongType, DoubleType, FloatType, StringType, BooleanType,
-      BinaryType, DateType, TimestampType, TimestampNTZType,
-      ArrayType(IntegerType, containsNull = false),
-      ArrayType(IntegerType, containsNull = true),
-      ArrayType(FloatType, containsNull = false),
-      ArrayType(FloatType, containsNull = true),
-      ArrayType(StringType, containsNull = false),
-      ArrayType(StringType, containsNull = true))
-
-  private def requireNoNullElements(
-      ad: org.apache.spark.sql.catalyst.util.ArrayData, name: String): Unit = {
-    val n = ad.numElements()
-    var k = 0
-    while (k < n) {
-      require(!ad.isNullAt(k),
-        s"generic encode: null element in array column '$name' " +
-          "(element nulls are not encodable; filter or coalesce them upstream)")
-      k += 1
-    }
-  }
+      BinaryType, DateType, TimestampType, TimestampNTZType) ++
+      ArrayElemTypes.flatMap(t => Seq(
+        ArrayType(t, containsNull = false), ArrayType(t, containsNull = true)))
 
   /** Decimals up to 18 digits ride the long codec as unscaled values
     * (reference logical-type analog: FIXED/INT64 decimal, type.go:20-31). */
@@ -433,81 +421,181 @@ object GenericEncode {
     override def clearValues(): Unit = buf.clear()
   }
 
-  private final class IntArrayColBuilder(name: String, containsNull: Boolean) extends ColBuilder {
-    private val flat = new IntBuf(4096)
-    private val lens = new IntBuf
-    override def add(row: InternalRow, c: Int): Unit = {
-      val ad = row.getArray(c)
-      // toIntArray bulk-copies the value region and would silently unbox
-      // element nulls to 0 — reject them loudly
-      if (containsNull) requireNoNullElements(ad, name)
-      val a = ad.toIntArray()
-      lens += a.length
-      var i = 0
-      while (i < a.length) { flat += a(i); i += 1 }
-    }
-    override def finish(): ColResult = {
-      var mn = Int.MaxValue; var mx = Int.MinValue
-      var i = 0
-      while (i < flat.n) { val v = flat.a(i); if (v < mn) mn = v; if (v > mx) mx = v; i += 1 }
-      val lensArr = java.util.Arrays.copyOf(lens.a, lens.n)
-      val w = new ByteWriter(64 + flat.n)
-      val lensBin = Chunks.encodeInts(lensArr, 0, lens.n)
-      w.writeUvarint(lensBin.length)
-      w.writeBytes(lensBin)
-      w.writeBytes(StreamedTokens.encode(flat.a, lensArr, lens.n, flat.n)._1)
-      // element-level bounds: range-prune "does any row contain token t"
-      ColResult(w.toArray,
-        if (flat.n == 0) null else mn.toString,
-        if (flat.n == 0) null else mx.toString, NoBloom)
-    }
-    override def clearValues(): Unit = { flat.clear(); lens.clear() }
-  }
-
-  private final class FloatArrayColBuilder(name: String, containsNull: Boolean) extends ColBuilder {
-    private val flat = new FloatBuf(4096)
-    private val lens = new IntBuf
-    override def add(row: InternalRow, c: Int): Unit = {
-      val ad = row.getArray(c)
-      if (containsNull) requireNoNullElements(ad, name)
-      val a = ad.toFloatArray()
-      lens += a.length
-      var i = 0
-      while (i < a.length) { flat += a(i); i += 1 }
-    }
-    override def finish(): ColResult = {
-      val w = new ByteWriter(64 + flat.n * 4)
+  /** Array columns share one payload layout: [uvarint lens-len][lens
+    * chunk][element stream], where `lens` counts ALL elements per row
+    * (null elements included — parquet's repetition levels) and the
+    * element stream is either the dense values directly or, when any
+    * element is null, the dense values inside a NULLABLE wrapper whose
+    * bitmap spans all elements (parquet's definition levels;
+    * reference column_buffer.go:421-454). The two cases discriminate on
+    * the stream's leading codec tag, so pre-round-5 tables (never
+    * null-wrapped) decode unchanged. */
+  private sealed abstract class ArrayColBuilder extends ColBuilder {
+    protected val lens = new IntBuf
+    protected val elemFlags = new scala.collection.mutable.ArrayBuffer[Boolean](4096)
+    protected var elemNulls = 0
+    final protected def addElemNull(): Unit = { elemFlags += true; elemNulls += 1 }
+    final protected def addElemVal(): Unit = elemFlags += false
+    /** Dense (non-null) element payload; `StreamedTokens` for int arrays
+      * only when null-free (its row-family scatter keys off `lens`). */
+    protected def denseBytes(): Array[Byte]
+    protected def statMin(): String = null
+    protected def statMax(): String = null
+    final override def finish(): ColResult = {
       val lensBin = Chunks.encodeInts(lens.a, 0, lens.n)
+      val inner =
+        if (elemNulls == 0) denseBytes()
+        else Chunks.wrapNullable(elemFlags.toArray, elemFlags.length, elemNulls, denseBytes())
+      val w = new ByteWriter(16 + lensBin.length + inner.length)
       w.writeUvarint(lensBin.length)
       w.writeBytes(lensBin)
-      w.writeBytes(Chunks.encodeFloats(flat.a, 0, flat.n))
-      ColResult(w.toArray, null, null, NoBloom)
+      w.writeBytes(inner)
+      ColResult(w.toArray, statMin(), statMax(), NoBloom)
     }
-    override def clearValues(): Unit = { flat.clear(); lens.clear() }
+    final override def clearValues(): Unit = {
+      lens.clear(); elemFlags.clear(); elemNulls = 0; clearElems()
+    }
+    protected def clearElems(): Unit
   }
 
-  private final class StringArrayColBuilder extends ColBuilder {
-    private val flat = new scala.collection.mutable.ArrayBuffer[Array[Byte]](1024)
-    private val lens = new IntBuf
+  private final class IntArrayColBuilder(containsNull: Boolean) extends ArrayColBuilder {
+    private val flat = new IntBuf(4096)
     override def add(row: InternalRow, c: Int): Unit = {
       val ad = row.getArray(c)
-      lens += ad.numElements()
+      val n = ad.numElements()
+      lens += n
+      if (!containsNull) {
+        // bulk copy; flags stay all-false
+        val a = ad.toIntArray()
+        var i = 0
+        while (i < n) { addElemVal(); flat += a(i); i += 1 }
+      } else {
+        var i = 0
+        while (i < n) {
+          if (ad.isNullAt(i)) addElemNull()
+          else { addElemVal(); flat += ad.getInt(i) }
+          i += 1
+        }
+      }
+    }
+    override protected def denseBytes(): Array[Byte] =
+      if (elemNulls == 0)
+        StreamedTokens.encode(flat.a, java.util.Arrays.copyOf(lens.a, lens.n),
+          lens.n, flat.n)._1
+      else Chunks.encodeInts(flat.a, 0, flat.n)
+    // element-level bounds: range-prune "does any row contain token t"
+    override protected def statMin(): String = {
+      var mn = Int.MaxValue
+      var i = 0
+      while (i < flat.n) { if (flat.a(i) < mn) mn = flat.a(i); i += 1 }
+      if (flat.n == 0) null else mn.toString
+    }
+    override protected def statMax(): String = {
+      var mx = Int.MinValue
+      var i = 0
+      while (i < flat.n) { if (flat.a(i) > mx) mx = flat.a(i); i += 1 }
+      if (flat.n == 0) null else mx.toString
+    }
+    override protected def clearElems(): Unit = flat.clear()
+  }
+
+  private final class LongArrayColBuilder(containsNull: Boolean) extends ArrayColBuilder {
+    private val flat = new LongBuf(4096)
+    override def add(row: InternalRow, c: Int): Unit = {
+      val ad = row.getArray(c)
+      val n = ad.numElements()
+      lens += n
+      if (!containsNull) {
+        val a = ad.toLongArray()
+        var i = 0
+        while (i < n) { addElemVal(); flat += a(i); i += 1 }
+      } else {
+        var i = 0
+        while (i < n) {
+          if (ad.isNullAt(i)) addElemNull()
+          else { addElemVal(); flat += ad.getLong(i) }
+          i += 1
+        }
+      }
+    }
+    override protected def denseBytes(): Array[Byte] = Chunks.encodeLongs(flat.a, 0, flat.n)
+    override protected def statMin(): String = {
+      var mn = Long.MaxValue
+      var i = 0
+      while (i < flat.n) { if (flat.a(i) < mn) mn = flat.a(i); i += 1 }
+      if (flat.n == 0) null else mn.toString
+    }
+    override protected def statMax(): String = {
+      var mx = Long.MinValue
+      var i = 0
+      while (i < flat.n) { if (flat.a(i) > mx) mx = flat.a(i); i += 1 }
+      if (flat.n == 0) null else mx.toString
+    }
+    override protected def clearElems(): Unit = flat.clear()
+  }
+
+  private final class FloatArrayColBuilder(containsNull: Boolean) extends ArrayColBuilder {
+    private val flat = new FloatBuf(4096)
+    override def add(row: InternalRow, c: Int): Unit = {
+      val ad = row.getArray(c)
+      val n = ad.numElements()
+      lens += n
+      if (!containsNull) {
+        val a = ad.toFloatArray()
+        var i = 0
+        while (i < n) { addElemVal(); flat += a(i); i += 1 }
+      } else {
+        var i = 0
+        while (i < n) {
+          if (ad.isNullAt(i)) addElemNull()
+          else { addElemVal(); flat += ad.getFloat(i) }
+          i += 1
+        }
+      }
+    }
+    override protected def denseBytes(): Array[Byte] = Chunks.encodeFloats(flat.a, 0, flat.n)
+    override protected def clearElems(): Unit = flat.clear()
+  }
+
+  private final class DoubleArrayColBuilder(containsNull: Boolean) extends ArrayColBuilder {
+    private val flat = new DoubleBuf(4096)
+    override def add(row: InternalRow, c: Int): Unit = {
+      val ad = row.getArray(c)
+      val n = ad.numElements()
+      lens += n
+      if (!containsNull) {
+        val a = ad.toDoubleArray()
+        var i = 0
+        while (i < n) { addElemVal(); flat += a(i); i += 1 }
+      } else {
+        var i = 0
+        while (i < n) {
+          if (ad.isNullAt(i)) addElemNull()
+          else { addElemVal(); flat += ad.getDouble(i) }
+          i += 1
+        }
+      }
+    }
+    override protected def denseBytes(): Array[Byte] = Chunks.encodeDoubles(flat.a, 0, flat.n)
+    override protected def clearElems(): Unit = flat.clear()
+  }
+
+  private final class StringArrayColBuilder extends ArrayColBuilder {
+    private val flat = new scala.collection.mutable.ArrayBuffer[Array[Byte]](1024)
+    override def add(row: InternalRow, c: Int): Unit = {
+      val ad = row.getArray(c)
+      val n = ad.numElements()
+      lens += n
       var k = 0
-      while (k < ad.numElements()) {
-        require(!ad.isNullAt(k), "generic encode: null array<string> element")
-        flat += ad.getUTF8String(k).getBytes
+      while (k < n) {
+        if (ad.isNullAt(k)) addElemNull()
+        else { addElemVal(); flat += ad.getUTF8String(k).getBytes }
         k += 1
       }
     }
-    override def finish(): ColResult = {
-      val w = new ByteWriter(256)
-      val lensBin = Chunks.encodeInts(lens.a, 0, lens.n)
-      w.writeUvarint(lensBin.length)
-      w.writeBytes(lensBin)
-      w.writeBytes(Chunks.encodeStrings(flat.toArray, 0, flat.length))
-      ColResult(w.toArray, null, null, NoBloom)
-    }
-    override def clearValues(): Unit = { flat.clear(); lens.clear() }
+    override protected def denseBytes(): Array[Byte] =
+      Chunks.encodeStrings(flat.toArray, 0, flat.length)
+    override protected def clearElems(): Unit = flat.clear()
   }
 
   private def builderFor(f: StructField): ColBuilder = f.dataType match {
@@ -519,9 +607,11 @@ object GenericEncode {
     case BooleanType => new BoolColBuilder
     case StringType => new BytesColBuilder(isString = true)
     case BinaryType => new BytesColBuilder(isString = false)
-    case ArrayType(FloatType, cn) => new FloatArrayColBuilder(f.name, cn)
+    case ArrayType(IntegerType, cn) => new IntArrayColBuilder(cn)
+    case ArrayType(LongType, cn) => new LongArrayColBuilder(cn)
+    case ArrayType(FloatType, cn) => new FloatArrayColBuilder(cn)
+    case ArrayType(DoubleType, cn) => new DoubleArrayColBuilder(cn)
     case ArrayType(StringType, _) => new StringArrayColBuilder
-    case ArrayType(_, cn) => new IntArrayColBuilder(f.name, cn)
     case other => throw new IllegalArgumentException(s"generic encode: $other")
   }
 
@@ -797,6 +887,77 @@ object GenericEncode {
     else decodeColumnarTable(spark, path, cols)
   }
 
+  /** Least common type of two column types under the engine's widening
+    * ladder: int→bigint, float→double, and same-scale decimal precision
+    * growth (within the long-backed 18-digit cap). Anything else is a
+    * REAL schema conflict and fails loudly — silent coercion (e.g.
+    * bigint→double) would lose values past 2^53. */
+  private[spark] def widen(a: DataType, b: DataType): DataType = (a, b) match {
+    case _ if a == b => a
+    case (IntegerType, LongType) | (LongType, IntegerType) => LongType
+    case (FloatType, DoubleType) | (DoubleType, FloatType) => DoubleType
+    case (x: DecimalType, y: DecimalType) if x.scale == y.scale &&
+        math.max(x.precision, y.precision) <= 18 =>
+      DecimalType(math.max(x.precision, y.precision), x.scale)
+    case (ArrayType(x, n1), ArrayType(y, n2)) =>
+      ArrayType(widen(x, y), containsNull = n1 || n2)
+    case _ => throw new IllegalArgumentException(
+      s"schema merge: incompatible types $a vs $b for the same column name")
+  }
+
+  /** Union schema over several inputs: columns matched BY NAME in
+    * first-appearance order; shared names widen per [[widen]]; a column
+    * absent from any input becomes nullable (its rows fill with null). */
+  private[spark] def unionSchema(schemas: Seq[StructType]): StructType = {
+    val order = scala.collection.mutable.LinkedHashMap[String, StructField]()
+    schemas.foreach(_.fields.foreach { f =>
+      order.get(f.name) match {
+        case None => order(f.name) = f
+        case Some(prev) =>
+          order(f.name) = StructField(f.name, widen(prev.dataType, f.dataType),
+            nullable = prev.nullable || f.nullable)
+      }
+    })
+    // a column missing from ANY schema must be nullable in the union
+    val result = order.values.map { f =>
+      if (schemas.exists(s => !s.fieldNames.contains(f.name)))
+        f.copy(nullable = true)
+      else f
+    }
+    StructType(result.toArray)
+  }
+
+  /** Convert a DataFrame to `target`: reorder columns by name, cast
+    * present columns to their widened type, fill missing ones with
+    * typed nulls — the reference's per-row-group schema conversion
+    * (convert.go:348-443) done declaratively, so Catalyst codegens the
+    * casts and the scan still prunes to the columns that exist. */
+  private[spark] def convertTo(df: DataFrame, target: StructType): DataFrame = {
+    val have = df.schema.fieldNames.toSet
+    df.select(target.fields.map { f =>
+      if (have.contains(f.name)) fcol(f.name).cast(f.dataType).as(f.name)
+      else flit(null).cast(f.dataType).as(f.name)
+    }.toIndexedSeq: _*)
+  }
+
+  /** Schema-evolving compaction over persisted generic chunk tables —
+    * the reference's MergeRowGroups for mismatched schemas (merge.go:
+    * 20-72): each input converts to the union schema (reorder / null-fill
+    * / widen), the union re-encodes into one table at `outDir`.
+    * Incremental ingest across a schema change (a routine event on a
+    * long-lived 100-TB table) then reads back as ONE table. The decode →
+    * convert → re-encode pipeline is fully distributed; nothing but the
+    * chunk schemas touches the driver. */
+  def mergeTables(spark: SparkSession, dirs: Seq[String], outDir: String,
+                  rowsPerChunk: Int = DefaultRowsPerChunk): DataFrame = {
+    require(dirs.nonEmpty, "mergeTables: no input tables")
+    val dfs = dirs.map(d => readTable(spark, d))
+    val target = unionSchema(dfs.map(_.schema))
+    val unified = dfs.map(convertTo(_, target)).reduce(_ unionByName _)
+    write(encode(unified, rowsPerChunk), outDir)
+    readTable(spark, outDir)
+  }
+
   /** Write a chunk table with ONE PARQUET COLUMN PER ENGINE COLUMN
     * (`bin_<i>`) instead of the single `cols_bin` array: a projected read
     * of such a table skips the unselected columns' BYTES at the parquet
@@ -899,7 +1060,9 @@ object GenericEncode {
     case "timestamp" => TimestampType
     case "timestamp_ntz" => TimestampNTZType
     case "array<int>" => ArrayType(IntegerType)
+    case "array<bigint>" => ArrayType(LongType)
     case "array<float>" => ArrayType(FloatType)
+    case "array<double>" => ArrayType(DoubleType)
     case "array<string>" => ArrayType(StringType)
     case dec if dec.startsWith("decimal(") =>
       val Array(p, sc) = dec.stripPrefix("decimal(").stripSuffix(")").split(",")
@@ -950,56 +1113,78 @@ object GenericEncode {
         case "boolean" => Chunks.decodeBooleans(inner).map(v => v: Any)
         case "string" => Chunks.decodeStrings(inner).map(b => UTF8String.fromBytes(b): Any)
         case "binary" => Chunks.decodeStrings(inner).map(b => b: Any)
-        case "array<int>" =>
+        case t if t.startsWith("array<") =>
           val r = new ByteReader(inner)
           val lensLen = r.readUvarint().toInt
           val lens = Chunks.decodeInts(r.readBytes(lensLen))
-          val flat = StreamedTokens.decode(
-            java.util.Arrays.copyOfRange(r.buf, r.pos, r.buf.length), lens)
-          val out = new Array[Any](lens.length)
-          var off = 0
-          var i = 0
-          while (i < lens.length) {
-            out(i) = UnsafeArrayData.fromPrimitiveArray(
-              java.util.Arrays.copyOfRange(flat, off, off + lens(i)))
-            off += lens(i)
-            i += 1
+          val rest = java.util.Arrays.copyOfRange(r.buf, r.pos, r.buf.length)
+          // element stream: dense values directly, or dense values inside
+          // a NULLABLE wrapper whose bitmap spans ALL elements
+          val (ef, denseBin) = Chunks.unwrapNullable(rest)
+          def slices(mk: (Int, Int) => Any): Array[Any] = {
+            val out = new Array[Any](lens.length)
+            var off = 0
+            var i = 0
+            while (i < lens.length) { out(i) = mk(off, lens(i)); off += lens(i); i += 1 }
+            out
           }
-          out
-        case "array<string>" =>
-          val r = new ByteReader(inner)
-          val lensLen = r.readUvarint().toInt
-          val lens = Chunks.decodeInts(r.readBytes(lensLen))
-          val flat = Chunks.decodeStrings(
-            java.util.Arrays.copyOfRange(r.buf, r.pos, r.buf.length))
-          val out = new Array[Any](lens.length)
-          var off = 0
-          var i = 0
-          while (i < lens.length) {
-            val a = new Array[Any](lens(i))
-            var k = 0
-            while (k < lens(i)) { a(k) = UTF8String.fromBytes(flat(off + k)); k += 1 }
-            out(i) = new GenericArrayData(a)
-            off += lens(i)
-            i += 1
+          if (ef == null) t match {
+            case "array<int>" =>
+              val flat = StreamedTokens.decode(denseBin, lens)
+              slices((off, n) => UnsafeArrayData.fromPrimitiveArray(
+                java.util.Arrays.copyOfRange(flat, off, off + n)))
+            case "array<bigint>" =>
+              val flat = Chunks.decodeLongs(denseBin)
+              slices((off, n) => UnsafeArrayData.fromPrimitiveArray(
+                java.util.Arrays.copyOfRange(flat, off, off + n)))
+            case "array<float>" =>
+              val flat = Chunks.decodeFloats(denseBin)
+              slices((off, n) => UnsafeArrayData.fromPrimitiveArray(
+                java.util.Arrays.copyOfRange(flat, off, off + n)))
+            case "array<double>" =>
+              val flat = Chunks.decodeDoubles(denseBin)
+              slices((off, n) => UnsafeArrayData.fromPrimitiveArray(
+                java.util.Arrays.copyOfRange(flat, off, off + n)))
+            case "array<string>" =>
+              val flat = Chunks.decodeStrings(denseBin)
+              slices { (off, n) =>
+                val a = new Array[Any](n)
+                var k = 0
+                while (k < n) { a(k) = UTF8String.fromBytes(flat(off + k)); k += 1 }
+                new GenericArrayData(a)
+              }
+            case other => throw new IllegalArgumentException(s"generic decode: $other")
+          } else {
+            val dense: Int => Any = t match {
+              case "array<int>" =>
+                val a = Chunks.decodeInts(denseBin); k => a(k)
+              case "array<bigint>" =>
+                val a = Chunks.decodeLongs(denseBin); k => a(k)
+              case "array<float>" =>
+                val a = Chunks.decodeFloats(denseBin); k => a(k)
+              case "array<double>" =>
+                val a = Chunks.decodeDoubles(denseBin); k => a(k)
+              case "array<string>" =>
+                val a = Chunks.decodeStrings(denseBin); k => UTF8String.fromBytes(a(k))
+              case other => throw new IllegalArgumentException(s"generic decode: $other")
+            }
+            val out = new Array[Any](lens.length)
+            var e = 0
+            var d2 = 0
+            var i = 0
+            while (i < lens.length) {
+              val a = new Array[Any](lens(i))
+              var k = 0
+              while (k < lens(i)) {
+                if (ef(e)) a(k) = null else { a(k) = dense(d2); d2 += 1 }
+                e += 1
+                k += 1
+              }
+              out(i) = new GenericArrayData(a)
+              i += 1
+            }
+            out
           }
-          out
-        case "array<float>" =>
-          val r = new ByteReader(inner)
-          val lensLen = r.readUvarint().toInt
-          val lens = Chunks.decodeInts(r.readBytes(lensLen))
-          val flat = Chunks.decodeFloats(
-            java.util.Arrays.copyOfRange(r.buf, r.pos, r.buf.length))
-          val out = new Array[Any](lens.length)
-          var off = 0
-          var i = 0
-          while (i < lens.length) {
-            out(i) = UnsafeArrayData.fromPrimitiveArray(
-              java.util.Arrays.copyOfRange(flat, off, off + lens(i)))
-            off += lens(i)
-            i += 1
-          }
-          out
         case other => throw new IllegalArgumentException(s"generic decode: $other")
       }
       cols(si) =

@@ -351,7 +351,7 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val r = new java.util.Random(20260817L)
     for (iter <- 1 to 8) {
       val nCols = 1 + r.nextInt(6)
-      val picks = Array.fill(nCols)(r.nextInt(10))
+      val picks = Array.fill(nCols)(r.nextInt(14))
       val cols = picks.zipWithIndex.map { case (t, i) =>
         val base = t match {
           case 0 => (col("id") * 31 % 977).cast("int")
@@ -366,7 +366,22 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
             (col("id") % 900).cast("int"))
           case 8 => (lit("2026-01-01 00:00:00").cast("timestamp")
             + expr(s"make_interval(0,0,0,0,0,0, CAST(id % 86400 AS INT))"))
-          case _ => array((col("id") % 97).cast("int"), ((col("id") * 3) % 89).cast("int"))
+          case 9 => array((col("id") % 97).cast("int"), ((col("id") * 3) % 89).cast("int"))
+          // element-null-bearing arrays of every element type
+          case 10 => array((col("id") * 7919L).cast("bigint"),
+            when(col("id") % 5 === 0, lit(null)).otherwise(col("id") * 3L).cast("bigint"))
+          case 11 => array(
+            when(col("id") % 3 === 0, lit(null)).otherwise(col("id") * 0.11).cast("double"),
+            (col("id") * 0.37).cast("double"))
+          case 12 => array(
+            when(col("id") % 4 === 0, lit(null))
+              .otherwise(concat(lit("e-"), (col("id") % 53).cast("string"))).cast("string"),
+            lit("z"))
+          case _ => array(
+            when(col("id") % 6 === 0, lit(null)).otherwise((col("id") % 71).cast("int"))
+              .cast("int"),
+            when(col("id") % 7 === 1, lit(null)).otherwise((col("id") % 13).cast("float"))
+              .cast("float")).cast("array<float>")
         }
         // column-dependent null stripes (never on the unique key below)
         when(pmod(col("id") + lit(i), lit(7)) === 0, lit(null)).otherwise(base).as(s"c$i")
