@@ -45,6 +45,7 @@ object SparkEntry {
     "q_rt_generic_temporal" -> ((s, d) => RoundTrips.genericTemporalRoundTrip(s, d)),
     "q_rt_generic_arrays" -> ((s, d) => RoundTrips.genericArrays(s, d)),
     "q_generic_evolve" -> ((s, d) => RoundTrips.genericEvolve(s, d)),
+    "q_rt_generic_struct" -> ((s, d) => RoundTrips.genericStruct(s, d)),
     "q_decode_project" -> ((s, d) => RoundTrips.decodeProject(s, d)),
     "q_generic_prune" -> ((s, d) => RoundTrips.genericPrune(s, d)),
     "q_auto_prune" -> ((s, d) => RoundTrips.autoPrune(s, d)),
@@ -57,6 +58,7 @@ object SparkEntry {
     "q_streaming_ingest" -> ((s, d) => RoundTrips.streamingIngest(s, d)),
     "q_streaming_dedup" -> ((s, d) => RoundTrips.streamingDedup(s, d)),
     "q_streaming_window" -> ((s, d) => RoundTrips.streamingWindow(s, d)),
+    "q_streaming_sliding" -> ((s, d) => RoundTrips.streamingSliding(s, d)),
     "q_seek_rows" -> ((s, d) => RoundTrips.seekRows(s, d)),
     "q_compact_merge" -> ((s, d) => RoundTrips.compactMerge(s, d)),
     "q_compact_dedup" -> ((s, d) => RoundTrips.compactDedup(s, d)),
@@ -162,6 +164,29 @@ object SparkEntry {
         |       CASE WHEN c_custkey % 3 <> 0 THEN c_mktsegment END AS c_mktsegment,
         |       CASE WHEN c_custkey % 3 = 0 THEN c_name END AS c_name
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    // Nested struct + map: every field restated flat, incl. null-struct
+    // propagation ('de' docs) and null-map lookups (3-source subset).
+    "q_rt_generic_struct" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |       CASE WHEN lang = 'de' THEN NULL ELSE lang END AS lang,
+        |       CASE WHEN lang = 'de' THEN NULL ELSE n_chars END AS n_chars,
+        |       CASE WHEN lang = 'de' THEN NULL ELSE (n_chars > 200) END AS long_doc,
+        |       CASE WHEN source IN ('src3','src7','src11') THEN NULL ELSE n_chars END AS p_chars,
+        |       CASE WHEN source IN ('src3','src7','src11') THEN NULL ELSE length(lang) END AS p_langlen
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // Sliding windows: each event belongs to exactly the 4 epoch-aligned
+    // 15-minute slots covering it (k=0..3 back from its 15-min floor);
+    // the streamed result must equal this batch restatement — the late
+    // poisoned replay and the sentinel are absent from `events`, so any
+    // leakage of either is a hash mismatch.
+    "q_streaming_sliding" ->
+      """SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS win_start, event_type,
+        |       count(*) AS cnt, min(value) AS min_v, max(value) AS max_v
+        |FROM (
+        |  SELECT make_timestamp(((CAST(floor(epoch(e.ts)/900) AS BIGINT) - k.k) * 900) * 1000000) AS ws,
+        |         e.event_type, e.value
+        |  FROM events e CROSS JOIN (SELECT unnest([0,1,2,3]) AS k) k
+        |) GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
     "q_rt_generic_temporal" ->
       """SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
         |       strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day_str,

@@ -752,4 +752,87 @@ object RoundTrips {
     EncodePipeline.decodeDF(chunks, Seq("doc_id", "n_tok", "source"))
       .orderBy("doc_id", "n_tok", "source")
   }
+
+  /** NESTED struct + map columns through the generic encoder's schema-tree
+    * flattening (the Spark-native replacement for the reference's rep/def
+    * shredding of group nodes, node.go:149-177, column_buffer.go:421-454):
+    * a two-level struct (nulled for 'de' docs) and a map<string,bigint>
+    * (nulled for a 3-source subset) round-trip through the persisted
+    * columnar-default sink, then restate as flat scalars so the oracle
+    * checks every nested field — including null-struct propagation and
+    * map lookups — by value. */
+  def genericStruct(spark: SparkSession, dir: String): DataFrame = {
+    val nullMap = col("source").isin("src3", "src7", "src11")
+    val src = table(spark, dir, "documents").select(
+      col("doc_id").cast("long").as("doc_id"),
+      when(col("lang") === "de", lit(null)).otherwise(
+        struct(
+          col("lang"),
+          col("n_chars").cast("long").as("n_chars"),
+          struct((col("n_chars") > 200).as("long_doc")).as("flags"))).as("meta"),
+      when(nullMap, lit(null)).otherwise(
+        map(lit("chars"), col("n_chars").cast("long"),
+          lit("langlen"), length(col("lang")).cast("long"))).as("props"))
+    val chunks = graft.spark.GenericEncode.encode(src, rowsPerChunk = 4096)
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft-gstruct-q-" +
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    graft.spark.GenericEncode.write(chunks, base)
+    graft.spark.GenericEncode.readTable(spark, base)
+      .select(col("doc_id"),
+        col("meta.lang").as("lang"),
+        col("meta.n_chars").as("n_chars"),
+        col("meta.flags.long_doc").as("long_doc"),
+        element_at(col("props"), "chars").as("p_chars"),
+        element_at(col("props"), "langlen").as("p_langlen"))
+      .orderBy("doc_id")
+  }
+
+  /** SLIDING windows (1 hour every 15 minutes) with a 30-minute watermark
+    * in append mode, plus a deliberately-LATE row proven dropped: events
+    * stream in ts order in 3 micro-batches; a 4th batch replays the
+    * earliest event with a poisoned value (-1e9) — its 4 windows closed
+    * long before the watermark (maxTs - 30min), so the row is discarded
+    * and the poison can never reach min_v. A sentinel 3 hours past maxTs
+    * advances the watermark beyond every real window's end; the
+    * sentinel's own windows all end after it, so they never finalize and
+    * are absent by construction. Each event belongs to exactly the 4
+    * epoch-aligned 15-minute slots covering it, which is what the oracle
+    * restates with an explicit k=0..3 unnest. */
+  def streamingSliding(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val rows = table(spark, dir, "events")
+      .select(col("ts"), col("event_type"), col("value"))
+      .as[(java.sql.Timestamp, String, Double)]
+      .collect().sortBy(_._1.getTime)
+    val maxTs = rows.last._1.getTime
+    val late = (rows.head._1, rows.head._2, -1.0e9)
+    val sentinel = (new java.sql.Timestamp(maxTs + 3 * 3600 * 1000L), "sentinel", 0.0)
+    val ms = MemoryStream[(java.sql.Timestamp, String, Double)](spark)
+    val agg = ms.toDF().toDF("ts", "event_type", "value")
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), min("value").as("min_v"), max("value").as("max_v"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+        col("event_type"), col("cnt"), col("min_v"), col("max_v"))
+    val qname = "graft_stream_sliding_" +
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName(qname).start()
+    try {
+      val batchSize = (rows.length + 2) / 3
+      rows.grouped(batchSize).foreach { g =>
+        ms.addData(g.toSeq)
+        q.processAllAvailable()
+      }
+      ms.addData(Seq(late))
+      q.processAllAvailable()
+      ms.addData(Seq(sentinel))
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table(qname).orderBy("win_start", "event_type")
+  }
 }
