@@ -330,11 +330,18 @@ object Bench {
     val pLo = sys.env.getOrElse("GRAFT_BENCH_N", "8").toInt
     val pHi = pLo * 4
     val pXlo = math.max(1, pLo / 4)
+    // GRAFT_BENCH_SKIP_LO=1 drops the local[2] context fork: at the 10x
+    // row tier its 3 near-serial passes dominate the whole bench's wall
+    // time while the criterion pair is 8->32 (measured round 5: the
+    // local[2] fork alone ran ~1h at 20M rows).
+    val skipLo = sys.env.contains("GRAFT_BENCH_SKIP_LO")
     // Levels INTERLEAVED across two fork rounds: host weather comes in
     // multi-minute bursts that would otherwise poison one level's whole
     // best-of-3; the second (encode-only) fork gives each level a sample
     // from a different weather window.
-    val (tokX, _, _, secXa, _, _, _) = forkLevel(pXlo, inputPath, boundsPath, mode = "enc")
+    val (tokX, _, _, secXa, _, _, _) =
+      if (skipLo) (1L, 0L, 0L, Double.NaN, 0.0, 0.0, 0.0)
+      else forkLevel(pXlo, inputPath, boundsPath, mode = "enc")
     val (tok8, _, _, sec8a, dec8a, al8, decP8a) = forkLevel(pLo, inputPath, boundsPath)
     val (tok32, enc32, raw32, sec32a, dec32a, al32, decP32a) = forkLevel(pHi, inputPath, boundsPath)
     val (_, _, _, sec8b, dec8b, _, decP8b) = forkLevel(pLo, inputPath, boundsPath, mode = "encdec")

@@ -76,6 +76,8 @@ object SparkEntry {
     "q_range_prune" -> ((s, d) => Relational.rangePrune(s, d)),
     "q_window" -> ((s, d) => Relational.window(s, d)),
     "q_event_window" -> ((s, d) => Relational.eventWindow(s, d)),
+    "q_session_window" -> ((s, d) => Relational.sessionWindow(s, d)),
+    "q_asof_join" -> ((s, d) => Relational.asofJoin(s, d)),
     // --- training-data pipeline ops ---
     "q_exact_dedup" -> ((s, d) => TextOps.exactDedup(s, d)),
     "q_token_count" -> ((s, d) => TextOps.tokenCount(s, d)),
@@ -313,6 +315,34 @@ object SparkEntry {
       "SELECT o_custkey, o_orderkey, rn FROM (SELECT o_custkey, o_orderkey, CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC) AS BIGINT) AS rn FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn",
     "q_event_window" ->
       "SELECT event_type, CAST(hour(ts) AS BIGINT) AS hr, count(*) AS cnt, min(value) AS min_v, max(value) AS max_v FROM events GROUP BY event_type, hr ORDER BY event_type, hr",
+    // Gaps-and-islands restatement of session_window: a new session
+    // starts when the gap from the previous event is STRICTLY more than
+    // 4h (Spark merges windows when next start <= current end, so an
+    // exact-4h gap extends the session); end = last event + gap.
+    "q_session_window" ->
+      """WITH d AS (
+        |  SELECT user_id, ts, value,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                OR ts - lag(ts) OVER w > INTERVAL 4 HOUR THEN 1 ELSE 0 END AS brk
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        |), s AS (
+        |  SELECT user_id, ts, value,
+        |         sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM d
+        |)
+        |SELECT user_id,
+        |       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS sess_start,
+        |       strftime(max(ts) + INTERVAL 4 HOUR, '%Y-%m-%d %H:%M:%S') AS sess_end,
+        |       count(*) AS n_events, min(value) AS min_v, max(value) AS max_v
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, sess_start""".stripMargin,
+    // Native ASOF restatement of the union+carry-forward plan.
+    "q_asof_join" ->
+      """SELECT p.event_id, p.user_id, strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
+        |       c.value AS last_click_v
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.event_id""".stripMargin,
     "q_exact_dedup" ->
       "SELECT min(doc_id) AS keep_id, count(*) AS copies FROM documents GROUP BY text ORDER BY keep_id",
     "q_token_count" ->

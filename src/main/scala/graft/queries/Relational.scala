@@ -123,4 +123,52 @@ object Relational {
       .groupBy(col("event_type"), hour(col("ts")).cast("long").as("hr"))
       .agg(count(lit(1)).as("cnt"), min("value").as("min_v"), max("value").as("max_v"))
       .orderBy("event_type", "hr")
+
+  /** Gap-based sessionization via `session_window` (batch mode): events
+    * of one user merge into a session while consecutive gaps stay
+    * within 4 hours; the session end is last-event + gap. Spark merges
+    * two windows when the next start is <= the current end, so a gap of
+    * EXACTLY 4h still extends the session — the oracle's break condition
+    * is strict `>` to match (verified at the boundary by
+    * RelationalEdgeSpec). One shuffle on the grouping keys;
+    * min/max aggregates are order-independent so the restatement is
+    * exact. */
+  def sessionWindow(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy(session_window(col("ts"), "4 hours"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min("value").as("min_v"), max("value").as("max_v"))
+      .select(col("user_id"),
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss").as("sess_start"),
+        date_format(col("session_window.end"), "yyyy-MM-dd HH:mm:ss").as("sess_end"),
+        col("n_events"), col("min_v"), col("max_v"))
+      .orderBy("user_id", "sess_start")
+
+  /** Backward AS-OF join, the scalable way: purchases pick up the value
+    * of the latest click at ts' <= ts by the same user. Instead of a
+    * range join (quadratic blow-up per user at scale), the two sides
+    * UNION into one stream sorted by (ts, side) within each user and a
+    * single carry-forward `last(ignoreNulls)` window resolves every
+    * purchase in one shuffle — clicks sort before purchases at equal ts,
+    * matching the oracle's `>=` bound. DuckDB restates with its native
+    * ASOF LEFT JOIN. */
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"),
+        lit(null).cast("long").as("event_id"),
+        col("value").as("cv"), lit(0).as("is_p"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        lit(null).cast("double").as("cv"), lit(1).as("is_p"))
+    val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("is_p").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clicks.unionByName(purchases)
+      .withColumn("last_click_v", last("cv", ignoreNulls = true).over(w))
+      .filter(col("is_p") === 1)
+      .select(col("event_id"), col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_str"),
+        col("last_click_v"))
+      .orderBy("event_id")
+  }
 }

@@ -1,0 +1,69 @@
+package graft
+
+import graft.queries.Relational
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Boundary semantics for sessionization and the as-of join that the
+  * random driver testdata (microsecond-unique timestamps) can never hit:
+  * a gap of EXACTLY the session timeout, and a click landing on the same
+  * instant as the purchase. Both must agree with the DuckDB oracle's
+  * conventions (`>=` break, `>=` as-of bound).
+  */
+class RelationalEdgeSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  /** Materialize a toy events table in the driver's on-disk layout so the
+    * queries run through their real entry points. */
+  private def eventsDir(rows: Seq[(Long, java.sql.Timestamp, Long, String, Double, String)]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-reledge-").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("session_window: an exact-4h gap EXTENDS the session; 4h+1s breaks it") {
+    val t0 = ts("2024-01-01 00:00:00")
+    val dir = eventsDir(Seq(
+      (1L, t0, 7L, "view", 1.0, ""),
+      // exactly 4h later: Spark merges windows when next start <= current
+      // end, so this still belongs to the first session
+      (2L, ts("2024-01-01 04:00:00"), 7L, "view", 2.0, ""),
+      // 4h + 1s after event 2: strictly past the end -> NEW session
+      (3L, ts("2024-01-01 08:00:01"), 7L, "view", 3.0, ""),
+      // a second user far away: independent sessions
+      (4L, t0, 9L, "view", 4.0, "")))
+    val out = Relational.sessionWindow(spark, dir).collect()
+    val u7 = out.filter(_.getAs[Long]("user_id") == 7L)
+    assert(u7.length == 2, s"expected 2 sessions for user 7, got ${u7.length}")
+    assert(u7(0).getAs[Long]("n_events") == 2)
+    assert(u7(0).getAs[String]("sess_end") == "2024-01-01 08:00:00")
+    assert(u7(1).getAs[Long]("n_events") == 1)
+    assert(u7(1).getAs[String]("sess_start") == "2024-01-01 08:00:01")
+    assert(out.count(_.getAs[Long]("user_id") == 9L) == 1)
+  }
+
+  test("asof join: click at the purchase's exact instant wins; no prior click -> null") {
+    val dir = eventsDir(Seq(
+      // user 1: click strictly before, then a purchase — carried forward
+      (1L, ts("2024-01-01 01:00:00"), 1L, "click", 10.0, ""),
+      (2L, ts("2024-01-01 02:00:00"), 1L, "purchase", 0.0, ""),
+      // user 1: a later click must NOT retroactively apply
+      (3L, ts("2024-01-01 03:00:00"), 1L, "click", 99.0, ""),
+      // user 2: click at the SAME instant as the purchase — >= bound includes it
+      (4L, ts("2024-01-01 05:00:00"), 2L, "click", 42.0, ""),
+      (5L, ts("2024-01-01 05:00:00"), 2L, "purchase", 0.0, ""),
+      // user 3: purchase with no click at all -> null
+      (6L, ts("2024-01-01 06:00:00"), 3L, "purchase", 0.0, "")))
+    val out = Relational.asofJoin(spark, dir).collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        Option(r.getAs[java.lang.Double]("last_click_v")).map(_.doubleValue))
+      .toMap
+    assert(out(2L) == Some(10.0))
+    assert(out(5L) == Some(42.0))
+    assert(out(6L) == None)
+  }
+}
