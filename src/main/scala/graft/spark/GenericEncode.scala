@@ -699,13 +699,32 @@ object GenericEncode {
 
   // --------------------------------------------------------------- pruning
 
+  /** One (col_names, col_types) metadata row from the chunk table. A
+    * stats-pruned scan legitimately selects ZERO chunks — that is the
+    * point of pruning — but the table schema still lives on the unpruned
+    * parent rows, so an empty dataset strips its pruning Filters and
+    * probes the parent. None only for a genuinely schema-less table. */
+  private def metaHead(chunks: Dataset[GenericChunk]): Option[(Seq[String], Seq[String])] = {
+    val h = chunks.limit(1).collect()
+    if (h.nonEmpty) Some((h(0).col_names, h(0).col_types))
+    else {
+      val unfiltered = chunks.queryExecution.analyzed.transformUp {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.child
+      }
+      org.apache.spark.sql.graftbridge.ColumnBridge
+        .ofRows(chunks.sparkSession, unfiltered)
+        .select("col_names", "col_types").limit(1).collect().headOption
+        .map(r => (r.getSeq[String](0), r.getSeq[String](1)))
+    }
+  }
+
   /** Position of a (flattened) column in this chunk table's recorded
     * schema — one metadata row, not a data read. */
   def colIndexOf(chunks: Dataset[GenericChunk], colName: String): Int = {
-    val head = chunks.limit(1).collect()
-    require(head.nonEmpty, "empty chunk table")
-    val i = head(0).col_names.indexOf(colName)
-    require(i >= 0, s"no column '$colName' in ${head(0).col_names}")
+    val names = metaHead(chunks)
+      .getOrElse(sys.error("empty chunk table"))._1
+    val i = names.indexOf(colName)
+    require(i >= 0, s"no column '$colName' in $names")
     i
   }
 
@@ -751,8 +770,10 @@ object GenericEncode {
     * (reference column_index.go:259-272 + search.go:31-101). */
   def pruneRange(chunks: Dataset[GenericChunk], colName: String,
                  lo: Option[String], hi: Option[String]): Dataset[GenericChunk] = {
-    val i = colIndexOf(chunks, colName)
-    val tpe = chunks.limit(1).collect()(0).col_types(i)
+    val (names, types) = metaHead(chunks).getOrElse(sys.error("empty chunk table"))
+    val i = names.indexOf(colName)
+    require(i >= 0, s"no column '$colName' in $names")
+    val tpe = types(i)
     val mn0 = fcol("col_mins").getItem(i)
     val mx0 = fcol("col_maxs").getItem(i)
     // (bound, isLo) → value in the stat's own representation
@@ -817,8 +838,8 @@ object GenericEncode {
     * chunk-granular (the token table additionally byte-skips pages). */
   def seekRows(spark: SparkSession, chunks: Dataset[GenericChunk], start: Long, count: Long,
                cols: Seq[String] = Seq.empty): DataFrame = {
-    val head = chunks.limit(1).collect()
-    if (head.isEmpty) return spark.emptyDataFrame
+    val meta = metaHead(chunks)
+    if (meta.isEmpty) return spark.emptyDataFrame
     val covering = EncodePipeline.rowIndexOf(chunks.toDF())
       .filter(fcol("row_start") < start + count &&
         fcol("row_start") + fcol("num_rows") > start)
@@ -831,8 +852,7 @@ object GenericEncode {
         (math.min(start + count, rowStart + n) - rowStart).toInt)
     }.toMap
     val bc = spark.sparkContext.broadcast(ranges)
-    val allNames = head(0).col_names
-    val allTypes = head(0).col_types
+    val (allNames, allTypes) = meta.get
     val selected: Seq[Int] =
       if (cols.isEmpty) allNames.indices
       else {
@@ -1024,10 +1044,9 @@ object GenericEncode {
     * CRC is verified per chunk. */
   def decode(spark: SparkSession, chunks: Dataset[GenericChunk],
              cols: Seq[String] = Seq.empty): DataFrame = {
-    val head = chunks.limit(1).collect()
-    if (head.isEmpty) return spark.emptyDataFrame
-    val allNames = head(0).col_names
-    val allTypes = head(0).col_types
+    val meta = metaHead(chunks)
+    if (meta.isEmpty) return spark.emptyDataFrame
+    val (allNames, allTypes) = meta.get
     val selected: Seq[Int] =
       if (cols.isEmpty) allNames.indices
       else {

@@ -318,4 +318,23 @@ class GenericStatsSpec extends AnyFunSuite {
     val pruned = GenericEncode.pruneRange(ch, "toks", Some("1500"), Some("1500"))
     assert(pruned.count() <= 2, s"kept ${pruned.count()} of ${ch.count()}")
   }
+
+  test("a scan pruned to ZERO chunks still decodes with the table schema") {
+    // at scale a disjoint range prunes everything — the empty result must
+    // keep its columns so downstream filters/projects still resolve
+    // (regression: sf0.001 q_generic_prune hit UNRESOLVED_COLUMN)
+    val pruned = GenericEncode.pruneRange(chunks, "k", Some("900000"), Some("990000"))
+    assert(pruned.count() == 0)
+    val out = GenericEncode.decode(spark, pruned, Seq("k", "v"))
+      .filter(col("k") > 100).select("v")
+    assert(out.schema.fieldNames.toSeq == Seq("v"))
+    assert(out.count() == 0)
+    // chained prunes over the empty set keep working too
+    val rePruned = GenericEncode.pruneRange(pruned, "v", Some("0"), Some("10"))
+    assert(rePruned.count() == 0)
+    // seekRows over an all-pruned table: empty but typed
+    val sought = GenericEncode.seekRows(spark, pruned, 0, 10, Seq("name"))
+    assert(sought.schema.fieldNames.toSeq == Seq("name"))
+    assert(sought.count() == 0)
+  }
 }
