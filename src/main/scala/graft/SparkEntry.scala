@@ -91,6 +91,11 @@ object SparkEntry {
     "q_simhash_neardup" -> ((s, d) => TextOps.simHashNearDup(s, d)),
     "q_minhash_lsh" -> ((s, d) => TextOps.minHashLsh(s, d)),
     "q_ngram_jaccard" -> ((s, d) => TextOps.ngramJaccard(s, d)),
+    "q_decontaminate" -> ((s, d) => TextOps.decontaminate(s, d)),
+    "q_sample_stratified" -> ((s, d) => TextOps.sampleStratified(s, d)),
+    "q_repetition" -> ((s, d) => TextOps.repetitionScore(s, d)),
+    "q_train_shuffle" -> ((s, d) => TextOps.trainShuffle(s, d)),
+    "q_top_tokens" -> ((s, d) => TextOps.topTokens(s, d)),
     "q_cosine_topk" -> ((s, d) => SimilarityOps.cosineTopK(s, d)),
     "q_lsh_ann" -> ((s, d) => SimilarityOps.lshAnn(s, d)),
     "q_ivf_ann" -> ((s, d) => SimilarityOps.ivfAnn(s, d)),
@@ -531,6 +536,41 @@ object SparkEntry {
         |       round(CAST(COALESCE(i.ni, 0) AS DOUBLE) / (sa.n + sb.n - COALESCE(i.ni, 0)), 6) AS jaccard
         |FROM s sa JOIN s sb ON sb.doc_id = sa.doc_id + 1 AND sa.doc_id % 2 = 0
         |LEFT JOIN i ON i.doc_a = sa.doc_id
-        |ORDER BY doc_a""".stripMargin
+        |ORDER BY doc_a""".stripMargin,
+    // Decontamination: word 3-grams (ws[i:i+2] is the 1-based inclusive
+    // 3-element slice) of the eval slice doc_id % 97 == 0 vs the rest.
+    "q_decontaminate" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |g AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS g
+        |      FROM w, UNNEST(range(1, greatest(len(ws) - 2, 0) + 1)) AS t(i)),
+        |e AS (SELECT DISTINCT g FROM g WHERE doc_id % 97 = 0)
+        |SELECT doc_id, count(DISTINCT g) AS n_hit_grams
+        |FROM g WHERE doc_id % 97 <> 0 AND g IN (SELECT g FROM e)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // Seeded-hash stratified sample: lowercase-hex md5 prefixes compare
+    // lexicographically identically in both engines.
+    "q_sample_stratified" ->
+      """SELECT doc_id, lang, substring(md5('s42:' || CAST(doc_id AS VARCHAR)), 1, 2) AS bucket
+        |FROM documents
+        |WHERE substring(md5('s42:' || CAST(doc_id AS VARCHAR)), 1, 2) <
+        |      CASE lang WHEN 'en' THEN '40' WHEN 'de' THEN '80' WHEN 'es' THEN 'c0'
+        |                WHEN 'fr' THEN '20' WHEN 'zh' THEN '60' ELSE 'zz' END
+        |ORDER BY doc_id""".stripMargin,
+    "q_repetition" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |b AS (SELECT doc_id, array_to_string(ws[i:i+1], ' ') AS bg
+        |      FROM w, UNNEST(range(1, greatest(len(ws) - 1, 0) + 1)) AS t(i)),
+        |c AS (SELECT doc_id, bg, count(*) AS c FROM b GROUP BY 1, 2)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams, max(c) AS top_bigram,
+        |       round(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6) AS rep_ratio
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_train_shuffle" ->
+      """SELECT doc_id, md5('epoch7:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+        |FROM documents ORDER BY shuffle_key""".stripMargin,
+    "q_top_tokens" ->
+      """SELECT t.tok AS tok, count(*) AS cnt
+        |FROM documents d, UNNEST(string_split(d.text, ' ')) AS t(tok)
+        |WHERE t.tok <> ''
+        |GROUP BY t.tok ORDER BY cnt DESC, tok LIMIT 50""".stripMargin
   )
 }

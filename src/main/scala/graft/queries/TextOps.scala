@@ -410,4 +410,101 @@ object TextOps {
           size(array_union(col("a.sh"), col("b.sh"))).cast("double"), 6).as("jaccard"))
       .orderBy("doc_a")
   }
+
+  /** Word n-grams of the `text` column as an array column — the shared
+    * kernel of decontamination/repetition. `n >= 2`; docs shorter than
+    * n words contribute no grams (explode drops the empty array). Built
+    * with codegen'd collection functions (transform/slice/array_join),
+    * no UDF. */
+  private def wordGrams(n: Int) = {
+    val ws = split(col("text"), " ")
+    when(size(ws) >= n,
+      transform(sequence(lit(1), size(ws) - (n - 1)),
+        i => array_join(slice(ws, i, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Benchmark decontamination: flag every training document that shares
+    * a word n-gram with the held-out eval set (here the deterministic
+    * slice doc_id % 97 == 0 of the corpus stands in for the benchmark
+    * suite). The eval side's distinct grams are tiny relative to the
+    * corpus — real eval suites are a few thousand documents against
+    * billions — so they BROADCAST and the check is a map-side join over
+    * the exploded training grams: zero shuffle until the final per-doc
+    * count. n = 3 because the synthetic vocabulary is ~20 words (dense
+    * gram space); production text uses 8-13-gram windows, same plan. */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val grams = docs(spark, dir)
+      .select(col("doc_id"), explode(wordGrams(3)).as("g"))
+    val evalGrams = grams.filter(col("doc_id") % 97 === 0)
+      .select("g").distinct()
+    grams.filter(col("doc_id") % 97 =!= 0)
+      .join(broadcast(evalGrams), "g")
+      .groupBy("doc_id")
+      .agg(countDistinct(col("g")).as("n_hit_grams"))
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic stratified sampling for a training mix: per-language
+    * keep rates applied via a seeded content hash, not rand() — the
+    * sample is reproducible across runs, cluster sizes, and engines
+    * (the oracle re-derives it exactly). The keep test compares the
+    * first two hex chars of md5(seed:doc_id) against a per-stratum
+    * threshold: lowercase hex sorts lexicographically as bytes in both
+    * engines, so "< '40'" keeps 64/256 ≈ 25%. Pure map-side filter —
+    * no shuffle at any corpus size beyond the output ordering. */
+  def sampleStratified(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = substring(md5(concat(lit("s42:"), col("doc_id").cast("string"))), 1, 2)
+    val threshold = when(col("lang") === "en", "40")
+      .when(col("lang") === "de", "80")
+      .when(col("lang") === "es", "c0")
+      .when(col("lang") === "fr", "20")
+      .when(col("lang") === "zh", "60")
+      .otherwise("zz") // unknown stratum: keep everything
+    docs(spark, dir)
+      .withColumn("bucket", bucket)
+      .filter(col("bucket") < threshold)
+      .select("doc_id", "lang", "bucket")
+      .orderBy("doc_id")
+  }
+
+  /** Intra-document repetition score (Gopher-style quality rule): the
+    * fraction of a document's word bigrams taken up by its single most
+    * frequent bigram. High values mean boilerplate/looping text a
+    * training pipeline drops. Two partial-aggregated groupBys keyed by
+    * (doc_id[, bigram]) — both map-side combine, both shuffle one row
+    * per (doc, distinct-bigram), never the text. */
+  def repetitionScore(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"), explode(wordGrams(2)).as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_bigrams"), max("c").as("top_bigram"))
+      .withColumn("rep_ratio",
+        round(col("top_bigram").cast("double") / col("n_bigrams").cast("double"), 6))
+      .orderBy("doc_id")
+
+  /** Deterministic global training-order shuffle: every epoch pipeline
+    * needs the corpus in a reproducible pseudo-random order. Ordering by
+    * a seeded md5 of the key is a single range exchange (Spark samples
+    * the key space and range-partitions — no single-task sort, no
+    * rand() nondeterminism under retries; change the seed to reshuffle). */
+  def trainShuffle(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"),
+        md5(concat(lit("epoch7:"), col("doc_id").cast("string"))).as("shuffle_key"))
+      .orderBy("shuffle_key")
+
+  /** Corpus vocabulary head: top-50 whitespace tokens by frequency with
+    * a deterministic (count desc, token asc) tie-break. The groupBy
+    * partial-aggregates map-side so the shuffle carries one row per
+    * distinct token per partition — vocabulary-sized, not corpus-sized —
+    * and the limit runs as TakeOrdered, never a global sort. */
+  def topTokens(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok"))
+      .limit(50)
 }
