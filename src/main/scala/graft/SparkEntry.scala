@@ -96,6 +96,9 @@ object SparkEntry {
     "q_repetition" -> ((s, d) => TextOps.repetitionScore(s, d)),
     "q_train_shuffle" -> ((s, d) => TextOps.trainShuffle(s, d)),
     "q_top_tokens" -> ((s, d) => TextOps.topTokens(s, d)),
+    "q_pii_redact" -> ((s, d) => TextOps.piiRedact(s, d)),
+    "q_blocklist" -> ((s, d) => TextOps.blocklistFilter(s, d)),
+    "q_doc_stats" -> ((s, d) => TextOps.docStats(s, d)),
     "q_cosine_topk" -> ((s, d) => SimilarityOps.cosineTopK(s, d)),
     "q_lsh_ann" -> ((s, d) => SimilarityOps.lshAnn(s, d)),
     "q_ivf_ann" -> ((s, d) => SimilarityOps.ivfAnn(s, d)),
@@ -571,6 +574,29 @@ object SparkEntry {
       """SELECT t.tok AS tok, count(*) AS cnt
         |FROM documents d, UNNEST(string_split(d.text, ' ')) AS t(tok)
         |WHERE t.tok <> ''
-        |GROUP BY t.tok ORDER BY cnt DESC, tok LIMIT 50""".stripMargin
+        |GROUP BY t.tok ORDER BY cnt DESC, tok LIMIT 50""".stripMargin,
+    // PII redaction: both engines plant the identical synthetic email +
+    // phone, then count/redact with the same character-class regexes
+    // (Java regex on the Spark side, RE2 here; 'g' = global replace).
+    "q_pii_redact" ->
+      """WITH p AS (SELECT doc_id,
+        |  text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or call 555-' ||
+        |  lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._]+@[A-Za-z0-9.]+')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(t, '[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
+        |  regexp_replace(regexp_replace(t, '[A-Za-z0-9._]+@[A-Za-z0-9.]+', '<EMAIL>', 'g'),
+        |                 '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS redacted
+        |FROM p ORDER BY doc_id""".stripMargin,
+    "q_blocklist" ->
+      """SELECT doc_id, source, lang FROM documents
+        |WHERE source NOT IN ('src4', 'src7', 'src13')
+        |ORDER BY doc_id""".stripMargin,
+    "q_doc_stats" ->
+      """SELECT lang, source, count(*) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |       round(avg(n_chars), 6) AS avg_chars,
+        |       round(quantile_cont(n_chars, 0.5), 6) AS med_chars
+        |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin
   )
 }

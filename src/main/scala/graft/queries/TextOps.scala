@@ -495,6 +495,62 @@ object TextOps {
         md5(concat(lit("epoch7:"), col("doc_id").cast("string"))).as("shuffle_key"))
       .orderBy("shuffle_key")
 
+  /** PII redaction: scrub email addresses and phone-shaped digit runs
+    * from document text before it reaches a training mix. The synthetic
+    * corpus contains no PII, so the query first plants a deterministic
+    * email + phone per doc (both engines build the identical string),
+    * then counts and redacts them with plain-character-class regexes
+    * that Java regex and RE2 implement identically. Pure map-side —
+    * no shuffle beyond the output ordering at any corpus size. */
+  def piiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val emailPat = "[A-Za-z0-9._]+@[A-Za-z0-9.]+"
+    val phonePat = "[0-9]{3}-[0-9]{4}"
+    val planted = concat(
+      col("text"), lit(" contact user"), col("doc_id").cast("string"),
+      lit("@example.com or call 555-"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+    docs(spark, dir)
+      .select(col("doc_id"), planted.as("t"))
+      .select(
+        col("doc_id"),
+        regexp_count(col("t"), lit(emailPat)).cast("long").as("n_emails"),
+        regexp_count(col("t"), lit(phonePat)).cast("long").as("n_phones"),
+        regexp_replace(regexp_replace(col("t"), emailPat, "<EMAIL>"),
+          phonePat, "<PHONE>").as("redacted"))
+      .orderBy("doc_id")
+  }
+
+  /** Source blocklist filter: drop every document whose source is on a
+    * curated ban list (the scraped-domain blocklist of a web corpus).
+    * The blocklist is tiny relative to the corpus — thousands of
+    * domains vs billions of docs — so it BROADCASTS and the filter is
+    * a map-side left-anti hash join: zero shuffle of the corpus. */
+  def blocklistFilter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val banned = Seq("src4", "src7", "src13").toDF("source")
+    docs(spark, dir)
+      .join(broadcast(banned), Seq("source"), "left_anti")
+      .select("doc_id", "source", "lang")
+      .orderBy("doc_id")
+  }
+
+  /** Per-stratum corpus statistics a mixture designer reads before
+    * weighting: doc count, total/mean chars, and the exact interpolated
+    * median length per (lang, source) cell. Single partial-aggregated
+    * groupBy; the shuffle carries one row per cell (≤ |langs|×|sources|,
+    * corpus-size-independent). Median uses the exact continuous
+    * definition on both sides (Spark `median` == DuckDB
+    * `quantile_cont(0.5)`). */
+  def docStats(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .groupBy("lang", "source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_chars").as("sum_chars"),
+        round(avg("n_chars"), 6).as("avg_chars"),
+        round(median(col("n_chars")), 6).as("med_chars"))
+      .orderBy("lang", "source")
+
   /** Corpus vocabulary head: top-50 whitespace tokens by frequency with
     * a deterministic (count desc, token asc) tie-break. The groupBy
     * partial-aggregates map-side so the shuffle carries one row per
