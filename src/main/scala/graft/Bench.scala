@@ -223,12 +223,19 @@ object Bench {
       val gib = if (raw.endsWith("m")) num / 1024 else num
       s"${math.min(math.max(gib, 4L), 24L)}g"
     }
+    // UNIQUE scratch root per fork, deleted when the child exits: the
+    // 10x-tier run died mid-shuffle with ENOENT on temp_shuffle files
+    // when another JVM sharing /dev/shm/graft-spark-local cleaned up —
+    // blockmgr subdirs are per-JVM but the shared root is not
+    // crash-isolated. A real cluster gives each executor its own NVMe
+    // scratch; emulate that.
+    val scratch = s"/dev/shm/graft-spark-local/fork-$cores-${System.nanoTime}"
     val cmd: Seq[String] =
       Seq(javaBin) ++ opens ++ Seq(
         s"-Xmx$mem", s"-Xms$mem", "-XX:+AlwaysPreTouch", "-XX:+UseParallelGC",
         "-Dspark.ui.enabled=false",
         "-Dspark.sql.session.timeZone=UTC",
-        "-Dspark.local.dir=/dev/shm/graft-spark-local",
+        s"-Dspark.local.dir=$scratch",
         // lz4 shuffle compression measured FASTER than raw even on tmpfs
         // (fewer kernel-side bytes copied beats the compress CPU)
         "-Dspark.shuffle.compress=" + sys.env.getOrElse("GRAFT_SHUFFLE_COMPRESS", "true"),
@@ -239,6 +246,7 @@ object Bench {
     val proc = pb.start()
     val out = new String(proc.getInputStream.readAllBytes(), UTF_8)
     proc.waitFor()
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(scratch))
     val line = out.linesIterator.find(_.startsWith("GRAFT_LEVEL")).getOrElse {
       System.err.println(out.takeRight(2000))
       sys.error(s"child JVM for local[$cores] produced no result")

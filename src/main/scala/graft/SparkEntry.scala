@@ -48,6 +48,7 @@ object SparkEntry {
     "q_rt_generic_struct" -> ((s, d) => RoundTrips.genericStruct(s, d)),
     "q_decode_project" -> ((s, d) => RoundTrips.decodeProject(s, d)),
     "q_generic_prune" -> ((s, d) => RoundTrips.genericPrune(s, d)),
+    "q_zorder_prune" -> ((s, d) => RoundTrips.zorderPrune(s, d)),
     "q_auto_prune" -> ((s, d) => RoundTrips.autoPrune(s, d)),
     "q_generic_seek" -> ((s, d) => RoundTrips.genericSeek(s, d)),
     "q_generic_columnar" -> ((s, d) => RoundTrips.genericColumnar(s, d)),
@@ -216,6 +217,12 @@ object SparkEntry {
     // plain range select (o_orderkey is unique).
     "q_generic_prune" ->
       "SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey BETWEEN 5000 AND 7000 ORDER BY o_orderkey",
+    // Z-ordered layout: the two-sided box select is the oracle; the
+    // Morton clustering only changes which chunks the scan touches.
+    "q_zorder_prune" ->
+      ("SELECT o_orderkey, o_custkey, o_totalprice FROM orders " +
+        "WHERE o_custkey BETWEEN 100 AND 300 AND o_orderkey BETWEEN 2000 AND 20000 " +
+        "ORDER BY o_orderkey"),
     // Automatic filter→chunk-stats pushdown (no manual pruneRange): same
     // shape, the pruning comes from the optimizer rule.
     "q_auto_prune" ->

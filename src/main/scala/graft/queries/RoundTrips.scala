@@ -487,6 +487,28 @@ object RoundTrips {
       .orderBy("o_orderkey")
   }
 
+  /** Z-ORDERED chunk pruning: orders is clustered on the Morton curve
+    * of (o_custkey, o_orderkey) before the generic encode, so the
+    * per-chunk min/max stats are tight on BOTH dimensions and the plain
+    * two-sided box `.filter` — no manual prune call — prunes chunks via
+    * the automatic pushdown rule on both columns at once. A linear sort
+    * gives tight stats on its leading column only; ZOrderSpec measures
+    * the chunk-count win directly. Oracle restates the box select. */
+  def zorderPrune(spark: SparkSession, dir: String): DataFrame = {
+    val src = graft.spark.ZOrder.cluster(
+      table(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("o_orderstatus")),
+      Seq("o_custkey", "o_orderkey"), numParts = 4)
+    val chunks = graft.spark.GenericEncode.encode(src, rowsPerChunk = 1024)
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft-zorder-q-" +
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    graft.spark.GenericEncode.write(chunks, base)
+    graft.spark.GenericEncode.readTable(spark, base, Seq("o_orderkey", "o_custkey", "o_totalprice"))
+      .filter(col("o_custkey").between(100L, 300L) && col("o_orderkey").between(2000L, 20000L))
+      .orderBy("o_orderkey")
+  }
+
   /** Stats+bloom-pruned token search end-to-end (R11 Find/Search + R13
     * bloom probe): the lineitem-derived token table is searched for one
     * token id; min/max prunes chunks, the codegen'd bloom probe prunes
