@@ -247,6 +247,13 @@ object Bench {
     val out = new String(proc.getInputStream.readAllBytes(), UTF_8)
     proc.waitFor()
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(scratch))
+    // persist the child's full output — a dead child's tail alone proved
+    // undiagnosable (the 10x fork-32 failure surfaced as a mid-stack
+    // 2000-char fragment with the root cause cut off)
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"/tmp/graft-bench-fork-$cores-$mode.log"),
+      out.getBytes(UTF_8))
+    catch { case _: Exception => }
     val line = out.linesIterator.find(_.startsWith("GRAFT_LEVEL")).getOrElse {
       System.err.println(out.takeRight(2000))
       sys.error(s"child JVM for local[$cores] produced no result")
@@ -352,8 +359,15 @@ object Bench {
       else forkLevel(pXlo, inputPath, boundsPath, mode = "enc")
     val (tok8, _, _, sec8a, dec8a, al8, decP8a) = forkLevel(pLo, inputPath, boundsPath)
     val (tok32, enc32, raw32, sec32a, dec32a, al32, decP32a) = forkLevel(pHi, inputPath, boundsPath)
-    val (_, _, _, sec8b, dec8b, _, decP8b) = forkLevel(pLo, inputPath, boundsPath, mode = "encdec")
-    val (_, _, _, sec32b, dec32b, _, decP32b) = forkLevel(pHi, inputPath, boundsPath, mode = "encdec")
+    // GRAFT_BENCH_SINGLE_ROUND=1 skips the second (encode-only) fork round:
+    // at the 10x row tier each full fork already runs ~1h, so the
+    // two-weather-window redundancy costs more wall time than it buys.
+    val singleRound = sys.env.contains("GRAFT_BENCH_SINGLE_ROUND")
+    val noB = (0L, 0L, 0L, Double.MaxValue, Double.MaxValue, 0.0, Double.MaxValue)
+    val (_, _, _, sec8b, dec8b, _, decP8b) =
+      if (singleRound) noB else forkLevel(pLo, inputPath, boundsPath, mode = "encdec")
+    val (_, _, _, sec32b, dec32b, _, decP32b) =
+      if (singleRound) noB else forkLevel(pHi, inputPath, boundsPath, mode = "encdec")
     val secX = secXa
     val sec8 = math.min(sec8a, sec8b)
     val sec32 = math.min(sec32a, sec32b)

@@ -97,6 +97,10 @@ object SparkEntry {
     "q_repetition" -> ((s, d) => TextOps.repetitionScore(s, d)),
     "q_train_shuffle" -> ((s, d) => TextOps.trainShuffle(s, d)),
     "q_top_tokens" -> ((s, d) => TextOps.topTokens(s, d)),
+    "q_pack_sequences" -> ((s, d) => TextOps.packSequences(s, d)),
+    "q_doc_chunks" -> ((s, d) => TextOps.docChunks(s, d)),
+    "q_mix_sources" -> ((s, d) => TextOps.mixSources(s, d)),
+    "q_dup_ngrams" -> ((s, d) => TextOps.dupNgrams(s, d)),
     "q_pii_redact" -> ((s, d) => TextOps.piiRedact(s, d)),
     "q_blocklist" -> ((s, d) => TextOps.blocklistFilter(s, d)),
     "q_doc_stats" -> ((s, d) => TextOps.docStats(s, d)),
@@ -582,6 +586,56 @@ object SparkEntry {
         |FROM documents d, UNNEST(string_split(d.text, ' ')) AS t(tok)
         |WHERE t.tok <> ''
         |GROUP BY t.tok ORDER BY cnt DESC, tok LIMIT 50""".stripMargin,
+    // Sequence packing: global token offsets in the seeded training
+    // order, sequences cut every 256 tokens. The oracle restates the
+    // bucketed two-phase prefix sum as one flat ordered cumsum.
+    "q_pack_sequences" ->
+      """WITH t AS (SELECT doc_id,
+        |    (length(text) - length(replace(text, ' ', '')) + 1)::BIGINT AS n_tokens,
+        |    md5('epoch7:' || CAST(doc_id AS VARCHAR)) AS key FROM documents),
+        |o AS (SELECT doc_id, n_tokens,
+        |    SUM(n_tokens) OVER (ORDER BY key, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS token_offset
+        |  FROM t)
+        |SELECT doc_id, n_tokens, CAST(token_offset AS BIGINT) AS token_offset,
+        |  CAST(token_offset // 256 AS BIGINT) AS first_seq,
+        |  CAST((token_offset + n_tokens - 1) // 256 AS BIGINT) AS last_seq
+        |FROM o ORDER BY doc_id""".stripMargin,
+    // Context-window chunking: 16-token windows every 8 tokens; DuckDB
+    // list slices are 1-based inclusive so [s+1 : s+16] == Spark
+    // slice(toks, s+1, 16).
+    "q_doc_chunks" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |s AS (SELECT doc_id, toks, unnest(generate_series(0, len(toks) - 1, 8)) AS st FROM t)
+        |SELECT doc_id, (st // 8)::BIGINT AS chunk_idx,
+        |  len(toks[st + 1 : st + 16])::BIGINT AS n_chunk_tokens,
+        |  array_to_string(toks[st + 1 : st + 16], ' ') AS chunk_text
+        |FROM s ORDER BY doc_id, chunk_idx""".stripMargin,
+    // Weighted corpus mixing: epochs-per-source replication, integer
+    // part guaranteed, fractional half-epoch via the seeded md5 bucket
+    // (lowercase-hex compare is byte-identical in both engines).
+    "q_mix_sources" ->
+      """WITH t AS (SELECT doc_id, source, CAST(source[4:] AS INT) AS n,
+        |    substring(md5('mix13:' || CAST(doc_id AS VARCHAR)), 1, 2) AS bucket
+        |  FROM documents),
+        |c AS (SELECT doc_id, source,
+        |    (CASE WHEN n % 4 >= 2 THEN 2 ELSE 1 END
+        |     + CASE WHEN n % 2 = 1 AND bucket < '80' THEN 1 ELSE 0 END) AS n_copies
+        |  FROM t)
+        |SELECT doc_id, source, CAST(n_copies AS BIGINT) AS n_copies,
+        |  CAST(ci AS BIGINT) AS copy_idx
+        |FROM c, UNNEST(generate_series(0, n_copies - 1)) AS u(ci)
+        |ORDER BY doc_id, copy_idx""".stripMargin,
+    // Duplicate 8-token windows across distinct docs; DuckDB list slices
+    // are 1-based inclusive so toks[s+1 : s+8] == Spark slice(toks,s+1,8).
+    "q_dup_ngrams" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |w AS (SELECT DISTINCT doc_id, md5(array_to_string(toks[s + 1 : s + 8], ' ')) AS h
+        |  FROM t, UNNEST(generate_series(0, len(toks) - 8)) AS g(s)
+        |  WHERE len(toks) >= 8),
+        |d AS (SELECT h FROM w GROUP BY h HAVING count(*) >= 2)
+        |SELECT doc_id, count(*)::BIGINT AS n_dup_windows
+        |FROM w JOIN d USING (h) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // PII redaction: both engines plant the identical synthetic email +
     // phone, then count/redact with the same character-class regexes
     // (Java regex on the Spark side, RE2 here; 'g' = global replace).

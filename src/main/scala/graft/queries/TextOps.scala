@@ -563,4 +563,124 @@ object TextOps {
       .groupBy("tok").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("tok"))
       .limit(50)
+
+  /** GPT-style sequence packing: documents are concatenated in a
+    * deterministic training order (seeded md5 shuffle, as
+    * [[trainShuffle]]) and the token stream is cut every `SeqBudget`
+    * tokens; each doc reports its global token offset and the first/last
+    * training sequence it lands in. The global running sum NEVER uses an
+    * un-partitioned window (a single-task sort at corpus scale):
+    * documents are bucketed by the first byte of the order key — md5 is
+    * uniform, so buckets are mass-balanced at ANY corpus size and their
+    * key ranges are disjoint and ordered by construction (no sampled
+    * range exchange whose cuts could drift between passes) — the
+    * within-bucket cumsum is a window PARTITIONED by bucket, and the
+    * 256 cross-bucket prefix offsets come from one tiny aggregate
+    * broadcast back. Shuffle cost: one exchange of (doc_id, n_tokens,
+    * key) triples — never text. */
+  def packSequences(spark: SparkSession, dir: String): DataFrame = {
+    val SeqBudget = 256L
+    val nTokens =
+      (length(col("text")) - length(regexp_replace(col("text"), " ", "")) + 1)
+        .cast("long")
+    val key = md5(concat(lit("epoch7:"), col("doc_id").cast("string")))
+    val sized = docs(spark, dir).select(
+      col("doc_id"), nTokens.as("n_tokens"), key.as("key"),
+      conv(substring(key, 1, 2), 16, 10).cast("int").as("bucket"))
+    // 256-row dim of per-bucket prefix offsets (exclusive)
+    val prefixes = sized.groupBy("bucket").agg(sum("n_tokens").as("bucket_toks"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy("bucket").rowsBetween(Long.MinValue, -1)
+    val offsets = prefixes
+      .withColumn("bucket_off", coalesce(sum("bucket_toks").over(w), lit(0L)))
+      .select("bucket", "bucket_off")
+    val inBucket = org.apache.spark.sql.expressions.Window
+      .partitionBy("bucket").orderBy("key", "doc_id")
+      .rowsBetween(Long.MinValue, 0)
+    sized
+      .join(broadcast(offsets), "bucket")
+      .withColumn("token_offset",
+        col("bucket_off") + sum("n_tokens").over(inBucket) - col("n_tokens"))
+      .select(
+        col("doc_id"), col("n_tokens"), col("token_offset"),
+        (col("token_offset") / SeqBudget).cast("long").as("first_seq"),
+        ((col("token_offset") + col("n_tokens") - 1L) / SeqBudget)
+          .cast("long").as("last_seq"))
+      .orderBy("doc_id")
+  }
+
+  /** Weighted corpus mixing: the standard pretraining mixture step where
+    * each source gets an epochs-per-source weight and documents are
+    * replicated accordingly — integer part as guaranteed copies, the
+    * fractional half-epoch as one extra copy decided by a seeded content
+    * hash (md5, as [[sampleStratified]]), never `rand()`, so the mix is
+    * reproducible across runs, cluster sizes, and engines. Weights here
+    * are a deterministic function of the source id (1.0/1.5/2.0/2.5 by
+    * `n mod 4`) standing in for a broadcast weight table. Pure map-side
+    * explode — zero shuffle at any corpus size beyond output ordering;
+    * output volume is Σ w_s·|s|, exactly the training-mix budget. */
+  def mixSources(spark: SparkSession, dir: String): DataFrame = {
+    val n = substring(col("source"), 4, 10).cast("int")
+    val floorW = when(n % 4 >= 2, 2).otherwise(1)
+    val bucket = substring(md5(concat(lit("mix13:"), col("doc_id").cast("string"))), 1, 2)
+    val extra = when((n % 2 === 1) && (bucket < "80"), 1).otherwise(0)
+    docs(spark, dir)
+      .select(col("doc_id"), col("source"),
+        (floorW + extra).cast("long").as("n_copies"))
+      .select(col("doc_id"), col("source"), col("n_copies"),
+        explode(sequence(lit(0L), col("n_copies") - 1L)).as("copy_idx"))
+      .orderBy("doc_id", "copy_idx")
+  }
+
+  /** Duplicate token-window detection — substring-level dedup in the
+    * spirit of Lee et al. 2022 ("Deduplicating Training Data Makes
+    * Language Models Better"), distributed: every 8-token window is
+    * hashed (16-byte md5 of the joined window — the shuffle key is the
+    * hash, never text) and a window seen in ≥2 distinct documents marks
+    * both as containing duplicated spans; the per-doc duplicated-window
+    * count is the signal a pipeline thresholds on. Two hash-keyed
+    * exchanges total: one distinct on (doc, h), then ONE shuffle by h
+    * reused for both the ≥2-docs count and the doc rollup (a count
+    * window over partitionBy(h) instead of groupBy+self-join, which
+    * would shuffle the same rows by h twice). Volume: one 24-byte row
+    * per token position — linear, partial-aggregated, no all-pairs. */
+  def dupNgrams(spark: SparkSession, dir: String): DataFrame = {
+    val Win = 8
+    val w = docs(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= Win)
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0), size(col("toks")) - Win)).as("s"))
+      .select(col("doc_id"),
+        md5(array_join(slice(col("toks"), col("s") + 1, lit(Win)), " ")).as("h"))
+      .distinct()
+    val perHash = org.apache.spark.sql.expressions.Window.partitionBy("h")
+    w.withColumn("nd", count(lit(1)).over(perHash))
+      .filter(col("nd") >= 2)
+      .groupBy("doc_id").agg(count(lit(1)).as("n_dup_windows"))
+      .orderBy("doc_id")
+  }
+
+  /** Context-window chunking: each document's whitespace tokens are cut
+    * into windows of `Win` tokens every `Stride` tokens (50% overlap, the
+    * standard long-document embedding/training prep). Pure map-side —
+    * split + posexplode over a per-doc arithmetic sequence, no shuffle at
+    * any corpus size beyond the output ordering. Tail windows shorten
+    * rather than shift so the rule stays a pure function of (n, Stride)
+    * in both engines. */
+  def docChunks(spark: SparkSession, dir: String): DataFrame = {
+    val Win = 16
+    val Stride = 8
+    val withArr = docs(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("starts",
+        sequence(lit(0), greatest(size(col("toks")) - 1, lit(0)), lit(Stride)))
+    withArr
+      .select(col("doc_id"), col("toks"), posexplode(col("starts")).as(Seq("chunk_idx", "s")))
+      .select(
+        col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        size(slice(col("toks"), col("s") + 1, lit(Win))).cast("long").as("n_chunk_tokens"),
+        array_join(slice(col("toks"), col("s") + 1, lit(Win)), " ").as("chunk_text"))
+      .orderBy("doc_id", "chunk_idx")
+  }
 }
