@@ -63,6 +63,9 @@ object SparkEntry {
     "q_seek_rows" -> ((s, d) => RoundTrips.seekRows(s, d)),
     "q_compact_merge" -> ((s, d) => RoundTrips.compactMerge(s, d)),
     "q_compact_dedup" -> ((s, d) => RoundTrips.compactDedup(s, d)),
+    "q_chunk_join" -> ((s, d) => RoundTrips.chunkJoin(s, d)),
+    "q_token_index" -> ((s, d) => RoundTrips.tokenIndex(s, d)),
+    "q_rt_generic_nested" -> ((s, d) => RoundTrips.genericNested(s, d)),
     "q_codec_stats" -> ((s, d) => RoundTrips.codecStats(s, d)),
     // --- relational / dataflow operators ---
     "q_filter" -> ((s, d) => Relational.filter(s, d)),
@@ -72,6 +75,8 @@ object SparkEntry {
     "q_union_merge" -> ((s, d) => Relational.unionMerge(s, d)),
     "q_convert" -> ((s, d) => Relational.convert(s, d)),
     "q_stats_minmax" -> ((s, d) => Relational.statsMinMax(s, d)),
+    "q_rollup_stats" -> ((s, d) => Relational.rollupStats(s, d)),
+    "q_heavy_hitters" -> ((s, d) => Relational.heavyHitters(s, d)),
     "q_join_broadcast" -> ((s, d) => Relational.joinBroadcast(s, d)),
     "q_semi_join" -> ((s, d) => Relational.semiJoin(s, d)),
     "q_range_prune" -> ((s, d) => Relational.rangePrune(s, d)),
@@ -310,6 +315,44 @@ object SparkEntry {
       """SELECT lpad(CAST(doc_id AS VARCHAR), 8, '0') AS doc_id, lang AS source,
         |       CAST(n_chars AS BIGINT) AS tok_sum
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // Repeated-group round-trip, restated relationally: one output row per
+    // (doc, span position); null/empty arrays yield a single all-null span
+    // row (posexplode_outer semantics). NULLS FIRST matches Spark's
+    // ascending-sort default.
+    "q_rt_generic_nested" ->
+      """WITH k AS (SELECT doc_id, lang, CAST(doc_id % 4 AS INT) AS n FROM documents)
+        |SELECT doc_id, CAST(NULL AS BIGINT) AS pos, CAST(NULL AS BIGINT) AS off,
+        |       CAST(NULL AS VARCHAR) AS tag
+        |FROM k WHERE doc_id % 11 = 0 OR n = 0
+        |UNION ALL
+        |SELECT k.doc_id, CAST(i.i - 1 AS BIGINT) AS pos,
+        |       CASE WHEN i.i = 3 THEN NULL ELSE k.doc_id * 10 + i.i END AS off,
+        |       CASE WHEN i.i IN (2, 3) THEN NULL
+        |            ELSE k.lang || '-' || CAST(i.i AS VARCHAR) END AS tag
+        |FROM k JOIN (SELECT unnest([1,2,3]) AS i) i ON i.i <= k.n
+        |WHERE k.doc_id % 11 <> 0
+        |ORDER BY doc_id, pos NULLS FIRST""".stripMargin,
+    // Inverted-index token search: answer must equal the stats/bloom-pruned
+    // searches (q_search_token / q_auto_search) — same oracle.
+    "q_token_index" ->
+      "SELECT DISTINCT lpad(CAST(l_orderkey AS VARCHAR), 15, '0') AS doc_id FROM lineitem WHERE l_linenumber = 7 ORDER BY doc_id",
+    // Chunk-aligned merge join: the engine joins the encoded table against
+    // the probe set riding the layout; the oracle restates it as a plain
+    // relational join (duplicate probe keys fan out — inner semantics).
+    "q_chunk_join" ->
+      """WITH probe AS (
+        |  SELECT lpad(CAST(doc_id AS VARCHAR), 8, '0') AS doc_id,
+        |         CAST(n_chars AS BIGINT) AS weight
+        |  FROM documents WHERE doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT lpad(CAST(doc_id AS VARCHAR), 8, '0'),
+        |         CAST(n_chars + 1000000 AS BIGINT)
+        |  FROM documents WHERE doc_id % 91 = 0)
+        |SELECT r.doc_id, r.lang AS source, CAST(1 AS BIGINT) AS n_tok, p.weight
+        |FROM (SELECT lpad(CAST(doc_id AS VARCHAR), 8, '0') AS doc_id, lang
+        |      FROM documents) r
+        |JOIN probe p ON r.doc_id = p.doc_id
+        |ORDER BY r.doc_id, weight""".stripMargin,
     "q_filter" ->
       "SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_quantity FROM lineitem WHERE l_quantity >= 49.0 AND l_discount > 0.05 ORDER BY l_orderkey, l_linenumber",
     "q_transform" ->
@@ -324,6 +367,16 @@ object SparkEntry {
       "SELECT CAST(l_orderkey AS VARCHAR) AS okey_str, CAST(l_linenumber AS BIGINT) AS ln, CAST(floor(l_quantity) AS BIGINT) AS qty_int FROM lineitem ORDER BY okey_str, ln, qty_int",
     "q_stats_minmax" ->
       "SELECT l_returnflag, l_linestatus, count(*) AS cnt, min(l_quantity) AS min_qty, max(l_quantity) AS max_qty, CAST(sum(l_linenumber) AS BIGINT) AS sum_ln, min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus",
+    // The MG sketch with k > |domain| degrades to exact counting, so the
+    // plain GROUP BY restates it bit-for-bit.
+    "q_heavy_hitters" ->
+      "SELECT event_type AS item, count(*) AS cnt FROM events GROUP BY event_type ORDER BY cnt DESC, item",
+    "q_rollup_stats" ->
+      """SELECT COALESCE(source, '<all>') AS source, COALESCE(lang, '<all>') AS lang,
+        |       count(*) AS cnt, CAST(sum(n_chars) AS BIGINT) AS chars,
+        |       min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        |FROM documents GROUP BY ROLLUP(source, lang)
+        |ORDER BY source, lang""".stripMargin,
     "q_join_broadcast" ->
       "SELECT n_name, count(*) AS cnt, min(c_acctbal) AS min_bal FROM customer JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name ORDER BY n_name",
     "q_semi_join" ->

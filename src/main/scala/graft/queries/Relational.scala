@@ -80,6 +80,38 @@ object Relational {
         max("l_extendedprice").as("max_price"))
       .orderBy("l_returnflag", "l_linestatus")
 
+  /** ROLLUP aggregation (SURVEY §2.6 aggregations): per-(source, lang)
+    * corpus stats with subtotal and grand-total rows in ONE pass —
+    * Catalyst expands the rollup into a single Expand + hash aggregate,
+    * so at 100 TB the three grouping levels cost one shuffle, not three
+    * scans. Rollup NULL markers are coalesced to a sentinel (the raw
+    * columns are non-null) so Spark and DuckDB agree byte-for-byte. */
+  def rollupStats(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .rollup("source", "lang")
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("n_chars")).as("chars"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+      .select(
+        coalesce(col("source"), lit("<all>")).as("source"),
+        coalesce(col("lang"), lit("<all>")).as("lang"),
+        col("cnt"), col("chars"), col("min_chars"), col("max_chars"))
+      .orderBy("source", "lang")
+
+  /** Misra–Gries heavy hitters through the custom TypedImperativeAggregate
+    * (functions.HeavyHitters): one ObjectHashAggregate pass, k counters
+    * per task, mergeable partials — never a shuffle of the full item
+    * domain. k=64 exceeds the event_type cardinality, so the sketch is
+    * provably exact here and the plain GROUP BY is a bit-exact oracle
+    * (the ε=n/(k+1) overflow regime is pinned by SketchSpec). */
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .agg(graft.functions.Sketches.heavyHitters(col("event_type"), 64).as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.item").as("item"), col("e.cnt").as("cnt"))
+      .orderBy(desc("cnt"), col("item"))
+
   /** Validation join shape (SURVEY §2.6) — dim side broadcast. */
   def joinBroadcast(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "customer")

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.codec._
-import graft.spark.{EncodePipeline, TokenTableGen, TokenRow}
+import graft.spark.{ChunkJoin, EncodePipeline, TokenTableGen, TokenRow}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import java.nio.charset.StandardCharsets.UTF_8
@@ -856,5 +856,98 @@ object RoundTrips {
       q.processAllAvailable()
     } finally q.stop()
     spark.table(qname).orderBy("win_start", "event_type")
+  }
+
+  /** Repeated-group round-trip: array<struct<off,tag>> columns derived
+    * deterministically from documents — null arrays (doc_id%11=0), empty
+    * arrays (doc_id%4=0), null elements (i=3), and null leaf values
+    * (i=2) all in one table — encoded through the generic
+    * struct-of-arrays shredding and decoded back. Output is the EXPLODED
+    * flat view so the DuckDB oracle can restate it relationally. */
+  def genericNested(spark: SparkSession, dir: String): DataFrame = {
+    import graft.spark.GenericEncode
+    val src = table(spark, dir, "documents").select(
+      col("doc_id"),
+      when(col("doc_id") % 11 === 0, lit(null)).otherwise(
+        expr("""transform(filter(sequence(1, 3), i -> i <= doc_id % 4),
+               |  i -> CASE WHEN i = 3 THEN NULL ELSE named_struct(
+               |    'off', doc_id * 10 + i,
+               |    'tag', CASE WHEN i = 2 THEN NULL
+               |           ELSE concat(lang, '-', CAST(i AS STRING)) END)
+               |  END)""".stripMargin)).as("spans"))
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft-nested-q-" +
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    GenericEncode.writeColumnar(GenericEncode.encode(src), base)
+    GenericEncode.readTable(spark, base)
+      .select(col("doc_id"), posexplode_outer(col("spans")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("col.off").as("off"), col("col.tag").as("tag"))
+      .orderBy("doc_id", "pos")
+  }
+
+  /** Inverted token index (TokenIndex): offline posting-list build over
+    * the persisted chunk table, then a lookup that decodes EXACTLY the
+    * covering chunks (broadcast semi-join on chunk_id — no bloom false
+    * positives, no full metadata scan). Same corpus and oracle as
+    * q_search_token, so the three search strategies (hand pruning, auto
+    * pushdown, secondary index) are provably answer-equivalent. */
+  def tokenIndex(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rows = table(spark, dir, "lineitem")
+      .groupBy("l_orderkey")
+      .agg(sort_array(collect_list(col("l_linenumber"))).as("tokens"))
+      .select(
+        format_string("%015d", col("l_orderkey")).as("doc_id"),
+        col("tokens"),
+        size(col("tokens")).as("n_tok"),
+        lit("tpch").as("source"))
+      .as[TokenRow]
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft-tokenidx-q-" +
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    EncodePipeline.encode(rows, numParts = 8, tokensPerChunk = 64 * 1024)
+      .write.mode("overwrite")
+      .option("compression", EncodePipeline.ChunkTableCompression)
+      .parquet(s"$base/chunks")
+    val persisted = spark.read.parquet(s"$base/chunks")
+      .as[graft.spark.EncodedChunk]
+    graft.spark.TokenIndex.build(persisted, s"$base/index")
+    graft.spark.TokenIndex.lookup(spark, s"$base/index", persisted, 7)
+      .toDF("doc_id").orderBy("doc_id")
+  }
+
+  /** Chunk-aligned merge join (ChunkJoin.joinByDocId): the encode layout
+    * IS the join strategy — the chunk side crosses the exchange encoded
+    * and pre-sorted, probe rows are bounds-assigned to the matching
+    * partition, and chunks outside the probe key range never decode.
+    * Probe deliberately carries duplicate keys (the %91 slice re-probes
+    * keys the %7 slice already hits) to pin full inner-join semantics.
+    * Oracle: the same join restated over the raw table. */
+  def chunkJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = table(spark, dir, "documents")
+    val rows = docs
+      .select(
+        lpad(col("doc_id").cast("string"), 8, "0").as("doc_id"),
+        array(col("n_chars").cast("int")).as("tokens"),
+        lit(1).as("n_tok"),
+        col("lang").as("source"))
+      .as[TokenRow]
+    val bounds = EncodePipeline.massBalancedBounds(rows, 4)
+    val chunks = EncodePipeline.encode(rows, numParts = 4,
+      tokensPerChunk = 2048, boundsOverride = Some(bounds))
+    val probe = docs.filter(col("doc_id") % 7 === 0)
+      .select(lpad(col("doc_id").cast("string"), 8, "0").as("doc_id"),
+        col("n_chars").cast("long").as("weight"))
+      .unionAll(docs.filter(col("doc_id") % 91 === 0)
+        .select(lpad(col("doc_id").cast("string"), 8, "0").as("doc_id"),
+          (col("n_chars") + 1000000L).cast("long").as("weight")))
+      .as[(String, Long)]
+    ChunkJoin.joinByDocId(chunks, bounds, probe)
+      .toDF()
+      .select(col("doc_id"), col("source"),
+        col("n_tok").cast("long").as("n_tok"), col("weight"))
+      .orderBy("doc_id", "weight")
   }
 }

@@ -84,23 +84,75 @@ object GenericEncode {
   private final val MapKeysLeaf = Sep + "mkeys"
   private final val MapValsLeaf = Sep + "mvals"
 
-  private def validateNames(t: StructType): Unit = t.fields.foreach { f =>
-    require(f.name.nonEmpty && !f.name.contains(Sep),
-      s"generic encode: illegal column name '${f.name}' (empty or contains \\u0001)")
-    f.dataType match {
-      case st: StructType => validateNames(st)
-      case _ =>
+  /** Repeated-group (array<struct>) leaves: the element struct shreds
+    * into PARALLEL leaf arrays — `arr<struct<a,b>>` becomes `arrelema`
+    * and `arrelemb`, one array<atomic> per leaf (struct-of-arrays, the
+    * columnar answer to parquet's repeated groups: every leaf keeps its
+    * own ideal codec and projection prunes unread element fields at the
+    * byte level). Element/inner-struct presence rides 0/1 int arrays
+    * (`arredef`, `...defined`) — the rep/def-level analog, same
+    * double-Sep unforgeability as map leaves (reference shreds repeated
+    * groups via rep/def levels, node.go:149-177, column_buffer.go:421-454). */
+  private final val ArrElemTag = Sep + "elem"
+  private final val ArrElemDef = Sep + "edef"
+
+  private def validateNames(t: StructType, nested: Boolean = false): Unit =
+    t.fields.foreach { f =>
+      require(f.name.nonEmpty && !f.name.contains(Sep),
+        s"generic encode: illegal column name '${f.name}' (empty or contains \\u0001)")
+      // 'defined' inside a struct would be indistinguishable from the
+      // flattened presence leaf (prefix + Sep + "defined") and silently
+      // decode as a null-mask — reject loudly. Top-level columns named
+      // 'defined' are fine (no Sep prefix, never ambiguous).
+      require(!(nested && f.name == "defined"),
+        "generic encode: struct field name 'defined' is reserved " +
+          "(collides with the flattened presence leaf)")
+      f.dataType match {
+        case st: StructType => validateNames(st, nested = true)
+        case ArrayType(st: StructType, _) => validateNames(st, nested = true)
+        case _ =>
+      }
     }
-  }
 
   private def flatten(df: DataFrame): DataFrame = {
-    import org.apache.spark.sql.functions.{col => c, map_keys, map_values}
+    import org.apache.spark.sql.functions.{col => c, lit, map_keys, map_values, transform, when}
     def mapLeaves(prefix: String, path: String, nullable: Boolean): Seq[org.apache.spark.sql.Column] = {
       val presence =
         if (nullable) Seq(c(path).isNotNull.as(prefix + DefinedSuffix)) else Seq.empty
       presence ++ Seq(
         map_keys(c(path)).as(prefix + Sep + MapKeysLeaf),
         map_values(c(path)).as(prefix + Sep + MapValsLeaf))
+    }
+    // array<struct>: parallel leaf arrays + 0/1 presence arrays
+    def arrElemLeaves(prefix: String, path: String, elem: StructType,
+                      containsNull: Boolean): Seq[org.apache.spark.sql.Column] = {
+      def sub(x: org.apache.spark.sql.Column, rel: Seq[String]) =
+        rel.foldLeft(x)(_.getField(_))
+      val presence =
+        if (containsNull)
+          Seq(transform(c(path), x => when(x.isNotNull, lit(1)).otherwise(lit(0)))
+            .as(prefix + Sep + ArrElemDef))
+        else Seq.empty
+      def leaves(p2: String, rel: Seq[String], t: StructType): Seq[org.apache.spark.sql.Column] =
+        t.fields.toSeq.flatMap { f =>
+          f.dataType match {
+            case st: StructType =>
+              val inner =
+                if (f.nullable)
+                  Seq(transform(c(path),
+                    x => when(sub(x, rel :+ f.name).isNotNull, lit(1)).otherwise(lit(0)))
+                    .as(p2 + Sep + f.name + DefinedSuffix))
+                else Seq.empty
+              inner ++ leaves(p2 + Sep + f.name, rel :+ f.name, st)
+            case other =>
+              require(ArrayElemTypes.contains(other),
+                s"generic encode: array<struct> leaf '${f.name}' has unsupported " +
+                  s"type $other (supported: ${ArrayElemTypes.mkString(", ")})")
+              Seq(transform(c(path), x => sub(x, rel :+ f.name))
+                .as(p2 + Sep + f.name))
+          }
+        }
+      presence ++ leaves(prefix + Sep + ArrElemTag, Nil, elem)
     }
     def expand(prefix: String, path: String, t: StructType, nullable: Boolean): Seq[org.apache.spark.sql.Column] = {
       val presence =
@@ -111,6 +163,8 @@ object GenericEncode {
             expand(prefix + Sep + f.name, s"$path.`${f.name}`", st, f.nullable)
           case _: MapType =>
             mapLeaves(prefix + Sep + f.name, s"$path.`${f.name}`", f.nullable)
+          case ArrayType(st: StructType, cn) =>
+            arrElemLeaves(prefix + Sep + f.name, s"$path.`${f.name}`", st, cn)
           case _ =>
             Seq(c(s"$path.`${f.name}`").as(prefix + Sep + f.name))
         }
@@ -120,28 +174,66 @@ object GenericEncode {
       f.dataType match {
         case st: StructType => expand(f.name, s"`${f.name}`", st, f.nullable)
         case _: MapType => mapLeaves(f.name, s"`${f.name}`", f.nullable)
+        case ArrayType(st: StructType, cn) =>
+          arrElemLeaves(f.name, s"`${f.name}`", st, cn)
         case _ => Seq(c(s"`${f.name}`"))
       }
     }
     df.select(cols.toIndexedSeq: _*)
   }
 
-  /** Rebuild nested structs and maps from flattened leaf names. */
+  /** Rebuild nested structs, maps, and array<struct> columns from
+    * flattened leaf names. */
   private def unflatten(df: DataFrame): DataFrame = {
-    import org.apache.spark.sql.functions.{col => c, struct, when, map_from_arrays}
+    import org.apache.spark.sql.functions.{col => c, struct, when, map_from_arrays,
+      arrays_zip, transform, zip_with, lit}
+    val colPos: String => Int = n => df.columns.indexOf(n)
+    // array<struct> rebuild: zip the parallel leaf arrays back together,
+    // reshape each zipped element into the original struct tree, null out
+    // elements/inner structs whose 0/1 presence arrays say "absent"
+    def rebuildArrStruct(prefix: String, names: Seq[String]): org.apache.spark.sql.Column = {
+      val defName = prefix + Sep + ArrElemDef
+      val elemPrefix = prefix + Sep + ArrElemTag
+      val leaves = names.filter(_.startsWith(elemPrefix + Sep)).sortBy(colPos)
+      val leafIdx = leaves.zipWithIndex.toMap
+      val zipped = arrays_zip(
+        leaves.zipWithIndex.map { case (n, i) => c("`" + n + "`").as("z" + i) }: _*)
+      def reshape(z: org.apache.spark.sql.Column, sub: Seq[String],
+                  p2: String): org.apache.spark.sql.Column = {
+        val hasDef = sub.contains(p2 + DefinedSuffix)
+        val kids = sub.filter(_ != p2 + DefinedSuffix)
+        val byChild = kids.groupBy(_.stripPrefix(p2 + Sep).split(Sep, 2)(0))
+        val fields = byChild.toSeq
+          .sortBy { case (_, xs) => xs.map(colPos).min }
+          .map { case (child, xs) =>
+            if (xs == Seq(p2 + Sep + child))
+              z.getField("z" + leafIdx(p2 + Sep + child)).as(child)
+            else reshape(z, xs, p2 + Sep + child).as(child)
+          }
+        val node = struct(fields: _*)
+        if (hasDef) when(z.getField("z" + leafIdx(p2 + DefinedSuffix)) === lit(1), node)
+        else node
+      }
+      if (names.contains(defName))
+        zip_with(c("`" + defName + "`"), zipped,
+          (d, z) => when(d === lit(1), reshape(z, leaves, elemPrefix)))
+      else transform(zipped, z => reshape(z, leaves, elemPrefix))
+    }
     // group top-level: names without Sep stay; names with Sep nest
     def build(names: Seq[String], prefix: String): org.apache.spark.sql.Column = {
       val defined = names.contains(prefix + DefinedSuffix)
       val children = names.filter(n => n != prefix + DefinedSuffix)
-      val colPos: String => Int = n => df.columns.indexOf(n)
       val byChild = children.groupBy(_.stripPrefix(prefix + Sep).split(Sep, 2)(0))
       val node =
-        // the "" group key arises ONLY from the leading-Sep map leaves
-        if (byChild.keySet == Set(""))
-          map_from_arrays(
-            c("`" + prefix + Sep + MapKeysLeaf + "`"),
-            c("`" + prefix + Sep + MapValsLeaf + "`"))
-        else {
+        // the "" group key arises ONLY from the leading-Sep map and
+        // array<struct> leaves (user names can't contain Sep)
+        if (byChild.keySet == Set("")) {
+          if (children.contains(prefix + Sep + MapKeysLeaf))
+            map_from_arrays(
+              c("`" + prefix + Sep + MapKeysLeaf + "`"),
+              c("`" + prefix + Sep + MapValsLeaf + "`"))
+          else rebuildArrStruct(prefix, children)
+        } else {
           val fields = byChild.toSeq
             .sortBy { case (_, ns) => ns.map(colPos).min }
             .map { case (child, ns) =>
@@ -164,10 +256,13 @@ object GenericEncode {
 
   def encode(df0: DataFrame, rowsPerChunk: Int = DefaultRowsPerChunk): Dataset[GenericChunk] = {
     validateNames(df0.schema)
+    def needsFlatten(dt: DataType): Boolean = dt match {
+      case _: StructType | _: MapType => true
+      case ArrayType(_: StructType, _) => true
+      case _ => false
+    }
     val df =
-      if (df0.schema.fields.exists(f =>
-        f.dataType.isInstanceOf[StructType] || f.dataType.isInstanceOf[MapType]))
-        flatten(df0)
+      if (df0.schema.fields.exists(f => needsFlatten(f.dataType))) flatten(df0)
       else df0
     val spark = df.sparkSession
     import spark.implicits._

@@ -1,0 +1,90 @@
+package graft.spark
+
+import graft.codec.{BlockCompression, Chunks, StreamedTokens}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Inverted token→chunk secondary index over a TOKEN chunk table.
+  *
+  * The chunk table's own pruning (min/max stats + split-block bloom,
+  * `EncodePipeline.searchToken` / the automatic pushdown rules) still has
+  * to SCAN every chunk's metadata row per query and accepts bloom false
+  * positives. The inverted index flips the access pattern: one offline
+  * pass extracts each chunk's distinct-token set (tokens+lens streams
+  * only — the doc_id/source streams are never fetched) and persists
+  * posting lists `token → [chunk_id...]` as a GENERIC chunk table keyed
+  * by token — so an index lookup rides the engine's own generic
+  * stats/bloom pushdown, reads a handful of index chunks, and decodes
+  * EXACTLY the covering data chunks (no false positives, no full
+  * metadata scan). At 100 TB a token lookup touches KBs of index plus
+  * the matching chunks, independent of table width.
+  *
+  * The lookup is a broadcast semi-join on chunk_id (posting lists for
+  * one token are small by definition of "selective query"; nothing is
+  * ever collected to the driver).
+  *
+  * The reference's ColumnIndex (search.go:31-101) prunes with per-page
+  * min/max only; an inverted index is the extension its layout cannot
+  * express. Same trade as any secondary index: built offline, rebuilt on
+  * compaction (chunk_ids change), additive to — not a replacement for —
+  * the always-on stats/bloom pruning.
+  */
+object TokenIndex {
+
+  /** Distinct tokens of one chunk, via the tokens+lens streams only.
+    * Per-stream CRCs (tokens=0, lens=1) fail loudly on corruption without
+    * touching the streams this pass skips. */
+  private def distinctTokens(c: EncodedChunk): Array[Int] = {
+    def crcOf(b: Array[Byte]): Long = {
+      val crc = new java.util.zip.CRC32(); crc.update(b); crc.getValue
+    }
+    require(crcOf(c.tokens_bin) == c.stream_crcs(0),
+      s"chunk ${c.chunk_id}: tokens stream CRC mismatch")
+    require(crcOf(c.lens_bin) == c.stream_crcs(1),
+      s"chunk ${c.chunk_id}: lens stream CRC mismatch")
+    val lens = Chunks.decodeInts(BlockCompression.decompress(c.lens_bin))
+    val (_, tokensInner) = Chunks.unwrapNullable(BlockCompression.decompress(c.tokens_bin))
+    val flat = StreamedTokens.decode(tokensInner, lens)
+    val seen = new java.util.HashSet[Int](math.min(flat.length, 1 << 16))
+    val out = Array.newBuilder[Int]
+    var i = 0
+    while (i < flat.length) {
+      if (seen.add(flat(i))) out += flat(i)
+      i += 1
+    }
+    out.result()
+  }
+
+  /** Build the index: one distributed pass over the chunk table, posting
+    * lists written as a generic chunk table at `indexDir` sorted by
+    * token — so equality lookups prune by the generic min/max stats. */
+  def build(chunks: Dataset[EncodedChunk], indexDir: String): Unit = {
+    val spark = chunks.sparkSession
+    import spark.implicits._
+    val postings = chunks
+      .flatMap(c => distinctTokens(c).iterator.map(t => (t, c.chunk_id)))
+      .toDF("token", "chunk_id")
+      .groupBy("token")
+      .agg(sort_array(collect_list("chunk_id")).as("chunk_ids"))
+      .orderBy("token")
+    GenericEncode.writeColumnar(GenericEncode.encode(postings), indexDir)
+  }
+
+  /** doc_ids whose token array contains `tokenId`, driven by the index:
+    * posting-list read (generic pushdown prunes the index scan) →
+    * broadcast semi-join selects EXACTLY the covering chunks → projected
+    * columnar decode of the doc_id+tokens streams → exact membership
+    * filter. */
+  def lookup(spark: SparkSession, indexDir: String,
+             chunks: Dataset[EncodedChunk], tokenId: Int): Dataset[String] = {
+    import spark.implicits._
+    val covering = GenericEncode.readTable(spark, indexDir)
+      .filter(col("token") === tokenId)
+      .select(explode(col("chunk_ids")).as("chunk_id"))
+    val pruned = chunks.toDF()
+      .join(broadcast(covering), Seq("chunk_id"), "left_semi")
+    graft.plans.GraftPlans.decodeDF(pruned, Seq("doc_id", "tokens"))
+      .where(array_contains(col("tokens"), tokenId))
+      .select(col("doc_id")).as[String]
+  }
+}

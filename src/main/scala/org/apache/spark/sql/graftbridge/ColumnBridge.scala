@@ -17,6 +17,9 @@ import org.apache.spark.sql.types.StructType
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
 
+  /** Inverse bridge: the Catalyst expression behind a Column. */
+  def expr(c: Column): Expression = ExpressionUtils.expression(c)
+
   def internalCreateDataFrame(spark: SparkSession, rdd: RDD[InternalRow],
                               schema: StructType): DataFrame =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]

@@ -1,0 +1,76 @@
+package graft
+
+import graft.spark._
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TokenIndexSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+
+  private def tmp(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft-tis-$tag").toString
+
+  test("index lookup equals brute-force membership for several tokens") {
+    import spark.implicits._
+    val rows = TokenTableGen.generate(spark, 3000, 5)
+    val base = tmp("rt")
+    EncodePipeline.encode(rows, numParts = 4, tokensPerChunk = 8 * 1024)
+      .write.mode("overwrite")
+      .option("compression", EncodePipeline.ChunkTableCompression)
+      .parquet(s"$base/chunks")
+    val chunks = spark.read.parquet(s"$base/chunks").as[EncodedChunk]
+    TokenIndex.build(chunks, s"$base/index")
+    // probe a frequent token, a rare token, and one absent from the corpus
+    val freq = rows.flatMap(_.tokens.iterator).toDF("t")
+      .groupBy("t").count().orderBy(desc("count")).head().getInt(0)
+    val some = rows.flatMap(_.tokens.iterator).distinct().head(5).toSeq
+    for (tok <- (some :+ freq).distinct :+ Int.MinValue) {
+      val got = TokenIndex.lookup(spark, s"$base/index", chunks, tok)
+        .collect().sorted.toSeq
+      val want = rows.filter(r => r.tokens != null && r.tokens.contains(tok))
+        .map(_.doc_id).collect().sorted.toSeq
+      assert(got == want, s"token $tok: got ${got.size}, want ${want.size}")
+    }
+  }
+
+  test("lookup decodes only posting-listed chunks (exactness of the index)") {
+    import spark.implicits._
+    val rows = TokenTableGen.generate(spark, 2000, 4)
+    val base = tmp("prune")
+    EncodePipeline.encode(rows, numParts = 4, tokensPerChunk = 8 * 1024)
+      .write.mode("overwrite")
+      .option("compression", EncodePipeline.ChunkTableCompression)
+      .parquet(s"$base/chunks")
+    val chunks = spark.read.parquet(s"$base/chunks").as[EncodedChunk]
+    TokenIndex.build(chunks, s"$base/index")
+    val tok = rows.head().tokens.head
+    // the posting list is exact: every listed chunk REALLY contains tok
+    val listed = GenericEncode.readTable(spark, s"$base/index")
+      .filter(col("token") === tok)
+      .select(explode(col("chunk_ids")).as("chunk_id"))
+      .as[Long].collect().toSet
+    assert(listed.nonEmpty)
+    val containing = chunks.collect()
+      .filter(c => EncodePipeline.decodeChunk(c)
+        .exists(r => r.tokens != null && r.tokens.contains(tok)))
+      .map(_.chunk_id).toSet
+    assert(listed == containing)
+  }
+
+  test("tokens stream corruption fails loudly at index build") {
+    import spark.implicits._
+    val rows = TokenTableGen.generate(spark, 300, 2)
+    val chunks = EncodePipeline.encode(rows, numParts = 1, tokensPerChunk = 1 << 20)
+      .collect()
+    val bad = chunks.head.copy(tokens_bin = chunks.head.tokens_bin.clone())
+    bad.tokens_bin(bad.tokens_bin.length / 2) = (bad.tokens_bin(bad.tokens_bin.length / 2) ^ 0x5a).toByte
+    val base = tmp("crc")
+    val ex = intercept[Throwable] {
+      TokenIndex.build(spark.createDataset(Seq(bad)), s"$base/index")
+    }
+    val messages = Iterator.iterate(ex)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(messages.contains("CRC"), s"no CRC failure in: $messages")
+  }
+}
