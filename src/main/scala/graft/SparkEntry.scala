@@ -65,6 +65,7 @@ object SparkEntry {
     "q_compact_dedup" -> ((s, d) => RoundTrips.compactDedup(s, d)),
     "q_chunk_join" -> ((s, d) => RoundTrips.chunkJoin(s, d)),
     "q_token_index" -> ((s, d) => RoundTrips.tokenIndex(s, d)),
+    "q_snapshot_travel" -> ((s, d) => RoundTrips.snapshotTravel(s, d)),
     "q_rt_generic_nested" -> ((s, d) => RoundTrips.genericNested(s, d)),
     "q_codec_stats" -> ((s, d) => RoundTrips.codecStats(s, d)),
     // --- relational / dataflow operators ---
@@ -102,6 +103,7 @@ object SparkEntry {
     "q_repetition" -> ((s, d) => TextOps.repetitionScore(s, d)),
     "q_train_shuffle" -> ((s, d) => TextOps.trainShuffle(s, d)),
     "q_top_tokens" -> ((s, d) => TextOps.topTokens(s, d)),
+    "q_vocab_remap" -> ((s, d) => TextOps.vocabRemap(s, d)),
     "q_pack_sequences" -> ((s, d) => TextOps.packSequences(s, d)),
     "q_doc_chunks" -> ((s, d) => TextOps.docChunks(s, d)),
     "q_mix_sources" -> ((s, d) => TextOps.mixSources(s, d)),
@@ -336,6 +338,18 @@ object SparkEntry {
     // searches (q_search_token / q_auto_search) — same oracle.
     "q_token_index" ->
       "SELECT DISTINCT lpad(CAST(l_orderkey AS VARCHAR), 15, '0') AS doc_id FROM lineitem WHERE l_linenumber = 7 ORDER BY doc_id",
+    // Snapshot time travel: v1 committed before slice B was appended, so
+    // the v1 read is slice A only; latest (v2) is both. The oracle
+    // restates the two manifests relationally.
+    "q_snapshot_travel" ->
+      """WITH d AS (SELECT lpad(CAST(doc_id AS VARCHAR), 8, '0') AS doc_id,
+        |                  lang AS source, CAST(1 AS BIGINT) AS n_tok,
+        |                  doc_id AS raw_id
+        |           FROM documents)
+        |SELECT 1 AS snap, doc_id, source, n_tok FROM d WHERE raw_id % 2 = 0
+        |UNION ALL
+        |SELECT 2 AS snap, doc_id, source, n_tok FROM d
+        |ORDER BY snap, doc_id""".stripMargin,
     // Chunk-aligned merge join: the engine joins the encoded table against
     // the probe set riding the layout; the oracle restates it as a plain
     // relational join (duplicate probe keys fan out — inner semantics).
@@ -639,6 +653,22 @@ object SparkEntry {
         |FROM documents d, UNNEST(string_split(d.text, ' ')) AS t(tok)
         |WHERE t.tok <> ''
         |GROUP BY t.tok ORDER BY cnt DESC, tok LIMIT 50""".stripMargin,
+    // Vocabulary remap: top-256 words by (count desc, token asc) get ids
+    // 0..255, everything else -1. The rank cut is a total order, so the
+    // vocab — and therefore every remapped id — is deterministic.
+    "q_vocab_remap" ->
+      """WITH toks AS (
+        |  SELECT d.doc_id, t.tok
+        |  FROM documents d, UNNEST(string_split(d.text, ' ')) AS t(tok)
+        |  WHERE t.tok <> ''),
+        |vocab AS (
+        |  SELECT tok, rn - 1 AS tok_id FROM (
+        |    SELECT tok, row_number() OVER (ORDER BY cnt DESC, tok) AS rn
+        |    FROM (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok))
+        |  WHERE rn <= 256)
+        |SELECT t.doc_id, t.tok, COALESCE(v.tok_id, -1) AS tok_id
+        |FROM toks t LEFT JOIN vocab v USING (tok)
+        |ORDER BY doc_id, tok_id, tok""".stripMargin,
     // Sequence packing: global token offsets in the seeded training
     // order, sequences cut every 256 tokens. The oracle restates the
     // bucketed two-phase prefix sum as one flat ordered cumsum.

@@ -917,6 +917,49 @@ object RoundTrips {
       .toDF("doc_id").orderBy("doc_id")
   }
 
+  /** Snapshot isolation + time travel (SnapshotLog): slice A of documents
+    * is encoded and committed as v1; slice B is APPENDED and committed as
+    * v2. Reading AS OF v1 must see only A's files even though B's sit in
+    * the same chunks/ directory — the manifest, not the listing, is the
+    * source of truth. Output = decode@v1 tagged snap=1 union decode@
+    * latest tagged snap=2; the oracle restates both slices relationally.
+    * The dir is wiped first so reruns are bit-deterministic (a stale
+    * snapshot log would shift version numbers). */
+  def snapshotTravel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.spark.SnapshotLog
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft-snap-q-" +
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    val basePath = new org.apache.hadoop.fs.Path(base)
+    basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(basePath, true)
+    def slice(pred: org.apache.spark.sql.Column) =
+      table(spark, dir, "documents").filter(pred)
+        .select(
+          lpad(col("doc_id").cast("string"), 8, "0").as("doc_id"),
+          array(col("n_chars").cast("int")).as("tokens"),
+          lit(1).as("n_tok"),
+          col("lang").as("source"))
+        .as[TokenRow]
+    def append(rows: org.apache.spark.sql.Dataset[TokenRow]): Unit =
+      EncodePipeline.encode(rows, numParts = 4, tokensPerChunk = 2048)
+        .write.mode("append")
+        .option("compression", EncodePipeline.ChunkTableCompression)
+        .parquet(s"$base/chunks")
+    append(slice(col("doc_id") % 2 === 0))
+    val v1 = SnapshotLog.commit(spark, base, "append")
+    append(slice(col("doc_id") % 2 === 1))
+    SnapshotLog.commit(spark, base, "append")
+    def decodeAt(v: Option[Int], tag: Int) =
+      EncodePipeline.decode(
+          SnapshotLog.readChunks(spark, base, v).as[graft.spark.EncodedChunk])
+        .select(lit(tag).as("snap"), col("doc_id"), col("source"),
+          col("n_tok").cast("long").as("n_tok"))
+    decodeAt(Some(v1), 1).unionAll(decodeAt(None, 2))
+      .orderBy("snap", "doc_id")
+  }
+
   /** Chunk-aligned merge join (ChunkJoin.joinByDocId): the encode layout
     * IS the join strategy — the chunk side crosses the exchange encoded
     * and pre-sorted, probe rows are bounds-assigned to the matching

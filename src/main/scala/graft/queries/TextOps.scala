@@ -564,6 +564,32 @@ object TextOps {
       .orderBy(col("cnt").desc, col("tok"))
       .limit(50)
 
+  /** Vocabulary remap — the tokenizer-surgery op: every corpus word is
+    * rewritten to its id in a frequency-ranked top-256 vocabulary
+    * (count desc, token asc — a total order, so the cut at 256 is
+    * deterministic), out-of-vocabulary words to -1 (UNK). The vocab is
+    * built with a map-side-combined groupBy + TakeOrdered (never a
+    * global window/sort), collected at VOCABULARY size (≤256 rows —
+    * the one collect a remap fundamentally needs), and applied as a
+    * codegen'd map literal: the corpus pass is embarrassingly parallel,
+    * zero shuffle beyond the vocab build. At a real 10^12-token remap
+    * the same shape holds with a 10^5-entry broadcast map. */
+  def vocabRemap(spark: SparkSession, dir: String): DataFrame = {
+    val toks = docs(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok"))
+      .limit(256)
+      .collect() // vocabulary-sized by construction
+    val mapLit = map(vocab.zipWithIndex.flatMap { case (r, i) =>
+      Seq(lit(r.getString(0)), lit(i.toLong))
+    }.toIndexedSeq: _*)
+    toks.select(col("doc_id"), col("tok"),
+        coalesce(element_at(mapLit, col("tok")), lit(-1L)).as("tok_id"))
+      .orderBy("doc_id", "tok_id", "tok")
+  }
+
   /** GPT-style sequence packing: documents are concatenated in a
     * deterministic training order (seeded md5 shuffle, as
     * [[trainShuffle]]) and the token stream is cut every `SeqBudget`

@@ -1,0 +1,137 @@
+package graft
+
+import graft.spark._
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SnapshotLog: commit/read/time-travel/expiry semantics over a chunk
+  * table dir. The invariants under test are Iceberg's: a committed
+  * snapshot's visible row set never changes (later appends invisible,
+  * later compactions can't yank files), versions are monotone, and
+  * expiry deletes exactly the files no retained snapshot can reach. */
+class SnapshotSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+
+  private def freshDir(tag: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(s"graft-snap-$tag").toFile
+    d.delete()
+    d.getAbsolutePath
+  }
+
+  private def writeSlice(dir: String, rows: org.apache.spark.sql.Dataset[TokenRow],
+                         mode: String = "append"): Unit =
+    EncodePipeline.encode(rows, numParts = 2, tokensPerChunk = 4096)
+      .write.mode(mode)
+      .option("compression", EncodePipeline.ChunkTableCompression)
+      .parquet(s"$dir/chunks")
+
+  private def docIdsAt(dir: String, v: Option[Int]): Set[String] = {
+    import spark.implicits._
+    EncodePipeline.decode(
+        SnapshotLog.readChunks(spark, dir, v).as[EncodedChunk])
+      .select("doc_id").as[String].collect().toSet
+  }
+
+  test("time travel: v1 sees only the first slice after a later append") {
+    import spark.implicits._
+    val dir = freshDir("travel")
+    val all = TokenTableGen.generate(spark, 600, 5).cache()
+    val a = all.filter(r => r.doc_id.hashCode % 2 == 0)
+    val b = all.filter(r => r.doc_id.hashCode % 2 != 0)
+    writeSlice(dir, a)
+    val v1 = SnapshotLog.commit(spark, dir, "append")
+    writeSlice(dir, b)
+    val v2 = SnapshotLog.commit(spark, dir, "append")
+    assert(v1 == 1 && v2 == 2)
+    assert(SnapshotLog.versions(spark, dir) == Seq(1, 2))
+    val wantA = a.map(_.doc_id).collect().toSet
+    val wantAll = all.map(_.doc_id).collect().toSet
+    assert(docIdsAt(dir, Some(v1)) == wantA)
+    assert(docIdsAt(dir, Some(v2)) == wantAll)
+    assert(docIdsAt(dir, None) == wantAll) // latest = v2
+    assert(wantA != wantAll) // non-vacuous
+  }
+
+  test("snapshot isolation across a compaction-style rewrite") {
+    import spark.implicits._
+    val dir = freshDir("isolate")
+    val rows = TokenTableGen.generate(spark, 400, 5).cache()
+    writeSlice(dir, rows)
+    val v1 = SnapshotLog.commit(spark, dir, "append")
+    val want = rows.map(_.doc_id).collect().toSet
+    // rewrite: same logical rows, different files (fewer partitions) —
+    // overwrite replaces chunks/ contents, but v1's manifest still pins
+    // the OLD files... which overwrite deletes. So a safe rewrite must
+    // write NEW files alongside (as compaction staging does): emulate by
+    // appending the rewrite then expiring the old snapshot.
+    writeSlice(dir, rows)
+    val v2 = SnapshotLog.commit(spark, dir, "compact")
+    // v1 still reads exactly the original row set
+    assert(docIdsAt(dir, Some(v1)) == want)
+    // v2 sees both file generations (append-emulated rewrite = 2x rows)
+    val v2Rows = EncodePipeline.decode(
+      SnapshotLog.readChunks(spark, dir, Some(v2)).as[EncodedChunk]).count()
+    assert(v2Rows == 2L * rows.count())
+  }
+
+  test("expiry deletes only files unreachable from retained snapshots") {
+    import spark.implicits._
+    val dir = freshDir("expire")
+    val rows = TokenTableGen.generate(spark, 300, 5).cache()
+    writeSlice(dir, rows)
+    val v1 = SnapshotLog.commit(spark, dir, "append")
+    val v1Files = SnapshotLog.snapshot(spark, dir, v1).files.toSet
+    writeSlice(dir, rows.filter(r => r.doc_id.hashCode % 3 == 0))
+    val v2 = SnapshotLog.commit(spark, dir, "append")
+    val v2Files = SnapshotLog.snapshot(spark, dir, v2).files.toSet
+    // v2 is a superset here (pure append): nothing is unreachable, so
+    // expiring v1 deletes 0 data files but drops the manifest
+    assert(v1Files.subsetOf(v2Files))
+    val (dropped, deleted) = SnapshotLog.expireSnapshots(spark, dir, keepLast = 1)
+    assert(dropped == 1 && deleted == 0)
+    assert(SnapshotLog.versions(spark, dir) == Seq(v2))
+    assert(docIdsAt(dir, None) == rows.map(_.doc_id).collect().toSet)
+    intercept[IllegalArgumentException](SnapshotLog.snapshot(spark, dir, v1))
+  }
+
+  test("expiry physically deletes files only the dropped snapshot held") {
+    import spark.implicits._
+    val dir = freshDir("gc")
+    val gen1 = TokenTableGen.generate(spark, 200, 5)
+    writeSlice(dir, gen1)
+    val v1 = SnapshotLog.commit(spark, dir, "append")
+    val v1Files = SnapshotLog.snapshot(spark, dir, v1).files.toSet
+    // generation 2: REPLACE the table contents (overwrite) — v2's
+    // manifest shares no files with v1, so expiring v1 must delete
+    // every v1-only file
+    val gen2 = TokenTableGen.generate(spark, 150, 7)
+    writeSlice(dir, gen2, mode = "overwrite")
+    val v2 = SnapshotLog.commit(spark, dir, "overwrite")
+    val v2Files = SnapshotLog.snapshot(spark, dir, v2).files.toSet
+    val v1Only = v1Files -- v2Files
+    // overwrite already removed the old files from disk; expiry must
+    // count 0 deletions for already-gone files without erroring, OR
+    // delete them if the FS kept them. Either way: after expiry no
+    // manifest references a missing file.
+    SnapshotLog.expireSnapshots(spark, dir, keepLast = 1)
+    assert(SnapshotLog.versions(spark, dir) == Seq(v2))
+    val hfs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    SnapshotLog.snapshot(spark, dir, v2).files.foreach { f =>
+      assert(hfs.exists(new org.apache.hadoop.fs.Path(s"$dir/$f")), f)
+    }
+    assert(docIdsAt(dir, None) ==
+      gen2.map(_.doc_id).collect().toSet)
+    assert(v1Only.nonEmpty) // the overwrite really turned over the files
+  }
+
+  test("reading an uncommitted or unknown version fails loudly") {
+    val dir = freshDir("err")
+    import spark.implicits._
+    writeSlice(dir, TokenTableGen.generate(spark, 50, 4))
+    intercept[RuntimeException](SnapshotLog.readChunks(spark, dir, None))
+    SnapshotLog.commit(spark, dir, "append")
+    intercept[IllegalArgumentException](
+      SnapshotLog.readChunks(spark, dir, Some(99)))
+  }
+}
