@@ -66,6 +66,7 @@ object SparkEntry {
     "q_chunk_join" -> ((s, d) => RoundTrips.chunkJoin(s, d)),
     "q_token_index" -> ((s, d) => RoundTrips.tokenIndex(s, d)),
     "q_snapshot_travel" -> ((s, d) => RoundTrips.snapshotTravel(s, d)),
+    "q_snapshot_delete" -> ((s, d) => RoundTrips.snapshotDelete(s, d)),
     "q_rt_generic_nested" -> ((s, d) => RoundTrips.genericNested(s, d)),
     "q_codec_stats" -> ((s, d) => RoundTrips.codecStats(s, d)),
     // --- relational / dataflow operators ---
@@ -349,6 +350,19 @@ object SparkEntry {
         |SELECT 1 AS snap, doc_id, source, n_tok FROM d WHERE raw_id % 2 = 0
         |UNION ALL
         |SELECT 2 AS snap, doc_id, source, n_tok FROM d
+        |ORDER BY snap, doc_id""".stripMargin,
+    // Row-level delete + compaction: snap 1 = pre-delete (full table),
+    // snap 2 = equality delete in effect (merge-on-read), snap 3 = the
+    // compacted rewrite (same rows, new files). Relational restatement.
+    "q_snapshot_delete" ->
+      """WITH d AS (SELECT lpad(CAST(doc_id AS VARCHAR), 8, '0') AS doc_id,
+        |                  lang AS source, CAST(1 AS BIGINT) AS n_tok
+        |           FROM documents)
+        |SELECT 1 AS snap, doc_id, source, n_tok FROM d
+        |UNION ALL
+        |SELECT 2 AS snap, doc_id, source, n_tok FROM d WHERE source <> 'de'
+        |UNION ALL
+        |SELECT 3 AS snap, doc_id, source, n_tok FROM d WHERE source <> 'de'
         |ORDER BY snap, doc_id""".stripMargin,
     // Chunk-aligned merge join: the engine joins the encoded table against
     // the probe set riding the layout; the oracle restates it as a plain

@@ -960,6 +960,52 @@ object RoundTrips {
       .orderBy("snap", "doc_id")
   }
 
+  /** Row-level deletes + snapshot-native compaction (SnapshotLog): the
+    * documents table lands in two interleaved appends (evens, odds —
+    * their chunk key intervals overlap, so compaction has real merge
+    * work), `deleteWhere(lang='de')` writes an equality-delete file
+    * WITHOUT touching any data file (merge-on-read), and `compactTable`
+    * rewrites the table applying the deletes physically. Output = the
+    * row view at three snapshots: v2 (full table, proving the delete is
+    * time-travel-invisible), v3 (delete in effect via anti-join), v4
+    * (post-compaction — same rows from a rewritten file set). The
+    * oracle restates all three relationally. */
+  def snapshotDelete(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.spark.SnapshotLog
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft-snapdel-q-" +
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    val basePath = new org.apache.hadoop.fs.Path(base)
+    basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(basePath, true)
+    def slice(pred: org.apache.spark.sql.Column) =
+      table(spark, dir, "documents").filter(pred)
+        .select(
+          lpad(col("doc_id").cast("string"), 8, "0").as("doc_id"),
+          array(col("n_chars").cast("int")).as("tokens"),
+          lit(1).as("n_tok"),
+          col("lang").as("source"))
+        .as[TokenRow]
+    def append(rows: org.apache.spark.sql.Dataset[TokenRow]): Unit =
+      EncodePipeline.encode(rows, numParts = 4, tokensPerChunk = 2048)
+        .write.mode("append")
+        .option("compression", EncodePipeline.ChunkTableCompression)
+        .parquet(s"$base/chunks")
+    append(slice(col("doc_id") % 2 === 0))
+    SnapshotLog.commit(spark, base, "append")
+    append(slice(col("doc_id") % 2 === 1))
+    val v2 = SnapshotLog.commit(spark, base, "append")
+    val v3 = SnapshotLog.deleteWhere(spark, base, col("source") === "de")
+    val v4 = SnapshotLog.compactTable(spark, base, tokensPerChunk = 2048)
+    def at(v: Int, tag: Int) =
+      SnapshotLog.readRows(spark, base, Some(v))
+        .select(lit(tag).as("snap"), col("doc_id"), col("source"),
+          col("n_tok").cast("long").as("n_tok"))
+    at(v2, 1).unionAll(at(v3, 2)).unionAll(at(v4, 3))
+      .orderBy("snap", "doc_id")
+  }
+
   /** Chunk-aligned merge join (ChunkJoin.joinByDocId): the encode layout
     * IS the join strategy — the chunk side crosses the exchange encoded
     * and pre-sorted, probe rows are bounds-assigned to the matching

@@ -855,7 +855,6 @@ object EncodePipeline {
                     tokensPerChunk: Int = DefaultTokensPerChunk,
                     dropDuplicates: Boolean = false): DataFrame = {
     import spark.implicits._
-    import org.apache.spark.unsafe.types.UTF8String
     val all: Dataset[(Int, EncodedChunk)] = chunkDirs.zipWithIndex.map { case (d, i) =>
       spark.read.parquet(d).as[EncodedChunk].map(c => (i, c))
     }.reduce(_ union _)
@@ -867,6 +866,29 @@ object EncodePipeline {
       spark.read.parquet(d).select(
         lit(i).as("run"), col("chunk_id"), col("first_doc_id"), col("last_doc_id"))
     }.reduce(_ unionByName _)
+    compactRuns(spark, all, meta, outDir, tokensPerChunk, dropDuplicates, None)
+  }
+
+  /** Core of [[compactSorted]] over pre-built inputs — `all` pairs each
+    * chunk with a RUN id (chunk_ids are only unique within one encode
+    * run, so the pair is the global key), `meta` is the pruned
+    * (run, chunk_id, first_doc_id, last_doc_id) projection. `deletes`,
+    * when present, is a single-column DataFrame of doc_ids to drop
+    * (equality deletes, Iceberg v2 style): chunks whose key interval may
+    * contain a deleted id are forced through the decode path even when
+    * they overlap nothing (a pass-through byte copy could smuggle deleted
+    * rows through), and decoded rows anti-join the delete set. Both
+    * delete passes broadcast the delete table — at a 10^9-id delete set,
+    * flip the range check to a shuffle range-join; the sweep itself is
+    * unchanged. */
+  private[graft] def compactRuns(spark: SparkSession,
+                                 all: Dataset[(Int, EncodedChunk)],
+                                 meta: DataFrame, outDir: String,
+                                 tokensPerChunk: Int,
+                                 dropDuplicates: Boolean,
+                                 deletes: Option[DataFrame]): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.unsafe.types.UTF8String
     val sortedMeta = meta
       .repartitionByRange(math.max(1, spark.sessionState.conf.numShufflePartitions),
         col("first_doc_id"), col("chunk_id"))
@@ -915,26 +937,52 @@ object EncodePipeline {
           (runId, id, g)
         }
       }).toDF("a_run", "a_chunk_id", "grp")
-    // column order after the key join: (grp, a_run, a_chunk_id, gsz)
-    val sized = assignment.join(
+    // "dirty" chunks — interval MAY hold a deleted doc_id — cannot pass
+    // through byte-identical even as singletons; a broadcast range probe
+    // against the delete ids marks them for the decode path
+    val dirtyKeys = deletes.map { del =>
+      val ids = del.select(col(del.columns.head).as("__del_id"))
+      meta.join(broadcast(ids),
+          col("__del_id") >= col("first_doc_id") &&
+            col("__del_id") <= col("last_doc_id"))
+        .select(col("run").as("a_run"), col("chunk_id").as("a_chunk_id"))
+        .distinct()
+        .withColumn("dirty", lit(true))
+    }
+    // column order after the joins: (grp, a_run, a_chunk_id, gsz, dirty)
+    val sizedDf = assignment.join(
       assignment.groupBy("grp").agg(count(lit(1)).as("gsz")), "grp")
-      .as[(Int, Int, Long, Long)]
+    val sized = dirtyKeys
+      .map(d => sizedDf.join(d, Seq("a_run", "a_chunk_id"), "left")
+        .select(col("grp"), col("a_run"), col("a_chunk_id"), col("gsz"),
+          coalesce(col("dirty"), lit(false)).as("dirty")))
+      .getOrElse(sizedDf.withColumn("dirty", lit(false)))
+      .as[(Int, Int, Long, Long, Boolean)]
     val joined = all.joinWith(sized,
       all("_1") === sized("a_run") && all("_2.chunk_id") === sized("a_chunk_id"))
 
-    // singleton groups: payload bytes untouched; only the table keys move
+    // clean singleton groups: payload bytes untouched; only the keys move
     val pass = joined
-      .filter(_._2._4 == 1L)
-      .map { case ((_, c), (g, _, _, _)) =>
+      .filter(t => t._2._4 == 1L && !t._2._5)
+      .map { case ((_, c), (g, _, _, _, _)) =>
         c.copy(part_id = g, chunk_id = (g.toLong << 32) | (c.chunk_id & 0xFFFFFFFFL))
       }
-    // overlapping groups: decode, co-partition by group, merge-sort, re-encode
-    val rows = joined
-      .filter(_._2._4 > 1L)
-      .flatMap { case ((_, c), (g, _, _, _)) =>
+    // overlapping or dirty groups: decode, drop deleted rows,
+    // co-partition by group, merge-sort, re-encode
+    val decoded = joined
+      .filter(t => t._2._4 > 1L || t._2._5)
+      .flatMap { case ((_, c), (g, _, _, _, _)) =>
         decodeChunk(c).map(r => (r.doc_id, r.tokens, r.n_tok, r.source, g))
       }
       .toDF("doc_id", "tokens", "n_tok", "source", "part_id")
+    val surviving = deletes match {
+      case Some(del) => decoded.join(
+          broadcast(del.select(col(del.columns.head).as("doc_id"))),
+          Seq("doc_id"), "left_anti")
+        .select("doc_id", "tokens", "n_tok", "source", "part_id")
+      case None => decoded
+    }
+    val rows = surviving
       .repartition(col("part_id"))
       .sortWithinPartitions("part_id", "doc_id")
     // after the per-partition sort duplicates are adjacent (groups are

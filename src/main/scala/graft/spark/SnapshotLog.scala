@@ -2,7 +2,8 @@ package graft.spark
 
 import java.nio.charset.StandardCharsets.UTF_8
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Iceberg-style snapshot log over a chunk-table checkpoint directory.
   *
@@ -15,11 +16,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * historical version stays queryable until explicitly expired.
   *
   * Layout (all I/O through the Hadoop FS API, so `dir` may be file:,
-  * hdfs:, or s3a:):
+  * hdfs:, or s3a:). The managed data is an UNPARTITIONED chunk-table
+  * parquet sink (part_id as a data column, the plain
+  * `write.parquet(<dir>/chunks)` path) — directory-partitioned
+  * checkpoints keep their own resume protocol in [[EncodePipeline]]:
   * {{{
-  *   <dir>/chunks/...                    data files (any writer)
+  *   <dir>/chunks/...                    data files (appends land here)
+  *   <dir>/chunks/compact-vNNNNN/...     compaction generations
+  *   <dir>/_deletes/...                  equality-delete files (doc_id)
   *   <dir>/_snapshots/v00001.json        manifest: parent, operation,
-  *                                       data-file list, summary counts
+  *                                       data files + sizes, tombstoned
+  *                                       files, delete files in effect
   * }}}
   *
   * The manifest WRITE is the commit point: `create(path, overwrite =
@@ -31,26 +38,46 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * directory listing, so a crash between "write manifest" and "update
   * pointer" cannot exist.
   *
-  * Scale note: manifests here hold the full file list as JSON — right
-  * up to ~10^5 files per table. Past that, Iceberg splits the list into
-  * parquet/avro manifest FILES plus a manifest list; the commit protocol
-  * (atomic create of the numbered version file) is unchanged, so that
-  * growth path swaps the payload format only. At 10^12 sequences the
-  * table is partitioned into O(10^4) part_id directories of large files,
-  * which this format covers.
+  * Two commit flavors, as in Iceberg:
+  *  - [[commit]] (append): the next manifest = parent's files that still
+  *    exist, plus files on disk not referenced (or tombstoned) by ANY
+  *    existing manifest — so files logically removed by a compaction are
+  *    never "rediscovered" while they await physical GC.
+  *  - [[commitRewrite]] (compact / delete): an explicit
+  *    (removed, added, delete-files) delta against the parent manifest.
+  *    Removed files stay ON DISK — older snapshots still plan them —
+  *    until [[expireSnapshots]] proves them unreachable.
+  *
+  * Row-level deletes are EQUALITY deletes on doc_id (Iceberg v2
+  * merge-on-read): [[deleteWhere]] writes the matching ids as a parquet
+  * delete file and commits a same-files snapshot referencing it;
+  * [[readRows]] anti-joins the delete set at read time; [[compactTable]]
+  * applies deletes physically and drops them from the new manifest.
+  *
+  * Scale note: manifests hold the file list as JSON — right up to ~10^5
+  * files per table. Past that, Iceberg splits the list into parquet/avro
+  * manifest FILES plus a manifest list; the commit protocol (atomic
+  * create of the numbered version file) is unchanged, so that growth
+  * path swaps the payload format only. At 10^12 sequences the table is
+  * partitioned into O(10^4) part_id directories of large files, which
+  * this format covers.
   *
   * No reference counterpart (parquet-go writes single files and leaves
   * table semantics to the catalog above it); the snapshot layer is what
-  * makes `encodeCheckpointed`'s output a TABLE rather than a directory.
+  * makes an encoded chunk directory a TABLE rather than a listing.
   */
 object SnapshotLog {
   private final val SnapDirName = "_snapshots"
+  private final val DeleteDirName = "_deletes"
 
   final case class Snapshot(
       version: Int,
       parent: Int, // 0 = root (no parent)
-      operation: String, // "append" | "compact" | ...
-      files: Seq[String], // relative to <dir>, sorted
+      operation: String, // "append" | "compact" | "delete" | ...
+      files: Seq[String], // data files, relative to <dir>, sorted
+      fileBytes: Seq[Long], // parallel to files
+      removed: Seq[String], // data files this commit logically removed
+      deletes: Seq[String], // equality-delete files in effect, relative
       numFiles: Int,
       bytes: Long)
 
@@ -78,26 +105,23 @@ object SnapshotLog {
   def currentVersion(spark: SparkSession, dir: String): Option[Int] =
     versions(spark, dir).lastOption
 
-  /** Current data files under <dir>/chunks, paths relative to <dir>,
-    * sorted (deterministic manifests for identical states). */
-  private def dataFiles(hfs: FileSystem, root: Path): (Seq[String], Long) = {
-    // makeQualified: listFiles returns fully-qualified paths (file:/...,
-    // hdfs://nn/...) — the prefix must be qualified the same way or the
-    // strip silently no-ops and the manifest records absolute paths
-    val chunks = hfs.makeQualified(new Path(root, "chunks"))
-    if (!hfs.exists(chunks)) return (Seq.empty, 0L)
-    val rootStr = chunks.toString.stripSuffix("/")
-    val it = hfs.listFiles(chunks, true)
-    val buf = scala.collection.mutable.ArrayBuffer.empty[String]
-    var bytes = 0L
+  /** Parquet files under a subtree, relative to <dir> → size. Qualified
+    * prefixes on both sides: listFiles returns fully-qualified paths
+    * (file:/..., hdfs://nn/...) and an unqualified prefix would silently
+    * fail to strip, recording absolute paths in the manifest. */
+  private def listParquet(hfs: FileSystem, root: Path,
+                          sub: String): Map[String, Long] = {
+    val base = hfs.makeQualified(new Path(root, sub))
+    if (!hfs.exists(base)) return Map.empty
+    val baseStr = base.toString.stripSuffix("/")
+    val it = hfs.listFiles(base, true)
+    val buf = scala.collection.mutable.Map.empty[String, Long]
     while (it.hasNext) {
       val f = it.next()
-      if (f.isFile && f.getPath.getName.endsWith(".parquet")) {
-        buf += "chunks/" + f.getPath.toString.stripPrefix(rootStr + "/")
-        bytes += f.getLen
-      }
+      if (f.isFile && f.getPath.getName.endsWith(".parquet"))
+        buf(sub + "/" + f.getPath.toString.stripPrefix(baseStr + "/")) = f.getLen
     }
-    (buf.sorted.toSeq, bytes)
+    buf.toMap
   }
 
   private def render(s: Snapshot): String = {
@@ -106,7 +130,9 @@ object SnapshotLog {
     JsonMethods.compact(JsonMethods.render(
       ("version" -> s.version) ~ ("parent" -> s.parent) ~
         ("operation" -> s.operation) ~ ("num_files" -> s.numFiles) ~
-        ("bytes" -> s.bytes) ~ ("files" -> s.files)))
+        ("bytes" -> s.bytes) ~ ("files" -> s.files) ~
+        ("file_bytes" -> s.fileBytes) ~ ("removed" -> s.removed) ~
+        ("deletes" -> s.deletes)))
   }
 
   private def parse(text: String): Snapshot = {
@@ -119,32 +145,89 @@ object SnapshotLog {
       parent = (j \ "parent").extract[Int],
       operation = (j \ "operation").extract[String],
       files = (j \ "files").extract[Seq[String]],
+      fileBytes = (j \ "file_bytes").extract[Seq[Long]],
+      removed = (j \ "removed").extract[Seq[String]],
+      deletes = (j \ "deletes").extract[Seq[String]],
       numFiles = (j \ "num_files").extract[Int],
       bytes = (j \ "bytes").extract[Long])
   }
 
-  /** Commit the CURRENT contents of <dir>/chunks as the next snapshot.
-    * Atomic: the numbered manifest is created with overwrite = false; a
-    * concurrent committer that wins the race just bumps this one to the
-    * next number (bounded retries). Returns the committed version. */
-  def commit(spark: SparkSession, dir: String, operation: String): Int = {
+  /** Atomic manifest write with optimistic retry. `build` receives the
+    * freshly-re-read parent (None at root) and the version to commit —
+    * on a lost race the parent is re-read and the delta re-derived, so a
+    * stale file list can never be committed over a winner's. */
+  private def commitWith(spark: SparkSession, dir: String)
+                        (build: (Option[Snapshot], Int) => Snapshot): Int = {
     val (hfs, root) = fs(spark, dir)
-    val (files, bytes) = dataFiles(hfs, root)
     hfs.mkdirs(new Path(root, SnapDirName))
     var attempts = 0
     while (attempts < 64) {
-      val v = currentVersion(spark, dir).getOrElse(0) + 1
-      val snap = Snapshot(v, v - 1, operation, files, files.size, bytes)
-      val p = manifestPath(root, v)
+      val parentV = currentVersion(spark, dir).getOrElse(0)
+      val parent = if (parentV == 0) None else Some(snapshot(spark, dir, parentV))
+      val snap = build(parent, parentV + 1)
+      val p = manifestPath(root, parentV + 1)
       try {
         val out = hfs.create(p, false) // overwrite=false IS the lock
         try out.write(render(snap).getBytes(UTF_8)) finally out.close()
-        return v
+        return parentV + 1
       } catch {
         case _: java.io.IOException => attempts += 1 // lost the race; re-list
       }
     }
     sys.error(s"snapshot commit at $dir: lost the version race 64 times")
+  }
+
+  /** Commit the CURRENT contents of <dir>/chunks as the next snapshot:
+    * parent's files that still exist on disk, plus any file no existing
+    * manifest references or tombstones (a compaction's logically-removed
+    * files are therefore NOT re-adopted while they await GC). Delete
+    * files in effect carry over. Returns the committed version. */
+  def commit(spark: SparkSession, dir: String, operation: String): Int = {
+    val (hfs, root) = fs(spark, dir)
+    commitWith(spark, dir) { (parent, v) =>
+      val listing = listParquet(hfs, root, "chunks")
+      val known: Set[String] = versions(spark, dir).flatMap { pv =>
+        val s = snapshot(spark, dir, pv); s.files ++ s.removed
+      }.toSet
+      val kept = parent.map(_.files).getOrElse(Nil).filter(listing.contains)
+      val discovered = (listing.keySet -- known).toSeq
+      val files = (kept ++ discovered).sorted
+      val bytes = files.map(listing)
+      Snapshot(v, v - 1, operation, files, bytes,
+        removed = Nil, deletes = parent.map(_.deletes).getOrElse(Nil),
+        numFiles = files.size, bytes = bytes.sum)
+    }
+  }
+
+  /** Commit an explicit delta against the parent manifest: `removed`
+    * data files drop out (they must all be parent files; they stay on
+    * disk for older snapshots), `added` data files (relative paths,
+    * already written) join, `newDeletes` equality-delete files take
+    * effect, and `dropDeletes` clears inherited delete files (a
+    * compaction that applied them physically). */
+  def commitRewrite(spark: SparkSession, dir: String, operation: String,
+                    removed: Set[String], added: Seq[String],
+                    newDeletes: Seq[String] = Nil,
+                    dropDeletes: Boolean = false): Int = {
+    val (hfs, root) = fs(spark, dir)
+    commitWith(spark, dir) { (parentOpt, v) =>
+      val parent = parentOpt.getOrElse(
+        sys.error(s"rewrite commit at $dir requires an existing snapshot"))
+      val unknown = removed -- parent.files.toSet
+      require(unknown.isEmpty,
+        s"rewrite at $dir removes files not in snapshot v${parent.version}: " +
+          unknown.take(3).mkString(", "))
+      val keptPairs = parent.files.zip(parent.fileBytes)
+        .filterNot { case (f, _) => removed(f) }
+      val addedPairs = added.map { f =>
+        f -> hfs.getFileStatus(new Path(root, f)).getLen
+      }
+      val pairs = (keptPairs ++ addedPairs).sortBy(_._1)
+      Snapshot(v, v - 1, operation,
+        pairs.map(_._1), pairs.map(_._2), removed.toSeq.sorted,
+        deletes = (if (dropDeletes) Nil else parent.deletes) ++ newDeletes,
+        numFiles = pairs.size, bytes = pairs.map(_._2).sum)
+    }
   }
 
   def snapshot(spark: SparkSession, dir: String, version: Int): Snapshot = {
@@ -160,24 +243,122 @@ object SnapshotLog {
   /** Read the chunk table AS OF a snapshot: exactly the manifest's files,
     * nothing newer (time travel), nothing removed since (isolation from
     * compaction). `version = None` reads the latest snapshot — which is
-    * still pinned planning: files that land mid-query are invisible. */
+    * still pinned planning: files that land mid-query are invisible.
+    * NOTE: raw chunks — equality deletes are NOT applied here (a
+    * projected/pruned scan must not pay for them); use [[readRows]] for
+    * the merge-on-read row view. */
   def readChunks(spark: SparkSession, dir: String,
                  version: Option[Int] = None): DataFrame = {
+    val snap = resolve(spark, dir, version)
+    require(snap.files.nonEmpty, s"snapshot v${snap.version} at $dir is empty")
+    spark.read.parquet(snap.files.map(f => s"$dir/$f"): _*)
+  }
+
+  private def resolve(spark: SparkSession, dir: String,
+                      version: Option[Int]): Snapshot = {
     val v = version.orElse(currentVersion(spark, dir)).getOrElse(
       sys.error(s"no snapshots committed at $dir"))
-    val snap = snapshot(spark, dir, v)
-    require(snap.files.nonEmpty, s"snapshot v$v at $dir is empty")
-    val paths = snap.files.map(f => s"$dir/$f")
-    // basePath keeps the part_id partition column derivable from the
-    // directory layout even though we list leaf files explicitly
-    spark.read.option("basePath", s"$dir/chunks").parquet(paths: _*)
+    snapshot(spark, dir, v)
+  }
+
+  /** The equality-delete id set in effect at a snapshot, if any. */
+  def readDeletes(spark: SparkSession, dir: String,
+                  version: Option[Int] = None): Option[DataFrame] = {
+    val snap = resolve(spark, dir, version)
+    if (snap.deletes.isEmpty) None
+    else Some(spark.read.parquet(snap.deletes.map(f => s"$dir/$f"): _*))
+  }
+
+  /** Merge-on-read row view AS OF a snapshot: decoded token rows minus
+    * the snapshot's equality-delete set (broadcast anti-join — delete
+    * sets are mutation-sized; compaction folds them away). */
+  def readRows(spark: SparkSession, dir: String,
+               version: Option[Int] = None): Dataset[TokenRow] = {
+    import spark.implicits._
+    val rows = EncodePipeline.decode(
+      readChunks(spark, dir, version).as[EncodedChunk])
+    readDeletes(spark, dir, version) match {
+      case None => rows
+      case Some(del) => rows.join(
+          broadcast(del.select(col(del.columns.head).as("doc_id"))),
+          Seq("doc_id"), "left_anti")
+        .select("doc_id", "tokens", "n_tok", "source").as[TokenRow]
+    }
+  }
+
+  /** Equality delete (Iceberg v2 merge-on-read): rows of the CURRENT
+    * snapshot matching `predicate` (over decoded TokenRow columns) have
+    * their doc_ids written as a parquet delete file; the commit pins the
+    * same data files plus the new delete file. No data file is touched —
+    * the delete costs O(matches), is itself snapshot-isolated (v-1 still
+    * reads the rows), and is folded away by the next [[compactTable]].
+    * Returns the committed version, or the current one when nothing
+    * matched (no empty commits). */
+  def deleteWhere(spark: SparkSession, dir: String,
+                  predicate: Column): Int = {
+    val cur = currentVersion(spark, dir).getOrElse(
+      sys.error(s"no snapshots committed at $dir"))
+    val ids = readRows(spark, dir, Some(cur))
+      .filter(predicate).select("doc_id").distinct()
+      .cache()
+    if (ids.isEmpty) { ids.unpersist(); return cur } // no empty commits
+    val sub = f"$DeleteDirName/d-v$cur%05d"
+    ids.write.mode("overwrite").parquet(s"$dir/$sub")
+    ids.unpersist()
+    val (hfs, root) = fs(spark, dir)
+    val written = listParquet(hfs, root, sub).keys.toSeq.sorted
+    commitRewrite(spark, dir, "delete",
+      removed = Set.empty, added = Nil, newDeletes = written)
+  }
+
+  /** Snapshot-native compaction: merge the CURRENT snapshot's chunk
+    * files into disjoint, globally-ordered chunks (the
+    * [[EncodePipeline.compactSorted]] interval sweep — clean singleton
+    * chunks pass through byte-identical), apply equality deletes
+    * physically, and commit the result as a REWRITE: the new manifest
+    * pins only the new generation, the old files stay on disk for older
+    * snapshots until [[expireSnapshots]], and the delete files are
+    * dropped (their effect is now in the data). Chunk_ids are only
+    * unique within one encode run, so each manifest FILE becomes one
+    * run, keyed by a broadcast basename→run join on input_file_name —
+    * one scan regardless of file count. */
+  def compactTable(spark: SparkSession, dir: String,
+                   tokensPerChunk: Int = EncodePipeline.DefaultTokensPerChunk,
+                   dropDuplicates: Boolean = false): Int = {
+    import spark.implicits._
+    val cur = currentVersion(spark, dir).getOrElse(
+      sys.error(s"no snapshots committed at $dir"))
+    val snap = snapshot(spark, dir, cur)
+    val sub = f"chunks/compact-v$cur%05d"
+    val (hfs, root) = fs(spark, dir)
+    hfs.delete(new Path(root, sub), true) // crashed attempt: re-stage
+    val raw = spark.read.parquet(snap.files.map(f => s"$dir/$f"): _*)
+    val fileRuns = broadcast(
+      snap.files.zipWithIndex
+        .map { case (f, i) => (f.split('/').last, i) }
+        .toDF("__fname", "__run"))
+    val withRun = raw
+      .withColumn("__fname", regexp_extract(input_file_name(), "[^/]+$", 0))
+      .join(fileRuns, "__fname")
+    val all = withRun
+      .select(col("__run").as("_1"),
+        struct(raw.columns.map(col).toIndexedSeq: _*).as("_2"))
+      .as[(Int, EncodedChunk)]
+    val meta = withRun.select(col("__run").as("run"), col("chunk_id"),
+      col("first_doc_id"), col("last_doc_id"))
+    EncodePipeline.compactRuns(spark, all, meta, s"$dir/$sub",
+      tokensPerChunk, dropDuplicates, readDeletes(spark, dir, Some(cur)))
+    val added = listParquet(hfs, root, sub).keys.toSeq.sorted
+    commitRewrite(spark, dir, "compact",
+      removed = snap.files.toSet, added = added, dropDeletes = true)
   }
 
   /** Expire snapshots older than `keepLast` versions: drops their
-    * manifests and deletes data files unreachable from any RETAINED
-    * snapshot (the file GC a 100-TB table needs — compacted-away chunk
-    * files are only physically deleted once no live snapshot can plan
-    * them). Returns (#manifests dropped, #files deleted). */
+    * manifests and deletes data AND delete files unreachable from any
+    * RETAINED snapshot (the file GC a 100-TB table needs —
+    * compacted-away chunk files are only physically deleted once no
+    * live snapshot can plan them). Returns (#manifests dropped,
+    * #files deleted). */
   def expireSnapshots(spark: SparkSession, dir: String,
                       keepLast: Int): (Int, Int) = {
     require(keepLast >= 1, "must keep at least the current snapshot")
@@ -185,9 +366,12 @@ object SnapshotLog {
     val all = versions(spark, dir)
     val (drop, keep) = all.splitAt(math.max(0, all.size - keepLast))
     if (drop.isEmpty) return (0, 0)
-    val live: Set[String] =
-      keep.flatMap(v => snapshot(spark, dir, v).files).toSet
-    val dead = drop.flatMap(v => snapshot(spark, dir, v).files).toSet -- live
+    val live: Set[String] = keep.flatMap { v =>
+      val s = snapshot(spark, dir, v); s.files ++ s.deletes
+    }.toSet
+    val dead = drop.flatMap { v =>
+      val s = snapshot(spark, dir, v); s.files ++ s.deletes
+    }.toSet -- live
     var deleted = 0
     dead.foreach { rel =>
       if (hfs.delete(new Path(root, rel), false)) deleted += 1

@@ -2,6 +2,7 @@ package graft
 
 import graft.spark._
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 /** SnapshotLog: commit/read/time-travel/expiry semantics over a chunk
@@ -123,6 +124,87 @@ class SnapshotSpec extends AnyFunSuite {
     assert(docIdsAt(dir, None) ==
       gen2.map(_.doc_id).collect().toSet)
     assert(v1Only.nonEmpty) // the overwrite really turned over the files
+  }
+
+  test("equality delete: merge-on-read hides rows, time travel restores them") {
+    import spark.implicits._
+    val dir = freshDir("del")
+    val rows = TokenTableGen.generate(spark, 500, 5).cache()
+    writeSlice(dir, rows)
+    val v1 = SnapshotLog.commit(spark, dir, "append")
+    val victim = rows.map(_.source).collect().head
+    val v2 = SnapshotLog.deleteWhere(spark, dir, col("source") === victim)
+    assert(v2 == v1 + 1)
+    val all = rows.map(_.doc_id).collect().toSet
+    val kept = rows.filter(_.source != victim).map(_.doc_id).collect().toSet
+    assert(kept != all) // non-vacuous
+    // merge-on-read at v2, full set at v1, raw chunks untouched at v2
+    assert(SnapshotLog.readRows(spark, dir, Some(v2))
+      .map(_.doc_id).collect().toSet == kept)
+    assert(SnapshotLog.readRows(spark, dir, Some(v1))
+      .map(_.doc_id).collect().toSet == all)
+    assert(SnapshotLog.snapshot(spark, dir, v2).files ==
+      SnapshotLog.snapshot(spark, dir, v1).files) // no data file rewritten
+    // a no-match delete commits nothing
+    assert(SnapshotLog.deleteWhere(spark, dir,
+      col("doc_id") === "no-such-id") == v2)
+  }
+
+  test("compaction applies deletes, dedupes, and commits a rewrite") {
+    import spark.implicits._
+    val dir = freshDir("ctab")
+    val rows = TokenTableGen.generate(spark, 400, 5).cache()
+    val a = rows.filter(r => r.doc_id.hashCode % 2 == 0)
+    writeSlice(dir, a)
+    SnapshotLog.commit(spark, dir, "append")
+    writeSlice(dir, rows) // overlaps a: every a-doc now duplicated
+    SnapshotLog.commit(spark, dir, "append")
+    val victim = rows.map(_.source).collect().head
+    val v3 = SnapshotLog.deleteWhere(spark, dir, col("source") === victim)
+    val preFiles = SnapshotLog.snapshot(spark, dir, v3).files.toSet
+    val v4 = SnapshotLog.compactTable(spark, dir, tokensPerChunk = 4096,
+      dropDuplicates = true)
+    val snap4 = SnapshotLog.snapshot(spark, dir, v4)
+    // full turnover: new generation only, deletes folded away
+    assert(snap4.files.toSet.intersect(preFiles).isEmpty)
+    assert(snap4.deletes.isEmpty && snap4.removed.toSet == preFiles)
+    val want = rows.filter(_.source != victim).map(_.doc_id).collect().toSet
+    val got = SnapshotLog.readRows(spark, dir, Some(v4))
+      .map(_.doc_id).collect()
+    assert(got.toSet == want)
+    assert(got.length == want.size) // dedupe: one row per doc_id
+    // pre-compaction snapshot: deletes already in effect (merge-on-read)
+    // but the physical duplicates are still there
+    val v3Rows = SnapshotLog.readRows(spark, dir, Some(v3)).collect()
+    assert(v3Rows.map(_.doc_id).toSet == want) // deletes already in effect
+    assert(v3Rows.length > want.size) // but duplicates still present
+    // an append after the rewrite must not re-adopt the tombstoned files
+    writeSlice(dir, rows.filter(r => r.doc_id.hashCode % 7 == 0))
+    val v5 = SnapshotLog.commit(spark, dir, "append")
+    val snap5 = SnapshotLog.snapshot(spark, dir, v5)
+    assert(snap5.files.toSet.intersect(preFiles).isEmpty)
+    assert(snap5.files.toSet.size > snap4.files.toSet.size)
+    // expiry GCs the replaced generation AND the applied delete files
+    val (hfs0, _) = (new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration), ())
+    val (dropped, deleted) = SnapshotLog.expireSnapshots(spark, dir, 2)
+    assert(dropped == 3 && deleted > 0)
+    preFiles.foreach { f =>
+      assert(!hfs0.exists(new org.apache.hadoop.fs.Path(s"$dir/$f")), f)
+    }
+  }
+
+  test("rewrite commit validates removed files against the parent") {
+    import spark.implicits._
+    val dir = freshDir("rwv")
+    writeSlice(dir, TokenTableGen.generate(spark, 100, 4))
+    SnapshotLog.commit(spark, dir, "append")
+    intercept[IllegalArgumentException](
+      SnapshotLog.commitRewrite(spark, dir, "compact",
+        removed = Set("chunks/not-a-file.parquet"), added = Nil))
+    intercept[RuntimeException](
+      SnapshotLog.commitRewrite(spark, freshDir("rwv2"), "compact",
+        removed = Set.empty, added = Nil))
   }
 
   test("reading an uncommitted or unknown version fails loudly") {
