@@ -31,6 +31,7 @@ object SparkEntry {
     "q_rt_delta_long" -> ((s, d) => RoundTrips.deltaLong(s, d)),
     "q_rt_dict_string" -> ((s, d) => RoundTrips.dictString(s, d)),
     "q_rt_rle_int" -> ((s, d) => RoundTrips.rleInt(s, d)),
+    "q_rt_pfor_int" -> ((s, d) => RoundTrips.pforInt(s, d)),
     "q_rt_fsst_text" -> ((s, d) => RoundTrips.fsstText(s, d)),
     "q_rt_dba_string" -> ((s, d) => RoundTrips.deltaByteArray(s, d)),
     "q_rt_bss_double" -> ((s, d) => RoundTrips.byteStreamSplit(s, d)),
@@ -60,6 +61,7 @@ object SparkEntry {
     "q_streaming_dedup" -> ((s, d) => RoundTrips.streamingDedup(s, d)),
     "q_streaming_window" -> ((s, d) => RoundTrips.streamingWindow(s, d)),
     "q_streaming_sliding" -> ((s, d) => RoundTrips.streamingSliding(s, d)),
+    "q_streaming_join" -> ((s, d) => RoundTrips.streamingJoin(s, d)),
     "q_seek_rows" -> ((s, d) => RoundTrips.seekRows(s, d)),
     "q_compact_merge" -> ((s, d) => RoundTrips.compactMerge(s, d)),
     "q_compact_dedup" -> ((s, d) => RoundTrips.compactDedup(s, d)),
@@ -130,6 +132,8 @@ object SparkEntry {
       "SELECT l_returnflag, count(*) AS cnt FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
     "q_rt_rle_int" ->
       "SELECT CAST(l_linenumber AS BIGINT) AS ln, count(*) AS cnt FROM lineitem GROUP BY 1 ORDER BY 1",
+    "q_rt_pfor_int" ->
+      "SELECT CAST(CASE WHEN l_orderkey % 97 = 0 THEN l_partkey + 1000000000 ELSE l_linenumber END AS BIGINT) AS v FROM lineitem ORDER BY v",
     "q_rt_fsst_text" ->
       "SELECT doc_id, text FROM documents ORDER BY doc_id",
     "q_rt_dba_string" ->
@@ -210,6 +214,16 @@ object SparkEntry {
         |         e.event_type, e.value
         |  FROM events e CROSS JOIN (SELECT unnest([0,1,2,3]) AS k) k
         |) GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
+    // Stream-stream interval join: every (click, purchase) pair by the
+    // same user with the purchase 0-30 minutes after the click. The
+    // batch self-join IS the semantics; the streamed run must equal it.
+    "q_streaming_join" ->
+      """SELECT c.user_id AS user_id, c.event_id AS click_id, p.event_id AS purchase_id
+        |FROM events c JOIN events p
+        |  ON c.user_id = p.user_id
+        | AND c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+        |ORDER BY c.user_id, click_id, purchase_id""".stripMargin,
     "q_rt_generic_temporal" ->
       """SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
         |       strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day_str,

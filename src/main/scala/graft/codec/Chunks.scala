@@ -34,6 +34,7 @@ object Codecs {
   final val ForInt = 16 // frame-of-reference + bit-pack (no delta)
   final val NullableWrap = 17 // row-null bitmap wrapper around any chunk
   final val BssFloat = 18
+  final val PforInt = 19 // patched FOR: outlier-tolerant bit width
 
   val names: Map[Int, String] = Map(
     PlainInt -> "PLAIN", RleInt -> "RLE", DeltaInt -> "DELTA_BINARY_PACKED",
@@ -43,12 +44,16 @@ object Codecs {
     PlainDouble -> "PLAIN", BssDouble -> "BYTE_STREAM_SPLIT",
     PlainBool -> "PLAIN", RleBool -> "RLE", PagedInt -> "PAGED",
     ForInt -> "FOR_BIT_PACKED", NullableWrap -> "NULLABLE",
-    BssFloat -> "BYTE_STREAM_SPLIT")
+    BssFloat -> "BYTE_STREAM_SPLIT", PforInt -> "PFOR")
 }
 
 final case class IntStats(n: Int, min: Long, max: Long, runs: Int, sorted: Boolean,
                           distinctEst: Int, distinctCapped: Boolean, avgDeltaBits: Double,
-                          maxBits: Int)
+                          maxBits: Int,
+                          /** Sampled histogram of widthOf(v - min), index
+                            * 0..32 — the PFOR cost model's input; counts
+                            * cover only the strided sample (sum ≤ cap). */
+                          widthHist: Array[Int])
 
 object Chunks {
   import Codecs._
@@ -59,7 +64,8 @@ object Chunks {
 
   /** One-pass (plus strided cardinality sample) statistics for selection. */
   def intStats(src: Array[Int], off: Int, n: Int): IntStats = {
-    if (n == 0) return IntStats(0, 0, 0, 0, sorted = true, 0, distinctCapped = false, 0, 0)
+    if (n == 0) return IntStats(0, 0, 0, 0, sorted = true, 0,
+      distinctCapped = false, 0, 0, new Array[Int](33))
     var mn = src(off).toLong
     var mx = mn
     var runs = 1
@@ -84,18 +90,24 @@ object Chunks {
       i += 1
     }
     val maxBits = BitPack.widthOfUnsignedInt(bitsAcc)
-    // sampled cardinality via the probe table (reference hashprobe semantics)
+    // sampled cardinality via the probe table (reference hashprobe
+    // semantics); the same strided pass feeds the PFOR width histogram
+    // (min is known by now, so widthOf(v - min) is exact per sample)
     val dict = new IntDict(512)
+    val hist = new Array[Int](33)
     val step = math.max(1, n / DistinctCap)
     var capped = false
     i = 0
     while (i < n && !capped) {
-      dict.probe(src(off + i))
+      val v = src(off + i)
+      dict.probe(v)
+      hist(BitPack.widthOfUnsignedLong(v.toLong - mn)) += 1
       if (dict.size > DistinctCap) capped = true
       i += step
     }
     IntStats(n, mn, mx, runs, sorted, dict.size, capped,
-      if (deltaSamples > 0) deltaBitsSum.toDouble / deltaSamples else 0.0, maxBits)
+      if (deltaSamples > 0) deltaBitsSum.toDouble / deltaSamples else 0.0,
+      maxBits, hist)
   }
 
   /** Size-estimate-ranked codec choice for an int chunk. */
@@ -113,9 +125,19 @@ object Chunks {
         val iw = if (s.distinctEst <= 1) 0 else BitPack.widthOfUnsignedInt(s.distinctEst - 1)
         s.distinctEst * 4.0 + s.n * (iw + 1.0) / 8.0
       }
+    // PFOR: scale the sampled width-histogram cost to the full chunk.
+    // Demands a clear win over FOR (0.9) — at equal size FOR's decode
+    // has no patch pass and no exception stream.
+    val pforSz = {
+      val m = s.widthHist.sum
+      if (m == 0) Double.MaxValue
+      else Pfor.costForWidth(s.widthHist, m,
+        Pfor.bestWidth(s.widthHist, m)) * (s.n.toDouble / m)
+    }
     var best = PlainInt
     var bestSz = plain
     if (forSz < bestSz) { best = ForInt; bestSz = forSz }
+    if (pforSz < bestSz * 0.9) { best = PforInt; bestSz = pforSz }
     if (rle < bestSz) { best = RleInt; bestSz = rle }
     // prefer FOR over dict/delta at near-equal size: it packs and unpacks
     // at memcpy-like speed with no table state
@@ -225,6 +247,7 @@ object Chunks {
           while (i < n) { shifted(i) = (src(off + i).toLong - mn).toInt; i += 1 }
           BitPack.packInts(shifted, 0, n, bits, out)
         }
+      case PforInt => Pfor.encode(src, off, n, out)
       case other => throw new IllegalArgumentException(s"not an int codec: $other")
     }
   }
@@ -254,6 +277,7 @@ object Chunks {
           while (i < n) { dst(i) = ((dst(i).toLong & 0xFFFFFFFFL) + mn).toInt; i += 1 }
         }
         dst
+      case PforInt => Pfor.decode(r, n)
       case PagedInt =>
         val numPages = r.readUvarint().toInt
         r.readUvarint() // pageValues (used by slice reads)

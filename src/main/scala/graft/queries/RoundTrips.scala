@@ -61,6 +61,27 @@ object RoundTrips {
       .orderBy("ln")
   }
 
+  /** PFOR (patched frame-of-reference) over an outlier-contaminated int
+    * column: ~1% of rows carry a +10^9 outlier that would force plain
+    * FOR to 30+ bits per value; PFOR packs the narrow majority and
+    * patches the outliers. Values round-trip bit-exact (the oracle
+    * recomputes the same column relationally). */
+  def pforInt(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    table(spark, dir, "lineitem")
+      .select(when(col("l_orderkey") % 97 === 0,
+          col("l_partkey").cast("int") + 1000000000)
+        .otherwise(col("l_linenumber").cast("int")).as("v")).as[Int]
+      .mapPartitions { it =>
+        val arr = it.toArray
+        val enc = Chunks.encodeInts(arr, 0, arr.length, Codecs.PforInt)
+        Chunks.decodeInts(enc).iterator
+      }
+      .toDF("v")
+      .select(col("v").cast("long").as("v"))
+      .orderBy("v")
+  }
+
   /** FSST over document text, key association preserved per row. */
   def fsstText(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -602,6 +623,52 @@ object RoundTrips {
       q.processAllAvailable()
     } finally q.stop()
     spark.table(qname).orderBy("win_start", "event_type")
+  }
+
+  /** Stream-stream interval join (attribution): clicks and purchases
+    * arrive on two independent watermarked streams; a purchase joins
+    * every click by the same user in the preceding 30 minutes. The
+    * event-time range condition bounds BOTH join states (Spark evicts a
+    * click once the purchase watermark passes click.ts + 30min), so
+    * state is O(window), not O(stream) — the property that makes this
+    * run forever at 100-TB event volume. Feeding both streams in
+    * ts-aligned slices with zero-lateness watermarks provably loses no
+    * match: a purchase in slice k can only match clicks newer than
+    * watermark(k-1) - 30min, which are exactly the ones still in state.
+    * Inner-join output needs no sentinel — matches emit when found.
+    * Oracle restates as a batch self-join. */
+  def streamingJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val ev = table(spark, dir, "events")
+      .select(col("ts"), col("user_id"), col("event_type"), col("event_id"))
+      .as[(java.sql.Timestamp, Long, String, Long)]
+      .collect().sortBy(_._1.getTime)
+    val msClick = MemoryStream[(java.sql.Timestamp, Long, Long)](spark)
+    val msPurch = MemoryStream[(java.sql.Timestamp, Long, Long)](spark)
+    val clicks = msClick.toDF().toDF("c_ts", "user_id", "click_id")
+      .withWatermark("c_ts", "0 seconds")
+    val purchases = msPurch.toDF().toDF("p_ts", "p_user", "purchase_id")
+      .withWatermark("p_ts", "0 seconds")
+    val joined = clicks.join(purchases,
+        expr("""user_id = p_user
+               |AND p_ts >= c_ts
+               |AND p_ts <= c_ts + interval 30 minutes""".stripMargin))
+      .select(col("user_id"), col("click_id"), col("purchase_id"))
+    val qname = "graft_stream_join_" +
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName(qname).start()
+    try {
+      val slices = ev.grouped((ev.length + 2) / 3)
+      slices.foreach { g =>
+        msClick.addData(g.filter(_._3 == "click").map(e => (e._1, e._2, e._4)).toSeq)
+        msPurch.addData(g.filter(_._3 == "purchase").map(e => (e._1, e._2, e._4)).toSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    spark.table(qname).orderBy("user_id", "click_id", "purchase_id")
   }
 
   /** Pure-SQL read path: a persisted chunk table registered as a temp

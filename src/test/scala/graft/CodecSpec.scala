@@ -250,6 +250,43 @@ class CodecSpec extends AnyFunSuite {
     assert(enc.length <= zipf.length * 2 + 16, s"${enc.length}")
   }
 
+  test("PFOR round-trip (forced) on all vector families") {
+    for ((name, v) <- intVectors) {
+      val enc = Chunks.encodeInts(v, 0, v.length, Codecs.PforInt)
+      assert(Chunks.decodeInts(enc).toSeq == v.toSeq, name)
+    }
+  }
+
+  test("PFOR beats FOR on outlier-contaminated chunks and the selector knows") {
+    val r = rng(123)
+    // 99.5% small values, 0.5% huge outliers: FOR's width is dictated by
+    // the outliers (31 bits/value), PFOR packs ~7 bits + sparse patches
+    val v = Array.fill(100000)(
+      if (r.nextInt(200) == 0) 1000000000 + r.nextInt(1000) else r.nextInt(100))
+    val forEnc = Chunks.encodeInts(v, 0, v.length, Codecs.ForInt)
+    val pforEnc = Chunks.encodeInts(v, 0, v.length, Codecs.PforInt)
+    assert(Chunks.decodeInts(pforEnc).toSeq == v.toSeq)
+    assert(pforEnc.length < forEnc.length / 3,
+      s"pfor=${pforEnc.length} for=${forEnc.length}")
+    val auto = Chunks.encodeInts(v, 0, v.length)
+    assert(Chunks.codecName(auto) == "PFOR", Chunks.codecName(auto))
+    // and on outlier-free data the selector must NOT flap to PFOR
+    val clean = Array.fill(100000)(r.nextInt(100))
+    assert(Chunks.codecName(Chunks.encodeInts(clean, 0, clean.length)) != "PFOR")
+  }
+
+  test("PFOR width choice is cost-driven across exception densities") {
+    val r = rng(321)
+    for (excPct <- Seq(0, 1, 5, 20)) {
+      val v = Array.fill(50000)(
+        if (r.nextInt(100) < excPct) r.nextInt(1 << 28) else r.nextInt(64))
+      val enc = Chunks.encodeInts(v, 0, v.length, Codecs.PforInt)
+      assert(Chunks.decodeInts(enc).toSeq == v.toSeq, s"excPct=$excPct")
+      // never worse than plain by more than the frame
+      assert(enc.length <= 10 + 4L * v.length, s"excPct=$excPct: ${enc.length}")
+    }
+  }
+
   test("paged int chunks round-trip and pick per-page codecs") {
     for ((name, v) <- intVectors) {
       val enc = Chunks.encodeIntsPaged(v, 0, v.length, pageValues = 1024)
