@@ -69,6 +69,7 @@ object SparkEntry {
     "q_token_index" -> ((s, d) => RoundTrips.tokenIndex(s, d)),
     "q_snapshot_travel" -> ((s, d) => RoundTrips.snapshotTravel(s, d)),
     "q_snapshot_delete" -> ((s, d) => RoundTrips.snapshotDelete(s, d)),
+    "q_snapshot_upsert" -> ((s, d) => RoundTrips.snapshotUpsert(s, d)),
     "q_rt_generic_nested" -> ((s, d) => RoundTrips.genericNested(s, d)),
     "q_codec_stats" -> ((s, d) => RoundTrips.codecStats(s, d)),
     // --- relational / dataflow operators ---
@@ -377,6 +378,22 @@ object SparkEntry {
         |SELECT 2 AS snap, doc_id, source, n_tok FROM d WHERE source <> 'de'
         |UNION ALL
         |SELECT 3 AS snap, doc_id, source, n_tok FROM d WHERE source <> 'de'
+        |ORDER BY snap, doc_id""".stripMargin,
+    // MERGE-style upsert: snap 1 = base table; snaps 2 and 3 = after the
+    // atomic upsert ('fr' docs rewritten to source 'fr2', 40 new docs at
+    // doc_id+50000000), merge-on-read and post-compaction respectively.
+    "q_snapshot_upsert" ->
+      """WITH d AS (SELECT lpad(CAST(doc_id AS VARCHAR), 8, '0') AS doc_id,
+        |                  lang AS source, CAST(1 AS BIGINT) AS n_tok
+        |           FROM documents),
+        |after AS (
+        |  SELECT doc_id, CASE WHEN source = 'fr' THEN 'fr2' ELSE source END AS source, n_tok FROM d
+        |  UNION ALL
+        |  (SELECT lpad(CAST(doc_id + 50000000 AS VARCHAR), 8, '0'), 'new', CAST(1 AS BIGINT)
+        |   FROM documents ORDER BY doc_id LIMIT 40))
+        |SELECT 1 AS snap, doc_id, source, n_tok FROM d
+        |UNION ALL SELECT 2 AS snap, doc_id, source, n_tok FROM after
+        |UNION ALL SELECT 3 AS snap, doc_id, source, n_tok FROM after
         |ORDER BY snap, doc_id""".stripMargin,
     // Chunk-aligned merge join: the engine joins the encoded table against
     // the probe set riding the layout; the oracle restates it as a plain

@@ -1073,6 +1073,57 @@ object RoundTrips {
       .orderBy("snap", "doc_id")
   }
 
+  /** MERGE-style upsert (SnapshotLog.upsert): the documents table is the
+    * base snapshot; one atomic commit then lands NEW versions of every
+    * 'fr' doc (source rewritten to 'fr2') plus brand-new doc_ids — as
+    * new data files AND a sequence-scoped equality delete of the
+    * incoming keys, so the delete hides only the PRE-upsert versions
+    * (Iceberg v2 semantics; the upsert's own rows are strictly newer
+    * than the delete). Output = the row view at v1 (pre-upsert), v2
+    * (merge-on-read upsert), v3 (post-compaction fold — must equal v2
+    * from a rewritten file set). Oracle restates all three. */
+  def snapshotUpsert(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.spark.SnapshotLog
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft-snapups-q-" +
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    val basePath = new org.apache.hadoop.fs.Path(base)
+    basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(basePath, true)
+    def rowsOf(df: DataFrame) = df
+      .select(
+        lpad(col("id").cast("string"), 8, "0").as("doc_id"),
+        array(col("n_chars").cast("int")).as("tokens"),
+        lit(1).as("n_tok"),
+        col("src").as("source"))
+      .as[TokenRow]
+    val docs = table(spark, dir, "documents")
+    EncodePipeline.encode(
+        rowsOf(docs.select(col("doc_id").as("id"), col("n_chars"),
+          col("lang").as("src"))),
+        numParts = 4, tokensPerChunk = 2048)
+      .write.mode("append")
+      .option("compression", EncodePipeline.ChunkTableCompression)
+      .parquet(s"$base/chunks")
+    val v1 = SnapshotLog.commit(spark, base, "append")
+    val incoming = rowsOf(
+      docs.filter(col("lang") === "fr")
+        .select(col("doc_id").as("id"), col("n_chars"), lit("fr2").as("src"))
+        .unionByName(docs.select((col("doc_id") + 50000000L).as("id"),
+          col("n_chars"), lit("new").as("src"))
+          .orderBy("id").limit(40))) // sort-then-limit: deterministic 40
+    val v2 = SnapshotLog.upsert(spark, base, incoming, numParts = 4,
+      tokensPerChunk = 2048)
+    val v3 = SnapshotLog.compactTable(spark, base, tokensPerChunk = 2048)
+    def at(v: Int, tag: Int) =
+      SnapshotLog.readRows(spark, base, Some(v))
+        .select(lit(tag).as("snap"), col("doc_id"), col("source"),
+          col("n_tok").cast("long").as("n_tok"))
+    at(v1, 1).unionAll(at(v2, 2)).unionAll(at(v3, 3))
+      .orderBy("snap", "doc_id")
+  }
+
   /** Chunk-aligned merge join (ChunkJoin.joinByDocId): the encode layout
     * IS the join strategy — the chunk side crosses the exchange encoded
     * and pre-sorted, probe rows are bounds-assigned to the matching

@@ -873,20 +873,25 @@ object EncodePipeline {
     * chunk with a RUN id (chunk_ids are only unique within one encode
     * run, so the pair is the global key), `meta` is the pruned
     * (run, chunk_id, first_doc_id, last_doc_id) projection. `deletes`,
-    * when present, is a single-column DataFrame of doc_ids to drop
-    * (equality deletes, Iceberg v2 style): chunks whose key interval may
-    * contain a deleted id are forced through the decode path even when
-    * they overlap nothing (a pass-through byte copy could smuggle deleted
-    * rows through), and decoded rows anti-join the delete set. Both
-    * delete passes broadcast the delete table — at a 10^9-id delete set,
-    * flip the range check to a shuffle range-join; the sweep itself is
-    * unchanged. */
+    * when present, is a (doc_id, del_seq) DataFrame of equality deletes
+    * (Iceberg v2 style), SEQUENCE-SCOPED: a delete applies only to runs
+    * whose `runAdded` version is strictly below its del_seq, so an
+    * upsert's own rows survive the delete committed alongside them
+    * (absent runs default to 0 = oldest = every delete applies — the
+    * safe direction). Chunks whose key interval may contain an
+    * applicable deleted id are forced through the decode path even when
+    * they overlap nothing (a pass-through byte copy could smuggle
+    * deleted rows through), and decoded rows anti-join the applicable
+    * delete set. Both delete passes broadcast the delete table — at a
+    * 10^9-id delete set, flip the range check to a shuffle range-join;
+    * the sweep itself is unchanged. */
   private[graft] def compactRuns(spark: SparkSession,
                                  all: Dataset[(Int, EncodedChunk)],
                                  meta: DataFrame, outDir: String,
                                  tokensPerChunk: Int,
                                  dropDuplicates: Boolean,
-                                 deletes: Option[DataFrame]): DataFrame = {
+                                 deletes: Option[DataFrame],
+                                 runAdded: Map[Int, Int] = Map.empty): DataFrame = {
     import spark.implicits._
     import org.apache.spark.unsafe.types.UTF8String
     val sortedMeta = meta
@@ -940,11 +945,19 @@ object EncodePipeline {
     // "dirty" chunks — interval MAY hold a deleted doc_id — cannot pass
     // through byte-identical even as singletons; a broadcast range probe
     // against the delete ids marks them for the decode path
+    // run → added-version as a codegen'd map literal (absent run = 0,
+    // i.e. "oldest": every delete applies — the safe direction)
+    val addedExpr =
+      if (runAdded.isEmpty) lit(0)
+      else coalesce(element_at(typedLit(runAdded), col("run")), lit(0))
     val dirtyKeys = deletes.map { del =>
-      val ids = del.select(col(del.columns.head).as("__del_id"))
-      meta.join(broadcast(ids),
+      val ids = del.select(col(del.columns.head).as("__del_id"),
+        col("del_seq").as("__del_seq"))
+      meta.withColumn("__added", addedExpr)
+        .join(broadcast(ids),
           col("__del_id") >= col("first_doc_id") &&
-            col("__del_id") <= col("last_doc_id"))
+            col("__del_id") <= col("last_doc_id") &&
+            col("__del_seq") > col("__added"))
         .select(col("run").as("a_run"), col("chunk_id").as("a_chunk_id"))
         .distinct()
         .withColumn("dirty", lit(true))
@@ -967,21 +980,26 @@ object EncodePipeline {
       .map { case ((_, c), (g, _, _, _, _)) =>
         c.copy(part_id = g, chunk_id = (g.toLong << 32) | (c.chunk_id & 0xFFFFFFFFL))
       }
-    // overlapping or dirty groups: decode, drop deleted rows,
+    // overlapping or dirty groups: decode, drop applicable deleted rows,
     // co-partition by group, merge-sort, re-encode
+    val addedOf = runAdded.withDefaultValue(0)
     val decoded = joined
       .filter(t => t._2._4 > 1L || t._2._5)
-      .flatMap { case ((_, c), (g, _, _, _, _)) =>
-        decodeChunk(c).map(r => (r.doc_id, r.tokens, r.n_tok, r.source, g))
+      .flatMap { case ((run, c), (g, _, _, _, _)) =>
+        decodeChunk(c).map(r =>
+          (r.doc_id, r.tokens, r.n_tok, r.source, g, addedOf(run)))
       }
-      .toDF("doc_id", "tokens", "n_tok", "source", "part_id")
-    val surviving = deletes match {
-      case Some(del) => decoded.join(
-          broadcast(del.select(col(del.columns.head).as("doc_id"))),
-          Seq("doc_id"), "left_anti")
-        .select("doc_id", "tokens", "n_tok", "source", "part_id")
+      .toDF("doc_id", "tokens", "n_tok", "source", "part_id", "__added")
+    val surviving = (deletes match {
+      case Some(del) =>
+        val ids = broadcast(del.select(
+          col(del.columns.head).as("__del_id"),
+          col("del_seq").as("__del_seq")))
+        decoded.join(ids,
+          decoded("doc_id") === col("__del_id") &&
+            col("__del_seq") > decoded("__added"), "left_anti")
       case None => decoded
-    }
+    }).select("doc_id", "tokens", "n_tok", "source", "part_id")
     val rows = surviving
       .repartition(col("part_id"))
       .sortWithinPartitions("part_id", "doc_id")

@@ -73,11 +73,18 @@ object SnapshotLog {
   final case class Snapshot(
       version: Int,
       parent: Int, // 0 = root (no parent)
-      operation: String, // "append" | "compact" | "delete" | ...
+      operation: String, // "append" | "compact" | "delete" | "upsert" | ...
       files: Seq[String], // data files, relative to <dir>, sorted
       fileBytes: Seq[Long], // parallel to files
+      /** Version at which each data file was first committed (parallel to
+        * files) — Iceberg's data sequence number. An equality delete
+        * applies only to files STRICTLY OLDER than itself, which is what
+        * lets an upsert commit its new rows and the delete of their old
+        * versions atomically without the delete eating the new rows. */
+      fileAdded: Seq[Int],
       removed: Seq[String], // data files this commit logically removed
       deletes: Seq[String], // equality-delete files in effect, relative
+      deleteSeqs: Seq[Int], // effect version of each delete (parallel)
       numFiles: Int,
       bytes: Long)
 
@@ -131,8 +138,9 @@ object SnapshotLog {
       ("version" -> s.version) ~ ("parent" -> s.parent) ~
         ("operation" -> s.operation) ~ ("num_files" -> s.numFiles) ~
         ("bytes" -> s.bytes) ~ ("files" -> s.files) ~
-        ("file_bytes" -> s.fileBytes) ~ ("removed" -> s.removed) ~
-        ("deletes" -> s.deletes)))
+        ("file_bytes" -> s.fileBytes) ~ ("file_added" -> s.fileAdded) ~
+        ("removed" -> s.removed) ~ ("deletes" -> s.deletes) ~
+        ("delete_seqs" -> s.deleteSeqs)))
   }
 
   private def parse(text: String): Snapshot = {
@@ -146,8 +154,10 @@ object SnapshotLog {
       operation = (j \ "operation").extract[String],
       files = (j \ "files").extract[Seq[String]],
       fileBytes = (j \ "file_bytes").extract[Seq[Long]],
+      fileAdded = (j \ "file_added").extract[Seq[Int]],
       removed = (j \ "removed").extract[Seq[String]],
       deletes = (j \ "deletes").extract[Seq[String]],
+      deleteSeqs = (j \ "delete_seqs").extract[Seq[Int]],
       numFiles = (j \ "num_files").extract[Int],
       bytes = (j \ "bytes").extract[Long])
   }
@@ -189,12 +199,16 @@ object SnapshotLog {
       val known: Set[String] = versions(spark, dir).flatMap { pv =>
         val s = snapshot(spark, dir, pv); s.files ++ s.removed
       }.toSet
+      val parentAdded: Map[String, Int] = parent
+        .map(p => p.files.zip(p.fileAdded).toMap).getOrElse(Map.empty)
       val kept = parent.map(_.files).getOrElse(Nil).filter(listing.contains)
       val discovered = (listing.keySet -- known).toSeq
       val files = (kept ++ discovered).sorted
       val bytes = files.map(listing)
-      Snapshot(v, v - 1, operation, files, bytes,
+      val added = files.map(f => parentAdded.getOrElse(f, v))
+      Snapshot(v, v - 1, operation, files, bytes, added,
         removed = Nil, deletes = parent.map(_.deletes).getOrElse(Nil),
+        deleteSeqs = parent.map(_.deleteSeqs).getOrElse(Nil),
         numFiles = files.size, bytes = bytes.sum)
     }
   }
@@ -217,16 +231,22 @@ object SnapshotLog {
       require(unknown.isEmpty,
         s"rewrite at $dir removes files not in snapshot v${parent.version}: " +
           unknown.take(3).mkString(", "))
-      val keptPairs = parent.files.zip(parent.fileBytes)
-        .filterNot { case (f, _) => removed(f) }
-      val addedPairs = added.map { f =>
-        f -> hfs.getFileStatus(new Path(root, f)).getLen
+      val keptTriples = parent.files.lazyZip(parent.fileBytes)
+        .lazyZip(parent.fileAdded).toSeq
+        .filterNot { case (f, _, _) => removed(f) }
+      val addedTriples = added.map { f =>
+        (f, hfs.getFileStatus(new Path(root, f)).getLen, v)
       }
-      val pairs = (keptPairs ++ addedPairs).sortBy(_._1)
+      val triples = (keptTriples ++ addedTriples).sortBy(_._1)
+      val (keptDel, keptSeq) =
+        if (dropDeletes) (Nil, Nil)
+        else (parent.deletes, parent.deleteSeqs)
       Snapshot(v, v - 1, operation,
-        pairs.map(_._1), pairs.map(_._2), removed.toSeq.sorted,
-        deletes = (if (dropDeletes) Nil else parent.deletes) ++ newDeletes,
-        numFiles = pairs.size, bytes = pairs.map(_._2).sum)
+        triples.map(_._1), triples.map(_._2), triples.map(_._3),
+        removed.toSeq.sorted,
+        deletes = keptDel ++ newDeletes,
+        deleteSeqs = keptSeq ++ newDeletes.map(_ => v),
+        numFiles = triples.size, bytes = triples.map(_._2).sum)
     }
   }
 
@@ -261,29 +281,78 @@ object SnapshotLog {
     snapshot(spark, dir, v)
   }
 
-  /** The equality-delete id set in effect at a snapshot, if any. */
+  /** The equality-delete set in effect at a snapshot, if any, as
+    * (doc_id, del_seq) — del_seq is each delete's effect version, which
+    * scopes it to data files STRICTLY older than itself. */
   def readDeletes(spark: SparkSession, dir: String,
                   version: Option[Int] = None): Option[DataFrame] = {
     val snap = resolve(spark, dir, version)
     if (snap.deletes.isEmpty) None
-    else Some(spark.read.parquet(snap.deletes.map(f => s"$dir/$f"): _*))
+    else Some(snap.deletes.zip(snap.deleteSeqs).map { case (f, s) =>
+      spark.read.parquet(s"$dir/$f")
+        .select(col("doc_id"), lit(s).as("del_seq"))
+    }.reduce(_ unionAll _))
   }
 
   /** Merge-on-read row view AS OF a snapshot: decoded token rows minus
-    * the snapshot's equality-delete set (broadcast anti-join — delete
-    * sets are mutation-sized; compaction folds them away). */
+    * the applicable equality deletes (broadcast anti-join — delete sets
+    * are mutation-sized; compaction folds them away). "Applicable" is
+    * sequence-scoped: a delete at version s hides rows only from files
+    * added BEFORE s, so an upsert's own rows survive the delete it
+    * committed alongside them. Files sharing an added-version decode as
+    * one branch; branch count = appends since the last compaction. */
   def readRows(spark: SparkSession, dir: String,
                version: Option[Int] = None): Dataset[TokenRow] = {
     import spark.implicits._
-    val rows = EncodePipeline.decode(
-      readChunks(spark, dir, version).as[EncodedChunk])
-    readDeletes(spark, dir, version) match {
-      case None => rows
-      case Some(del) => rows.join(
-          broadcast(del.select(col(del.columns.head).as("doc_id"))),
-          Seq("doc_id"), "left_anti")
-        .select("doc_id", "tokens", "n_tok", "source").as[TokenRow]
+    val snap = resolve(spark, dir, version)
+    require(snap.files.nonEmpty, s"snapshot v${snap.version} at $dir is empty")
+    def decodeFiles(fs: Seq[String]) = EncodePipeline.decode(
+      spark.read.parquet(fs.map(f => s"$dir/$f"): _*).as[EncodedChunk])
+    readDeletes(spark, dir, Some(snap.version)) match {
+      case None => decodeFiles(snap.files)
+      case Some(del) =>
+        snap.files.zip(snap.fileAdded).groupBy(_._2).toSeq.sortBy(_._1)
+          .map { case (added, fs) =>
+            val applicable = del.filter(col("del_seq") > added)
+              .select(col("doc_id"))
+            decodeFiles(fs.map(_._1))
+              .join(broadcast(applicable), Seq("doc_id"), "left_anti")
+              .select("doc_id", "tokens", "n_tok", "source").as[TokenRow]
+          }.reduce(_ unionAll _)
     }
+  }
+
+  /** MERGE-style upsert, one atomic commit: the incoming rows are
+    * encoded as NEW data files and an equality-delete of their doc_ids
+    * is committed alongside. The delete's sequence number equals the
+    * new files' added-version, so (strict ordering) it hides only the
+    * PREVIOUS versions of those keys — the classic Iceberg v2 upsert.
+    * Cost is O(incoming), no existing file is read or rewritten; the
+    * next [[compactTable]] folds everything flat. */
+  def upsert(spark: SparkSession, dir: String, rows: Dataset[TokenRow],
+             numParts: Int = 4,
+             tokensPerChunk: Int = EncodePipeline.DefaultTokensPerChunk): Int = {
+    val cur = currentVersion(spark, dir).getOrElse(
+      sys.error(s"no snapshots committed at $dir"))
+    val (hfs, root) = fs(spark, dir)
+    EncodePipeline.encode(rows, numParts, tokensPerChunk)
+      .write.mode("append")
+      .option("compression", EncodePipeline.ChunkTableCompression)
+      .parquet(s"$dir/chunks")
+    // same discovery rule as commit(): anything on disk no manifest
+    // references or tombstones is ours (shares commit()'s caveat about
+    // racing out-of-band writers)
+    val known = versions(spark, dir).flatMap { pv =>
+      val s = snapshot(spark, dir, pv); s.files ++ s.removed
+    }.toSet
+    val added =
+      (listParquet(hfs, root, "chunks").keySet -- known).toSeq.sorted
+    val sub = f"$DeleteDirName/u-v$cur%05d"
+    rows.select(col("doc_id")).distinct()
+      .write.mode("overwrite").parquet(s"$dir/$sub")
+    val delFiles = listParquet(hfs, root, sub).keys.toSeq.sorted
+    commitRewrite(spark, dir, "upsert",
+      removed = Set.empty, added = added, newDeletes = delFiles)
   }
 
   /** Equality delete (Iceberg v2 merge-on-read): rows of the CURRENT
@@ -346,8 +415,11 @@ object SnapshotLog {
       .as[(Int, EncodedChunk)]
     val meta = withRun.select(col("__run").as("run"), col("chunk_id"),
       col("first_doc_id"), col("last_doc_id"))
+    val runAdded = snap.fileAdded.zipWithIndex
+      .map { case (a, i) => i -> a }.toMap
     EncodePipeline.compactRuns(spark, all, meta, s"$dir/$sub",
-      tokensPerChunk, dropDuplicates, readDeletes(spark, dir, Some(cur)))
+      tokensPerChunk, dropDuplicates, readDeletes(spark, dir, Some(cur)),
+      runAdded)
     val added = listParquet(hfs, root, sub).keys.toSeq.sorted
     commitRewrite(spark, dir, "compact",
       removed = snap.files.toSet, added = added, dropDeletes = true)

@@ -194,6 +194,42 @@ class SnapshotSpec extends AnyFunSuite {
     }
   }
 
+  test("upsert: sequence-scoped delete spares its own rows; compaction folds") {
+    import spark.implicits._
+    val dir = freshDir("ups")
+    val base = TokenTableGen.generate(spark, 300, 5).cache()
+    writeSlice(dir, base)
+    val v1 = SnapshotLog.commit(spark, dir, "append")
+    val updated = base.filter(r => r.doc_id.hashCode % 3 == 0)
+      .map(r => r.copy(source = "UPD"))
+    val fresh = base.map(r => r.copy(doc_id = r.doc_id + "-new", source = "NEW"))
+      .limit(15)
+    val incoming = updated.unionAll(fresh).cache()
+    assert(incoming.count() > 15) // non-vacuous update slice
+    val v2 = SnapshotLog.upsert(spark, dir, incoming)
+    val updKeys = updated.map(_.doc_id).collect().toSet
+    val baseKeys = base.map(_.doc_id).collect().toSet
+    val rows2 = SnapshotLog.readRows(spark, dir, Some(v2)).collect()
+    // one row per key: every base key + 15 new, updated keys carry UPD
+    assert(rows2.length == baseKeys.size + 15)
+    assert(rows2.filter(r => updKeys(r.doc_id)).forall(_.source == "UPD"))
+    assert(rows2.count(_.source == "NEW") == 15)
+    // time travel: v1 still reads the pre-upsert sources
+    assert(SnapshotLog.readRows(spark, dir, Some(v1))
+      .collect().forall(r => r.source != "UPD" && r.source != "NEW"))
+    // compaction folds the upsert: the scoped delete must NOT eat the
+    // upserted rows even though their doc_ids are in the delete file
+    val v3 = SnapshotLog.compactTable(spark, dir, tokensPerChunk = 4096)
+    val rows3 = SnapshotLog.readRows(spark, dir, Some(v3)).collect()
+    assert(rows3.map(r => (r.doc_id, r.source)).sorted.toSeq ==
+      rows2.map(r => (r.doc_id, r.source)).sorted.toSeq)
+    assert(SnapshotLog.snapshot(spark, dir, v3).deletes.isEmpty)
+    // a delete AFTER the upsert applies to the upserted files too
+    val v4 = SnapshotLog.deleteWhere(spark, dir, col("source") === "UPD")
+    assert(SnapshotLog.readRows(spark, dir, Some(v4))
+      .collect().forall(_.source != "UPD"))
+  }
+
   test("rewrite commit validates removed files against the parent") {
     import spark.implicits._
     val dir = freshDir("rwv")
