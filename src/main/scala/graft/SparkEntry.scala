@@ -70,6 +70,8 @@ object SparkEntry {
     "q_snapshot_travel" -> ((s, d) => RoundTrips.snapshotTravel(s, d)),
     "q_snapshot_delete" -> ((s, d) => RoundTrips.snapshotDelete(s, d)),
     "q_snapshot_upsert" -> ((s, d) => RoundTrips.snapshotUpsert(s, d)),
+    "q_snapshot_incr" -> ((s, d) => RoundTrips.snapshotIncremental(s, d)),
+    "q_bucketed_join" -> ((s, d) => RoundTrips.bucketedJoin(s, d)),
     "q_rt_generic_nested" -> ((s, d) => RoundTrips.genericNested(s, d)),
     "q_codec_stats" -> ((s, d) => RoundTrips.codecStats(s, d)),
     // --- relational / dataflow operators ---
@@ -82,6 +84,7 @@ object SparkEntry {
     "q_stats_minmax" -> ((s, d) => Relational.statsMinMax(s, d)),
     "q_rollup_stats" -> ((s, d) => Relational.rollupStats(s, d)),
     "q_heavy_hitters" -> ((s, d) => Relational.heavyHitters(s, d)),
+    "q_hll_ndv" -> ((s, d) => Relational.hllNdv(s, d)),
     "q_join_broadcast" -> ((s, d) => Relational.joinBroadcast(s, d)),
     "q_semi_join" -> ((s, d) => Relational.semiJoin(s, d)),
     "q_range_prune" -> ((s, d) => Relational.rangePrune(s, d)),
@@ -379,6 +382,30 @@ object SparkEntry {
         |UNION ALL
         |SELECT 3 AS snap, doc_id, source, n_tok FROM d WHERE source <> 'de'
         |ORDER BY snap, doc_id""".stripMargin,
+    // Bucketed co-located join: the join itself is exchange-free (both
+    // sides bucket-laid-out on the key); the oracle is the plain
+    // relational restatement.
+    "q_bucketed_join" ->
+      """SELECT o.o_custkey, count(*) AS n_items,
+        |       sum(l.l_quantity) AS sum_qty
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY o.o_custkey
+        |ORDER BY o.o_custkey""".stripMargin,
+    // Incremental change feed: tag 2 = rows appended v1->v2 (doc_id%3=1
+    // slice), tag 3 = v2->v3 (%3=2), tag 4 = v1->v4 which spans the
+    // lang='de' delete, so 'de' rows drop out of the wider feed.
+    "q_snapshot_incr" ->
+      """WITH d AS (SELECT lpad(CAST(doc_id AS VARCHAR), 8, '0') AS doc_id,
+        |                  lang AS source, CAST(1 AS BIGINT) AS n_tok,
+        |                  doc_id AS raw_id
+        |           FROM documents)
+        |SELECT 2 AS snap, doc_id, source, n_tok FROM d WHERE raw_id % 3 = 1
+        |UNION ALL
+        |SELECT 3 AS snap, doc_id, source, n_tok FROM d WHERE raw_id % 3 = 2
+        |UNION ALL
+        |SELECT 4 AS snap, doc_id, source, n_tok FROM d
+        |WHERE raw_id % 3 IN (1, 2) AND source <> 'de'
+        |ORDER BY snap, doc_id""".stripMargin,
     // MERGE-style upsert: snap 1 = base table; snaps 2 and 3 = after the
     // atomic upsert ('fr' docs rewritten to source 'fr2', 40 new docs at
     // doc_id+50000000), merge-on-read and post-compaction respectively.
@@ -430,6 +457,11 @@ object SparkEntry {
     // plain GROUP BY restates it bit-for-bit.
     "q_heavy_hitters" ->
       "SELECT event_type AS item, count(*) AS cnt FROM events GROUP BY event_type ORDER BY cnt DESC, item",
+    // HLL++ in its exact (sparse) regime: domain bounded at 1000 by the
+    // modulo, below the 2^14/4 switch point, so count(DISTINCT) restates
+    // it bit-for-bit.
+    "q_hll_ndv" ->
+      "SELECT event_type, count(DISTINCT user_id % 1000) AS ndv_users FROM events GROUP BY event_type ORDER BY event_type",
     "q_rollup_stats" ->
       """SELECT COALESCE(source, '<all>') AS source, COALESCE(lang, '<all>') AS lang,
         |       count(*) AS cnt, CAST(sum(n_chars) AS BIGINT) AS chars,

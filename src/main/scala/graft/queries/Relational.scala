@@ -112,6 +112,20 @@ object Relational {
       .select(col("e.item").as("item"), col("e.cnt").as("cnt"))
       .orderBy(desc("cnt"), col("item"))
 
+  /** HLL++ distinct-count sketch per group, run in its EXACT regime:
+    * `user_id % 1000` bounds the per-group domain at 1000 < 2^14/4, so
+    * the sparse mode never overflows and the estimate IS
+    * count(DISTINCT ...) — the bit-exact oracle; SketchSpec separately
+    * pins the dense-mode error bound where the domain overflows. One
+    * small register buffer per group crosses the exchange instead of
+    * count(DISTINCT)'s Expand + full distinct-value shuffle. */
+  def hllNdv(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy("event_type")
+      .agg(graft.functions.Sketches
+        .hllNdv(col("user_id") % 1000, 14).as("ndv_users"))
+      .orderBy("event_type")
+
   /** Validation join shape (SURVEY §2.6) — dim side broadcast. */
   def joinBroadcast(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "customer")

@@ -1073,6 +1073,88 @@ object RoundTrips {
       .orderBy("snap", "doc_id")
   }
 
+  /** Bucketed co-located join: both sides are written bucketed (and
+    * bucket-sorted) on the join key, so the sort-merge join consumes
+    * the bucket layout directly — NO exchange and NO sort on either
+    * side of the join (BucketedJoinSpec pins the plan; `hint("merge")`
+    * keeps the broadcast planner from hiding the property at toy scale).
+    * This is the write-once-join-many pattern for 100-TB fact tables:
+    * the shuffle is paid once at layout time, then every subsequent
+    * join of tables bucketed on the same key is exchange-free. The
+    * trailing per-customer aggregate shuffles (different key) — only
+    * the JOIN rides the buckets. */
+  def bucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft-bktjoin-q-$tag"
+    val (liTbl, ordTbl) = (s"graft_bkt_li_$tag", s"graft_bkt_ord_$tag")
+    spark.sql(s"DROP TABLE IF EXISTS $liTbl")
+    spark.sql(s"DROP TABLE IF EXISTS $ordTbl")
+    table(spark, dir, "lineitem")
+      .select("l_orderkey", "l_quantity")
+      .write.mode("overwrite").option("path", s"$base/li")
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable(liTbl)
+    table(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey")
+      .write.mode("overwrite").option("path", s"$base/ord")
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable(ordTbl)
+    val li = spark.table(liTbl)
+    val ord = spark.table(ordTbl)
+    li.hint("merge")
+      .join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast("double")).as("sum_qty"))
+      .select(col("o_custkey"), col("n_items"), col("sum_qty"))
+      .orderBy("o_custkey")
+  }
+
+  /** Incremental consumption (SnapshotLog.readIncremental): the
+    * documents table lands in three appends (doc_id % 3 slices); the
+    * change feed between consecutive snapshots must return exactly the
+    * appended slice, reading ONLY the new files (cost O(new data), never
+    * O(table) — the manifest diff names them). A trailing equality
+    * delete proves deleted rows drop out of a feed that spans the
+    * delete. Output tags: 2 = feed v1→v2, 3 = feed v2→v3,
+    * 4 = feed v1→v4 (across the delete). */
+  def snapshotIncremental(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.spark.SnapshotLog
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft-snapinc-q-" +
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    val basePath = new org.apache.hadoop.fs.Path(base)
+    basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(basePath, true)
+    def slice(pred: org.apache.spark.sql.Column) =
+      table(spark, dir, "documents").filter(pred)
+        .select(
+          lpad(col("doc_id").cast("string"), 8, "0").as("doc_id"),
+          array(col("n_chars").cast("int")).as("tokens"),
+          lit(1).as("n_tok"),
+          col("lang").as("source"))
+        .as[TokenRow]
+    def append(rows: org.apache.spark.sql.Dataset[TokenRow]): Int = {
+      EncodePipeline.encode(rows, numParts = 4, tokensPerChunk = 2048)
+        .write.mode("append")
+        .option("compression", EncodePipeline.ChunkTableCompression)
+        .parquet(s"$base/chunks")
+      SnapshotLog.commit(spark, base, "append")
+    }
+    val v1 = append(slice(col("doc_id") % 3 === 0))
+    val v2 = append(slice(col("doc_id") % 3 === 1))
+    val v3 = append(slice(col("doc_id") % 3 === 2))
+    val v4 = SnapshotLog.deleteWhere(spark, base, col("source") === "de")
+    def feed(from: Int, to: Int, tag: Int) =
+      SnapshotLog.readIncremental(spark, base, from, to)
+        .select(lit(tag).as("snap"), col("doc_id"), col("source"),
+          col("n_tok").cast("long").as("n_tok"))
+    feed(v1, v2, 2).unionAll(feed(v2, v3, 3)).unionAll(feed(v1, v4, 4))
+      .orderBy("snap", "doc_id")
+  }
+
   /** MERGE-style upsert (SnapshotLog.upsert): the documents table is the
     * base snapshot; one atomic commit then lands NEW versions of every
     * 'fr' doc (source rewritten to 'fr2') plus brand-new doc_ids — as

@@ -322,6 +322,57 @@ object SnapshotLog {
     }
   }
 
+  /** Incremental read (CDC-style consumption): the rows APPENDED between
+    * two snapshots — exactly the data files whose added-version lies in
+    * (fromVersion, toVersion], minus the deletes in effect at
+    * `toVersion` that apply to them. This is how a training pipeline
+    * consumes only each epoch's new data instead of rescanning the
+    * table: the manifest diff names the files, so the cost is
+    * O(new data), never O(table). Rows REMOVED in the interval (deletes,
+    * upsert-replaced versions) are not reported — appends-only change
+    * feed, like Iceberg's incremental append scan. Compaction rewrites
+    * files without changing rows; its output files carry a new
+    * added-version, so incremental reads across a compaction would
+    * re-surface old rows — callers consume BETWEEN compactions
+    * (compactions are the epoch boundaries), and this refuses intervals
+    * that cross one. */
+  def readIncremental(spark: SparkSession, dir: String,
+                      fromVersion: Int, toVersion: Int): Dataset[TokenRow] = {
+    import spark.implicits._
+    require(fromVersion < toVersion,
+      s"incremental read needs fromVersion < toVersion " +
+        s"(got $fromVersion >= $toVersion)")
+    val compacted = (fromVersion + 1 to toVersion).filter { v =>
+      val op = snapshot(spark, dir, v).operation
+      op == "compact" || op == "overwrite"
+    }
+    require(compacted.isEmpty,
+      s"incremental read $fromVersion->$toVersion at $dir crosses rewrite " +
+        s"commit(s) v${compacted.mkString(", v")}: rewrites re-version " +
+        "unchanged rows; consume up to the rewrite, then restart from it")
+    val to = snapshot(spark, dir, toVersion)
+    val fresh = to.files.zip(to.fileAdded)
+      .filter { case (_, a) => a > fromVersion && a <= toVersion }
+    if (fresh.isEmpty)
+      return spark.emptyDataset[TokenRow]
+    val del = if (to.deletes.isEmpty) None else Some(
+      to.deletes.zip(to.deleteSeqs).map { case (f, s) =>
+        spark.read.parquet(s"$dir/$f")
+          .select(col("doc_id"), lit(s).as("del_seq"))
+      }.reduce(_ unionAll _))
+    fresh.groupBy(_._2).toSeq.sortBy(_._1).map { case (added, fs) =>
+      val rows = EncodePipeline.decode(
+        spark.read.parquet(fs.map(f => s"$dir/${f._1}"): _*).as[EncodedChunk])
+      del match {
+        case None => rows
+        case Some(d) =>
+          rows.join(broadcast(d.filter(col("del_seq") > added)
+              .select(col("doc_id"))), Seq("doc_id"), "left_anti")
+            .select("doc_id", "tokens", "n_tok", "source").as[TokenRow]
+      }
+    }.reduce(_ unionAll _)
+  }
+
   /** MERGE-style upsert, one atomic commit: the incoming rows are
     * encoded as NEW data files and an equality-delete of their doc_ids
     * is committed alongside. The delete's sequence number equals the

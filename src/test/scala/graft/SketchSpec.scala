@@ -64,4 +64,58 @@ class SketchSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getLong(1))).toSeq
     assert(rows == Seq(("a", 3L), ("b", 2L), ("c", 1L)))
   }
+
+  // ------------------------------------------------------------- hll_ndv
+
+  private def ndv(df: org.apache.spark.sql.DataFrame, p: Int): Long =
+    df.agg(Sketches.hllNdv(col("v"), p).as("ndv"))
+      .collect().head.getLong(0)
+
+  test("hll_ndv is EXACT below the sparse cap, any partitioning") {
+    import spark.implicits._
+    for (distinct <- Seq(1, 17, 1000, 4096)) { // cap at p=14 is 4096
+      val df = spark.range(30000)
+        .select((col("id") % distinct).as("v")).repartition(9)
+      assert(ndv(df, 14) == distinct.toLong, s"distinct=$distinct")
+    }
+    // strings too
+    val s = spark.range(20000)
+      .select(concat(lit("u"), (col("id") % 321).cast("string")).as("v"))
+      .repartition(5)
+    assert(ndv(s, 14) == 321L)
+  }
+
+  test("hll_ndv dense regime: error within the published bound") {
+    import spark.implicits._
+    // 200k distinct longs >> cap: fully dense at p=12 (m=4096,
+    // expected relative error 1.04/sqrt(m) ≈ 1.6%; assert 3x slack)
+    val n = 200000L
+    val df = spark.range(n).select(col("id").as("v")).repartition(8)
+    val est = ndv(df, 12)
+    assert(math.abs(est - n).toDouble / n < 0.05, s"est=$est")
+    // merging dense partials must equal one-pass (register max is
+    // associative): same estimate with adversarial partitioning
+    assert(ndv(df.repartition(31), 12) == est)
+  }
+
+  test("hll_ndv sparse and dense partials merge across the boundary") {
+    import spark.implicits._
+    // small partitions stay sparse, big ones go dense; their union must
+    // agree with the one-sided estimate (values 0..499 are a subset of
+    // 0..99999, so truth is 100000)
+    val sparseSide = spark.range(500).select(col("id").as("v")).repartition(4)
+    val denseSide = spark.range(100000).select(col("id").as("v")).repartition(4)
+    val est = ndv(sparseSide.unionAll(denseSide), 12)
+    assert(math.abs(est - 100000L).toDouble / 100000 < 0.05, s"est=$est")
+  }
+
+  test("hll_ndv rejects unsupported types and bad precision") {
+    import spark.implicits._
+    val df = spark.range(10).select(col("id").cast("double").as("v"))
+    intercept[Exception](ndv(df, 14))
+    intercept[Exception] {
+      val d2 = spark.range(10).select(col("id").as("v"))
+      ndv(d2, 25)
+    }
+  }
 }

@@ -230,6 +230,39 @@ class SnapshotSpec extends AnyFunSuite {
       .collect().forall(_.source != "UPD"))
   }
 
+  test("incremental read returns exactly the appended slice") {
+    import spark.implicits._
+    val dir = freshDir("incr")
+    val all = TokenTableGen.generate(spark, 450, 5).cache()
+    val a = all.filter(r => math.abs(r.doc_id.hashCode % 3) == 0)
+    val b = all.filter(r => math.abs(r.doc_id.hashCode % 3) == 1)
+    val c = all.filter(r => math.abs(r.doc_id.hashCode % 3) == 2)
+    writeSlice(dir, a); val v1 = SnapshotLog.commit(spark, dir, "append")
+    writeSlice(dir, b); val v2 = SnapshotLog.commit(spark, dir, "append")
+    writeSlice(dir, c); val v3 = SnapshotLog.commit(spark, dir, "append")
+    def ids(from: Int, to: Int) = SnapshotLog
+      .readIncremental(spark, dir, from, to).map(_.doc_id).collect().toSet
+    val (ka, kb, kc) = (a.map(_.doc_id).collect().toSet,
+      b.map(_.doc_id).collect().toSet, c.map(_.doc_id).collect().toSet)
+    assert(ids(v1, v2) == kb)
+    assert(ids(v2, v3) == kc)
+    assert(ids(v1, v3) == kb ++ kc)
+    assert(kb.nonEmpty && kc.nonEmpty && (kb ++ kc) != kb) // non-vacuous
+    // a delete in the interval hides its rows from the feed
+    val victim = all.map(_.source).collect().head
+    val v4 = SnapshotLog.deleteWhere(spark, dir, col("source") === victim)
+    assert(ids(v1, v4) ==
+      (kb ++ kc) -- all.filter(_.source == victim).map(_.doc_id).collect())
+    // a compaction in the interval is refused (it re-versions old rows)
+    val v5 = SnapshotLog.compactTable(spark, dir, tokensPerChunk = 4096)
+    intercept[IllegalArgumentException](
+      SnapshotLog.readIncremental(spark, dir, v1, v5))
+    // and consumption restarts cleanly from the compaction
+    writeSlice(dir, a.map(r => r.copy(doc_id = r.doc_id + "-x")))
+    val v6 = SnapshotLog.commit(spark, dir, "append")
+    assert(ids(v5, v6) == ka.map(_ + "-x"))
+  }
+
   test("rewrite commit validates removed files against the parent") {
     import spark.implicits._
     val dir = freshDir("rwv")
