@@ -62,6 +62,7 @@ object SparkEntry {
     "q_streaming_window" -> ((s, d) => RoundTrips.streamingWindow(s, d)),
     "q_streaming_sliding" -> ((s, d) => RoundTrips.streamingSliding(s, d)),
     "q_streaming_join" -> ((s, d) => RoundTrips.streamingJoin(s, d)),
+    "q_streaming_enrich" -> ((s, d) => RoundTrips.streamingEnrich(s, d)),
     "q_seek_rows" -> ((s, d) => RoundTrips.seekRows(s, d)),
     "q_compact_merge" -> ((s, d) => RoundTrips.compactMerge(s, d)),
     "q_compact_dedup" -> ((s, d) => RoundTrips.compactDedup(s, d)),
@@ -92,6 +93,9 @@ object SparkEntry {
     "q_event_window" -> ((s, d) => Relational.eventWindow(s, d)),
     "q_session_window" -> ((s, d) => Relational.sessionWindow(s, d)),
     "q_asof_join" -> ((s, d) => Relational.asofJoin(s, d)),
+    "q_cube" -> ((s, d) => Relational.cubeStats(s, d)),
+    "q_skew_join" -> ((s, d) => Relational.skewJoin(s, d)),
+    "q_range_join" -> ((s, d) => Relational.rangeJoin(s, d)),
     // --- training-data pipeline ops ---
     "q_exact_dedup" -> ((s, d) => TextOps.exactDedup(s, d)),
     "q_token_count" -> ((s, d) => TextOps.tokenCount(s, d)),
@@ -118,6 +122,8 @@ object SparkEntry {
     "q_pii_redact" -> ((s, d) => TextOps.piiRedact(s, d)),
     "q_blocklist" -> ((s, d) => TextOps.blocklistFilter(s, d)),
     "q_doc_stats" -> ((s, d) => TextOps.docStats(s, d)),
+    "q_dedup_cluster" -> ((s, d) => GraphOps.dedupCluster(s, d)),
+    "q_bm25" -> ((s, d) => GraphOps.bm25(s, d)),
     "q_cosine_topk" -> ((s, d) => SimilarityOps.cosineTopK(s, d)),
     "q_lsh_ann" -> ((s, d) => SimilarityOps.lshAnn(s, d)),
     "q_ivf_ann" -> ((s, d) => SimilarityOps.ivfAnn(s, d)),
@@ -201,7 +207,7 @@ object SparkEntry {
       """SELECT CAST(doc_id AS BIGINT) AS doc_id,
         |       CASE WHEN lang = 'de' THEN NULL ELSE lang END AS lang,
         |       CASE WHEN lang = 'de' THEN NULL ELSE n_chars END AS n_chars,
-        |       CASE WHEN lang = 'de' THEN NULL ELSE (n_chars > 200) END AS long_doc,
+        |       CASE WHEN lang = 'de' THEN NULL ELSE CAST(n_chars > 200 AS BIGINT) END AS long_doc,
         |       CASE WHEN source IN ('src3','src7','src11') THEN NULL ELSE n_chars END AS p_chars,
         |       CASE WHEN source IN ('src3','src7','src11') THEN NULL ELSE length(lang) END AS p_langlen
         |FROM documents ORDER BY doc_id""".stripMargin,
@@ -506,6 +512,69 @@ object SparkEntry {
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |  ON p.user_id = c.user_id AND p.ts >= c.ts
         |ORDER BY p.event_id""".stripMargin,
+    "q_cube" ->
+      """SELECT lang, source, count(*) AS cnt, CAST(sum(n_chars) AS BIGINT) AS chars
+        |FROM documents GROUP BY CUBE (lang, source)
+        |ORDER BY lang ASC NULLS FIRST, source ASC NULLS FIRST""".stripMargin,
+    // The unsalted restatement: salting is provably result-invariant
+    // (each fact row meets exactly one dim replica).
+    "q_skew_join" ->
+      """WITH dim AS (SELECT user_id, count(*) AS u_events FROM events GROUP BY user_id)
+        |SELECT e.event_id, e.user_id, d.u_events
+        |FROM events e JOIN dim d USING (user_id)
+        |WHERE e.event_id % 5 = 0 ORDER BY e.event_id""".stripMargin,
+    "q_range_join" ->
+      """WITH r AS (SELECT event_type AS range_type, min(ts) AS lo,
+        |                  min(ts) + INTERVAL 6 HOUR AS hi
+        |           FROM events GROUP BY event_type)
+        |SELECT r.range_type, count(*) AS hits,
+        |       count(DISTINCT e.event_type) AS n_types
+        |FROM events e JOIN r
+        |  ON e.ts >= r.lo AND e.ts <= r.hi AND e.event_type <> r.range_type
+        |GROUP BY r.range_type ORDER BY r.range_type""".stripMargin,
+    "q_streaming_enrich" ->
+      """WITH dim AS (SELECT event_type, count(*) AS type_count
+        |             FROM events GROUP BY event_type)
+        |SELECT e.event_id, e.event_type, d.type_count
+        |FROM events e JOIN dim d USING (event_type)
+        |WHERE e.event_id % 11 = 0 ORDER BY e.event_id""".stripMargin,
+    // Recursive-CTE label propagation over the SAME deterministic edge
+    // set: every node collects every reachable label (UNION dedups, so
+    // the recursion is finite) and keeps the minimum — the component id
+    // the distributed star-contraction must agree with.
+    "q_dedup_cluster" ->
+      """WITH RECURSIVE e0 AS (
+        |  SELECT a.doc_id AS s, b.doc_id AS t
+        |  FROM documents a JOIN documents b
+        |    ON b.doc_id = a.doc_id + 1 AND a.lang = b.lang
+        |  UNION ALL
+        |  SELECT a.doc_id, b.doc_id
+        |  FROM documents a JOIN documents b
+        |    ON b.doc_id = a.doc_id * 2 AND b.doc_id > a.doc_id
+        |), e AS (SELECT s, t FROM e0 UNION SELECT t, s FROM e0),
+        |lab(n, l) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.t, lab.l FROM lab JOIN e ON e.s = lab.n
+        |)
+        |SELECT n AS doc_id, min(l) AS component FROM lab
+        |GROUP BY n ORDER BY doc_id""".stripMargin,
+    // Same constants, same parse-level literals (2.2, 1.2, 0.25, 0.75),
+    // ln == Spark's natural log; round(6) absorbs summation-order ulps.
+    "q_bm25" ->
+      """WITH d AS (SELECT doc_id, text, len(string_split(text, ' ')) AS dl FROM documents),
+        |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM d),
+        |words AS (SELECT doc_id, dl, unnest(string_split(text, ' ')) AS term FROM d),
+        |tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM words
+        |       WHERE term IN ('hash', 'merge', 'spark') GROUP BY 1, 2, 3),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+        |SELECT tf.doc_id,
+        |       round(sum(ln(1.0 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+        |             * (tf.tf * 2.2)
+        |             / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / stats.avgdl))), 6) AS bm25,
+        |       count(*) AS n_terms
+        |FROM tf JOIN df USING (term) CROSS JOIN stats
+        |GROUP BY tf.doc_id ORDER BY tf.doc_id""".stripMargin,
     "q_exact_dedup" ->
       "SELECT min(doc_id) AS keep_id, count(*) AS copies FROM documents GROUP BY text ORDER BY keep_id",
     "q_token_count" ->

@@ -217,4 +217,56 @@ object Relational {
         col("last_click_v"))
       .orderBy("event_id")
   }
+
+  /** CUBE aggregation: all 2^k grouping combinations in one pass — the
+    * Expand-based plan shuffles each row once per grouping set with
+    * partial aggregation underneath, so no pass over the base data
+    * repeats (rollup's generalization; reference has neither, §2.6). */
+  def cubeStats(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .cube("lang", "source")
+      .agg(count(lit(1)).as("cnt"), sum("n_chars").as("chars"))
+      .orderBy(col("lang").asc_nulls_first, col("source").asc_nulls_first)
+
+  /** Skew-salted repartition join: a per-user profile dim joined back to
+    * the event stream. At corpus scale the profile side is 10^9 rows
+    * (no broadcast) and a handful of bot users carry 10^8 events each —
+    * a vanilla shuffle join puts one such key in one task. Salting
+    * spreads it: the fact side adds salt = event_id mod S (uniform by
+    * construction), the dim side replicates each row across all S salts,
+    * and the join key becomes (user_id, salt) — each hot key now fans
+    * out over S tasks at the cost of an S-times-larger dim shuffle,
+    * the standard trade. Result provably equals the unsalted join
+    * (every fact row meets exactly one replica), which is the oracle. */
+  def skewJoin(spark: SparkSession, dir: String): DataFrame = {
+    val salts = 8
+    val ev = t(spark, dir, "events")
+    val dim = ev.groupBy("user_id").agg(count(lit(1)).as("u_events"))
+      .withColumn("salt", explode(lit((0 until salts).toArray)))
+    val fact = ev.withColumn("salt", pmod(col("event_id"), lit(salts)).cast("int"))
+    fact.join(dim, Seq("user_id", "salt"))
+      .filter(col("event_id") % 5 === 0)
+      .select("event_id", "user_id", "u_events")
+      .orderBy("event_id")
+  }
+
+  /** Range (interval-overlap) join, broadcast flavor: each event type's
+    * opening 6-hour window counts intruding events of OTHER types. The
+    * range side is tiny (one interval per type) so the right plan is a
+    * broadcast nested-loop with the interval predicate evaluated
+    * streamside — no shuffle of the fact table at all; at a million
+    * intervals the same query would bucket both sides by coarse time
+    * bins first (the q_asof_join union trick's sibling). */
+  def rangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    val ranges = ev.groupBy(col("event_type").as("range_type"))
+      .agg(min("ts").as("lo"))
+      .withColumn("hi", col("lo") + expr("INTERVAL 6 HOURS"))
+    ev.join(broadcast(ranges),
+        col("ts") >= col("lo") && col("ts") <= col("hi") &&
+          col("event_type") =!= col("range_type"))
+      .groupBy("range_type")
+      .agg(count(lit(1)).as("hits"), countDistinct("event_type").as("n_types"))
+      .orderBy("range_type")
+  }
 }

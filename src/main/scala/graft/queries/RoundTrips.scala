@@ -671,6 +671,41 @@ object RoundTrips {
     spark.table(qname).orderBy("user_id", "click_id", "purchase_id")
   }
 
+  /** Stream-static enrichment join: the event stream picks up per-type
+    * reference stats from a static dimension computed once batch-side.
+    * The static side broadcasts into every micro-batch (no state store,
+    * no watermark — stream-static inner joins are stateless), which is
+    * the shape of dimension enrichment at ingest: the 100-TB stream
+    * never shuffles, each executor probes the broadcast map. Oracle
+    * restates as a batch join. */
+  def streamingEnrich(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val evBatch = table(spark, dir, "events")
+    val dim = evBatch.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("type_count"))
+    val rows = evBatch
+      .select(col("event_id"), col("event_type"))
+      .as[(Long, String)].collect().sortBy(_._1)
+    val ms = MemoryStream[(Long, String)](spark)
+    val enriched = ms.toDF().toDF("event_id", "event_type")
+      .join(broadcast(dim), "event_type")
+      .filter(col("event_id") % 11 === 0)
+      .select(col("event_id"), col("event_type"), col("type_count"))
+    val qname = "graft_stream_enrich_" +
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    val q = enriched.writeStream.outputMode("append")
+      .format("memory").queryName(qname).start()
+    try {
+      rows.grouped((rows.length + 2) / 3).foreach { g =>
+        ms.addData(g.toSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    spark.table(qname).orderBy("event_id")
+  }
+
   /** Pure-SQL read path: a persisted chunk table registered as a temp
     * view, queried with plain `spark.sql` — the filter and projection
     * ride the same decode plan, pushdown rules and all. Oracle restates
@@ -871,7 +906,11 @@ object RoundTrips {
       .select(col("doc_id"),
         col("meta.lang").as("lang"),
         col("meta.n_chars").as("n_chars"),
-        col("meta.flags.long_doc").as("long_doc"),
+        // cast the nullable boolean to BIGINT: pandas reads null booleans
+        // as None (object dtype) while DuckDB's df() yields NaN, and the
+        // two hash differently in the driver's compare; 0/1/null longs
+        // land in float64 on BOTH sides like every other nullable numeric
+        col("meta.flags.long_doc").cast("long").as("long_doc"),
         element_at(col("props"), "chars").as("p_chars"),
         element_at(col("props"), "langlen").as("p_langlen"))
       .orderBy("doc_id")
