@@ -72,6 +72,7 @@ object SparkEntry {
     "q_snapshot_delete" -> ((s, d) => RoundTrips.snapshotDelete(s, d)),
     "q_snapshot_upsert" -> ((s, d) => RoundTrips.snapshotUpsert(s, d)),
     "q_snapshot_incr" -> ((s, d) => RoundTrips.snapshotIncremental(s, d)),
+    "q_incr_mv" -> ((s, d) => RoundTrips.incrementalMv(s, d)),
     "q_bucketed_join" -> ((s, d) => RoundTrips.bucketedJoin(s, d)),
     "q_rt_generic_nested" -> ((s, d) => RoundTrips.genericNested(s, d)),
     "q_codec_stats" -> ((s, d) => RoundTrips.codecStats(s, d)),
@@ -94,6 +95,8 @@ object SparkEntry {
     "q_session_window" -> ((s, d) => Relational.sessionWindow(s, d)),
     "q_asof_join" -> ((s, d) => Relational.asofJoin(s, d)),
     "q_cube" -> ((s, d) => Relational.cubeStats(s, d)),
+    "q_set_ops" -> ((s, d) => Relational.setOps(s, d)),
+    "q_pivot" -> ((s, d) => Relational.pivotLang(s, d)),
     "q_skew_join" -> ((s, d) => Relational.skewJoin(s, d)),
     "q_range_join" -> ((s, d) => Relational.rangeJoin(s, d)),
     // --- training-data pipeline ops ---
@@ -516,6 +519,30 @@ object SparkEntry {
       """SELECT lang, source, count(*) AS cnt, CAST(sum(n_chars) AS BIGINT) AS chars
         |FROM documents GROUP BY CUBE (lang, source)
         |ORDER BY lang ASC NULLS FIRST, source ASC NULLS FIRST""".stripMargin,
+    "q_set_ops" ->
+      """WITH c AS (SELECT DISTINCT user_id FROM events
+        |           WHERE event_type = 'click' AND ts < TIMESTAMP '2024-01-08'),
+        |     p AS (SELECT DISTINCT user_id FROM events
+        |           WHERE event_type = 'purchase' AND ts < TIMESTAMP '2024-01-08')
+        |SELECT 'both' AS tag, user_id FROM (SELECT user_id FROM c INTERSECT SELECT user_id FROM p)
+        |UNION ALL
+        |SELECT 'click_only' AS tag, user_id FROM (SELECT user_id FROM c EXCEPT SELECT user_id FROM p)
+        |ORDER BY tag, user_id""".stripMargin,
+    "q_pivot" ->
+      """SELECT source,
+        |  CAST(coalesce(sum(CASE WHEN lang = 'de' THEN 1 END), 0) AS BIGINT) AS de,
+        |  CAST(coalesce(sum(CASE WHEN lang = 'en' THEN 1 END), 0) AS BIGINT) AS en,
+        |  CAST(coalesce(sum(CASE WHEN lang = 'es' THEN 1 END), 0) AS BIGINT) AS es,
+        |  CAST(coalesce(sum(CASE WHEN lang = 'fr' THEN 1 END), 0) AS BIGINT) AS fr,
+        |  CAST(coalesce(sum(CASE WHEN lang = 'zh' THEN 1 END), 0) AS BIGINT) AS zh
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    // Full recompute over the final state — the incremental folds (and
+    // the delete's retraction) must be indistinguishable from it.
+    "q_incr_mv" ->
+      """SELECT lang AS source, count(*) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE lang <> 'de'
+        |GROUP BY lang ORDER BY source""".stripMargin,
     // The unsalted restatement: salting is provably result-invariant
     // (each fact row meets exactly one dim replica).
     "q_skew_join" ->

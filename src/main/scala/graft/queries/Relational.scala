@@ -218,6 +218,35 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** INTERSECT / EXCEPT set operators (absent in the reference, §2.6):
+    * week-one clickers who did vs didn't also purchase that week. Both
+    * compile to aggregate-based plans (no naive pairwise compare):
+    * INTERSECT is a left-semi over distincts, EXCEPT a left-anti —
+    * each one shuffle on the key. */
+  def setOps(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+      .filter(col("ts") < lit("2024-01-08").cast("timestamp"))
+    val clickers = ev.filter(col("event_type") === "click").select("user_id")
+    val buyers = ev.filter(col("event_type") === "purchase").select("user_id")
+    clickers.intersect(buyers).withColumn("tag", lit("both"))
+      .unionByName(clickers.except(buyers).withColumn("tag", lit("click_only")))
+      .select("tag", "user_id")
+      .orderBy("tag", "user_id")
+  }
+
+  /** PIVOT: per-source document counts spread across the (closed) lang
+    * domain. Pivot values are pinned explicitly — with them the plan is
+    * ONE pass with conditional partial aggregation (no extra job to
+    * discover the domain, which at 100 TB would be a full scan). Empty
+    * cells fill 0 to match the oracle's coalesced conditional sums. */
+  def pivotLang(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .groupBy("source")
+      .pivot("lang", Seq("de", "en", "es", "fr", "zh"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("source")
+
   /** CUBE aggregation: all 2^k grouping combinations in one pass — the
     * Expand-based plan shuffles each row once per grouping set with
     * partial aggregation underneath, so no pass over the base data

@@ -658,6 +658,13 @@ object RoundTrips {
     val qname = "graft_stream_join_" +
       java.security.MessageDigest.getInstance("MD5")
         .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    // A stream-stream join keeps ~4 state stores per side per shuffle
+    // partition; at the session's 32 partitions each micro-batch commits
+    // hundreds of store files for a toy input. Scope the state fan-out
+    // down for this query (a deployment sizes it to the cluster) and
+    // restore the session value after — result is partition-invariant.
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     val q = joined.writeStream.outputMode("append")
       .format("memory").queryName(qname).start()
     try {
@@ -667,7 +674,10 @@ object RoundTrips {
         msPurch.addData(g.filter(_._3 == "purchase").map(e => (e._1, e._2, e._4)).toSeq)
         q.processAllAvailable()
       }
-    } finally q.stop()
+    } finally {
+      q.stop()
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
     spark.table(qname).orderBy("user_id", "click_id", "purchase_id")
   }
 
@@ -1192,6 +1202,69 @@ object RoundTrips {
           col("n_tok").cast("long").as("n_tok"))
     feed(v1, v2, 2).unionAll(feed(v2, v3, 3)).unionAll(feed(v1, v4, 4))
       .orderBy("snap", "doc_id")
+  }
+
+  /** Incremental materialized-view maintenance with RETRACTIONS: a
+    * per-source aggregate table is kept current across snapshot commits
+    * by folding in only each commit's DELTA — appends add their
+    * aggregated contribution (readIncremental: just-landed files, never
+    * a rescan), the delete retracts the aggregated contribution of the
+    * rows it removes (negated counts merged in) — so maintenance cost
+    * is O(delta), not O(table), the property that makes a 100-TB MV
+    * affordable. The MV is genuinely materialized: written to parquet
+    * after every fold and re-read for the next, never carried in memory.
+    * Oracle: full recompute over the final state — incremental
+    * maintenance must be indistinguishable from it. */
+  def incrementalMv(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.spark.SnapshotLog
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft-incmv-q-" +
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    val basePath = new org.apache.hadoop.fs.Path(base)
+    basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(basePath, true)
+    def slice(pred: org.apache.spark.sql.Column) =
+      table(spark, dir, "documents").filter(pred)
+        .select(
+          lpad(col("doc_id").cast("string"), 8, "0").as("doc_id"),
+          array(col("n_chars").cast("int")).as("tokens"),
+          lit(1).as("n_tok"),
+          col("lang").as("source"))
+        .as[TokenRow]
+    def append(rows: org.apache.spark.sql.Dataset[TokenRow]): Int = {
+      EncodePipeline.encode(rows, numParts = 4, tokensPerChunk = 2048)
+        .write.mode("append")
+        .option("compression", EncodePipeline.ChunkTableCompression)
+        .parquet(s"$base/chunks")
+      SnapshotLog.commit(spark, base, "append")
+    }
+    def aggOf(rows: org.apache.spark.sql.Dataset[TokenRow]): DataFrame =
+      rows.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(element_at(col("tokens"), 1).cast("long")).as("sum_chars"))
+    def mvPath(v: Int) = s"$base/mv_v$v"
+    def fold(prevV: Int, v: Int, delta: DataFrame): Unit =
+      spark.read.parquet(mvPath(prevV)).unionByName(delta)
+        .groupBy("source")
+        .agg(sum("n_docs").as("n_docs"), sum("sum_chars").as("sum_chars"))
+        .filter(col("n_docs") > 0)
+        .write.mode("overwrite").parquet(mvPath(v))
+    val v1 = append(slice(col("doc_id") % 3 === 0))
+    aggOf(SnapshotLog.readRows(spark, base)).write.parquet(mvPath(v1))
+    val v2 = append(slice(col("doc_id") % 3 === 1))
+    fold(v1, v2, aggOf(SnapshotLog.readIncremental(spark, base, v1, v2)))
+    val v3 = append(slice(col("doc_id") % 3 === 2))
+    fold(v2, v3, aggOf(SnapshotLog.readIncremental(spark, base, v2, v3)))
+    // retraction: the delete's victim rows, aggregated and negated —
+    // read at the PRE-delete version so the subtraction is exact
+    val victims = SnapshotLog.readRows(spark, base, Some(v3))
+      .filter(col("source") === "de")
+    val v4 = SnapshotLog.deleteWhere(spark, base, col("source") === "de")
+    fold(v3, v4, aggOf(victims)
+      .select(col("source"), (-col("n_docs")).as("n_docs"),
+        (-col("sum_chars")).as("sum_chars")))
+    spark.read.parquet(mvPath(v4)).orderBy("source")
   }
 
   /** MERGE-style upsert (SnapshotLog.upsert): the documents table is the
