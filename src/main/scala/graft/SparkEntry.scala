@@ -35,6 +35,7 @@ object SparkEntry {
     "q_rt_fsst_text" -> ((s, d) => RoundTrips.fsstText(s, d)),
     "q_rt_dba_string" -> ((s, d) => RoundTrips.deltaByteArray(s, d)),
     "q_rt_bss_double" -> ((s, d) => RoundTrips.byteStreamSplit(s, d)),
+    "q_rt_alp_double" -> ((s, d) => RoundTrips.alpDouble(s, d)),
     "q_rt_plain_long" -> ((s, d) => RoundTrips.plainInt(s, d)),
     "q_rt_tokens_pipeline" -> ((s, d) => RoundTrips.tokensPipeline(s, d)),
     "q_rt_tokens_zstd" -> ((s, d) => RoundTrips.tokensPipelineZstd(s, d)),
@@ -87,6 +88,7 @@ object SparkEntry {
     "q_rollup_stats" -> ((s, d) => Relational.rollupStats(s, d)),
     "q_heavy_hitters" -> ((s, d) => Relational.heavyHitters(s, d)),
     "q_hll_ndv" -> ((s, d) => Relational.hllNdv(s, d)),
+    "q_cms_freq" -> ((s, d) => Relational.cmsFreq(s, d)),
     "q_join_broadcast" -> ((s, d) => Relational.joinBroadcast(s, d)),
     "q_semi_join" -> ((s, d) => Relational.semiJoin(s, d)),
     "q_range_prune" -> ((s, d) => Relational.rangePrune(s, d)),
@@ -152,6 +154,8 @@ object SparkEntry {
     "q_rt_dba_string" ->
       "SELECT p_name FROM part ORDER BY p_name",
     "q_rt_bss_double" ->
+      "SELECT l_extendedprice FROM lineitem ORDER BY l_extendedprice",
+    "q_rt_alp_double" ->
       "SELECT l_extendedprice FROM lineitem ORDER BY l_extendedprice",
     "q_rt_plain_long" ->
       "SELECT l_orderkey * 2654435761 + l_linenumber AS v FROM lineitem ORDER BY v",
@@ -471,6 +475,10 @@ object SparkEntry {
     // it bit-for-bit.
     "q_hll_ndv" ->
       "SELECT event_type, count(DISTINCT user_id % 1000) AS ndv_users FROM events GROUP BY event_type ORDER BY event_type",
+    // Exact GROUP BY restatement: the 5-string domain vs width 256 is
+    // collision-free (data-volume independent), so the sketch is exact.
+    "q_cms_freq" ->
+      "SELECT event_type AS item, count(*) AS est FROM events GROUP BY event_type ORDER BY item",
     "q_rollup_stats" ->
       """SELECT COALESCE(source, '<all>') AS source, COALESCE(lang, '<all>') AS lang,
         |       count(*) AS cnt, CAST(sum(n_chars) AS BIGINT) AS chars,

@@ -35,6 +35,7 @@ object Codecs {
   final val NullableWrap = 17 // row-null bitmap wrapper around any chunk
   final val BssFloat = 18
   final val PforInt = 19 // patched FOR: outlier-tolerant bit width
+  final val AlpDouble = 20 // adaptive lossless decimal-double (patched)
 
   val names: Map[Int, String] = Map(
     PlainInt -> "PLAIN", RleInt -> "RLE", DeltaInt -> "DELTA_BINARY_PACKED",
@@ -44,7 +45,7 @@ object Codecs {
     PlainDouble -> "PLAIN", BssDouble -> "BYTE_STREAM_SPLIT",
     PlainBool -> "PLAIN", RleBool -> "RLE", PagedInt -> "PAGED",
     ForInt -> "FOR_BIT_PACKED", NullableWrap -> "NULLABLE",
-    BssFloat -> "BYTE_STREAM_SPLIT", PforInt -> "PFOR")
+    BssFloat -> "BYTE_STREAM_SPLIT", PforInt -> "PFOR", AlpDouble -> "ALP")
 }
 
 final case class IntStats(n: Int, min: Long, max: Long, runs: Int, sorted: Boolean,
@@ -577,15 +578,30 @@ object Chunks {
 
   // --------------------------------------------------------------- doubles
 
+  /** Auto mode probes ALP first (decimal doubles → small integers →
+    * long codec stack); the PLAIN floor guard keeps the selector from
+    * ever losing bytes when the exception path bloats the payload. */
   def encodeDoubles(src: Array[Double], off: Int, n: Int, forced: Int = -1): Array[Byte] = {
-    val codec = if (forced >= 0) forced else PlainDouble
+    val alpExp =
+      if (forced == AlpDouble) math.max(0, Alp.chooseExponent(src, off, n, 0.0))
+      else if (forced < 0 && n > 0) Alp.chooseExponent(src, off, n)
+      else -1
+    val codec = if (forced >= 0) forced else if (alpExp >= 0) AlpDouble else PlainDouble
     val out = new ByteWriter(16 + 8 * n)
     out.writeByte(codec)
     out.writeUvarint(n)
     codec match {
       case PlainDouble => Plain.encodeDoubles(src, off, n, out)
       case BssDouble => ByteStreamSplit.encodeDoubles(src, off, n, out)
+      case AlpDouble => Alp.encodeDoubles(src, off, n, alpExp, out)
       case other => throw new IllegalArgumentException(s"not a double codec: $other")
+    }
+    if (forced < 0 && codec == AlpDouble && out.length > 10 + 8L * n) {
+      val plain = new ByteWriter(16 + 8 * n)
+      plain.writeByte(PlainDouble)
+      plain.writeUvarint(n)
+      Plain.encodeDoubles(src, off, n, plain)
+      return plain.toArray
     }
     out.toArray
   }
@@ -597,6 +613,7 @@ object Chunks {
     codec match {
       case PlainDouble => Plain.decodeDoubles(r, n)
       case BssDouble => ByteStreamSplit.decodeDoubles(r, n)
+      case AlpDouble => Alp.decodeDoubles(r, n)
       case other => throw new IllegalArgumentException(s"not a double codec: $other")
     }
   }

@@ -334,6 +334,117 @@ case class HllNdv(
     copy(child = newChild)
 }
 
+/** Count-Min frequency sketch (Cormode & Muthukrishnan, J.Alg'05) as a
+  * Catalyst `TypedImperativeAggregate`: depth×width long counters per
+  * group, every item increments one counter per row, a point query is
+  * the min over rows — NEVER an undercount, overcounts by at most
+  * εn = e·n/width with prob 1-δ (δ = e^-depth). Mergeable by counter
+  * addition, so partials ship through ObjectHashAggregate instead of a
+  * distinct-domain shuffle — frequency point-queries at 100 TB.
+  *
+  * Exactness regime (how the driver query earns a bit-exact GROUP BY
+  * oracle): hashing is deterministic, so for a FIXED (stream, seeds,
+  * width) the collision pattern is fixed; when no queried item collides
+  * with another observed item in every row — certain in practice for a
+  * small domain vs width, and verified against the exact counts by the
+  * oracle itself — the min IS the exact count. The overflow regime
+  * (width << domain) is pinned by SketchSpec: overestimate-only.
+  */
+case class CmsFreq(
+    child: Expression,
+    items: Seq[String],
+    width: Int,
+    depth: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]]
+  with UnaryLike[Expression] {
+
+  require(width >= 8 && width <= (1 << 22), s"cms_freq: width out of range: $width")
+  require(depth >= 1 && depth <= 16, s"cms_freq: depth out of range: $depth")
+  require(items.nonEmpty, "cms_freq: no query items")
+
+  override def prettyName: String = "cms_freq"
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("item", StringType), StructField("est", LongType))),
+    containsNull = false)
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](depth * width)
+
+  @inline private def splitmix64(x0: Long): Long = {
+    var x = x0 + 0x9E3779B97F4A7C15L
+    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+    x ^ (x >>> 31)
+  }
+
+  @inline private def fnv1a64(bytes: Array[Byte]): Long = {
+    var h = 0xCBF29CE484222325L
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xFFL)
+      h *= 0x100000001B3L
+      i += 1
+    }
+    h
+  }
+
+  @inline private def slot(h: Long, row: Int): Int = {
+    // one base hash, per-row seed mixed through the finisher — the
+    // standard 2-universal-per-row construction
+    val hr = splitmix64(h ^ (row.toLong * 0xA0761D6478BD642FL))
+    row * width + (((hr % width) + width) % width).toInt
+  }
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val h = fnv1a64(v.asInstanceOf[UTF8String].getBytes)
+      var r = 0
+      while (r < depth) { buf(slot(h, r)) += 1L; r += 1 }
+    }
+    buf
+  }
+
+  override def merge(buf: Array[Long], other: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < buf.length) { buf(i) += other(i); i += 1 }
+    buf
+  }
+
+  override def eval(buf: Array[Long]): Any =
+    new GenericArrayData(items.sorted.map { item =>
+      val h = fnv1a64(item.getBytes("UTF-8"))
+      var est = Long.MaxValue
+      var r = 0
+      while (r < depth) {
+        val c = buf(slot(h, r))
+        if (c < est) est = c
+        r += 1
+      }
+      InternalRow(UTF8String.fromString(item), est): Any
+    }.toArray)
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(buf.length * 8)
+    buf.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    Array.fill(depth * width)(bb.getLong)
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): CmsFreq =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): CmsFreq =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(newChild: Expression): CmsFreq =
+    copy(child = newChild)
+}
+
 object Sketches {
   /** `heavy_hitters(col, k)` as a Column aggregate. */
   def heavyHitters(col: org.apache.spark.sql.Column, k: Int): org.apache.spark.sql.Column =
@@ -346,4 +457,11 @@ object Sketches {
     org.apache.spark.sql.graftbridge.ColumnBridge.column(
       HllNdv(org.apache.spark.sql.graftbridge.ColumnBridge.expr(col), p)
         .toAggregateExpression())
+
+  /** `cms_freq(col, items, width, depth)` as a Column aggregate. */
+  def cmsFreq(col: org.apache.spark.sql.Column, items: Seq[String],
+              width: Int, depth: Int): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      CmsFreq(org.apache.spark.sql.graftbridge.ColumnBridge.expr(col),
+        items, width, depth).toAggregateExpression())
 }

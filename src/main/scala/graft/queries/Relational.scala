@@ -126,6 +126,21 @@ object Relational {
         .hllNdv(col("user_id") % 1000, 14).as("ndv_users"))
       .orderBy("event_type")
 
+  /** Count-Min frequency point-queries through the custom CmsFreq
+    * TypedImperativeAggregate: depth×width counters per task, merged by
+    * addition — never a distinct-domain shuffle. The 5-value event_type
+    * domain vs width 256 keeps every queried item collision-free at any
+    * data volume (collisions depend only on the strings + seeds, not
+    * rows), so the sketch answer IS the exact GROUP BY — the oracle;
+    * SketchSpec pins the overflow regime (overestimate-only). */
+  def cmsFreq(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .agg(graft.functions.Sketches.cmsFreq(col("event_type"),
+        Seq("click", "view", "purchase", "signup", "error"), 256, 4).as("cms"))
+      .select(explode(col("cms")).as("e"))
+      .select(col("e.item").as("item"), col("e.est").as("est"))
+      .orderBy("item")
+
   /** Validation join shape (SURVEY §2.6) — dim side broadcast. */
   def joinBroadcast(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "customer")

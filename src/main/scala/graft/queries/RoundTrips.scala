@@ -127,6 +127,29 @@ object RoundTrips {
       .orderBy("l_extendedprice")
   }
 
+  /** ALP (adaptive lossless decimal-double) over a price column, AUTO
+    * selected: 2-decimal doubles round-trip bit-exactly through scaled
+    * integers (+ patched exceptions for any stray continuous values);
+    * the in-kernel requires fail the query loudly if the selector stops
+    * choosing ALP or stops beating PLAIN on this column. */
+  def alpDouble(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    table(spark, dir, "lineitem").select("l_extendedprice").as[Double]
+      .mapPartitions { it =>
+        val arr = it.toArray
+        val enc = Chunks.encodeDoubles(arr, 0, arr.length)
+        if (arr.length > 256) {
+          require((enc(0) & 0xFF) == Codecs.AlpDouble,
+            s"selector chose ${Codecs.names(enc(0) & 0xFF)}, not ALP")
+          require(enc.length < 5L * arr.length,
+            s"ALP ${enc.length}B did not beat PLAIN ${8L * arr.length}B decisively")
+        }
+        Chunks.decodeDoubles(enc).iterator
+      }
+      .toDF("l_extendedprice")
+      .orderBy("l_extendedprice")
+  }
+
   /** PLAIN over full-range ints (hash of keys) — selector floor. */
   def plainInt(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

@@ -118,4 +118,51 @@ class SketchSpec extends AnyFunSuite {
       ndv(d2, 25)
     }
   }
+
+  private def cms(df: org.apache.spark.sql.DataFrame, items: Seq[String],
+                  width: Int, depth: Int): Map[String, Long] =
+    df.agg(Sketches.cmsFreq(col("item"), items, width, depth).as("c"))
+      .select(explode(col("c")).as("e"))
+      .select(col("e.item"), col("e.est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  test("cms_freq exact when the observed domain is small vs width") {
+    import spark.implicits._
+    val df = spark.range(30000)
+      .select(concat(lit("k"), (col("id") % 17).cast("string")).as("item"))
+      .repartition(9) // partials merge across partitions
+    val items = (0 until 17).map(i => s"k$i")
+    val got = cms(df, items, 1024, 4)
+    val want = df.groupBy("item").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == want)
+  }
+
+  test("cms_freq overflow regime: overestimate-only, bounded in expectation") {
+    import spark.implicits._
+    val n = 40000L
+    val df = spark.range(n) // 40k distinct items into width 64: heavy collisions
+      .select(concat(lit("u"), col("id").cast("string")).as("item"))
+      .repartition(5)
+    val items = Seq("u0", "u123", "u9999", "u39999")
+    val got = cms(df, items, 64, 4)
+    items.foreach { it =>
+      val est = got(it)
+      assert(est >= 1L, s"$it undercounted: $est") // never undercounts
+      // e*n/width Markov bound holds per row w.p. 1-1/e; with depth 4
+      // allow 3x the single-row expectation as a deterministic ceiling
+      assert(est <= 1L + 3 * n / 64, s"$it overcount too large: $est")
+    }
+  }
+
+  test("cms_freq never reports below the true count (random streams)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val data = Seq.fill(5000)(s"i${rnd.nextInt(300)}")
+    val df = data.toDF("item").repartition(3)
+    val truth = data.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val items = truth.keys.take(40).toSeq
+    val got = cms(df, items, 128, 4)
+    items.foreach(it => assert(got(it) >= truth(it), s"$it undercounted"))
+  }
 }
