@@ -36,6 +36,7 @@ object SparkEntry {
     "q_rt_dba_string" -> ((s, d) => RoundTrips.deltaByteArray(s, d)),
     "q_rt_bss_double" -> ((s, d) => RoundTrips.byteStreamSplit(s, d)),
     "q_rt_alp_double" -> ((s, d) => RoundTrips.alpDouble(s, d)),
+    "q_rt_xor_double" -> ((s, d) => RoundTrips.xorDouble(s, d)),
     "q_rt_plain_long" -> ((s, d) => RoundTrips.plainInt(s, d)),
     "q_rt_tokens_pipeline" -> ((s, d) => RoundTrips.tokensPipeline(s, d)),
     "q_rt_tokens_zstd" -> ((s, d) => RoundTrips.tokensPipelineZstd(s, d)),
@@ -116,6 +117,7 @@ object SparkEntry {
     "q_ngram_jaccard" -> ((s, d) => TextOps.ngramJaccard(s, d)),
     "q_decontaminate" -> ((s, d) => TextOps.decontaminate(s, d)),
     "q_sample_stratified" -> ((s, d) => TextOps.sampleStratified(s, d)),
+    "q_sample_reservoir" -> ((s, d) => TextOps.sampleReservoir(s, d)),
     "q_repetition" -> ((s, d) => TextOps.repetitionScore(s, d)),
     "q_train_shuffle" -> ((s, d) => TextOps.trainShuffle(s, d)),
     "q_top_tokens" -> ((s, d) => TextOps.topTokens(s, d)),
@@ -157,6 +159,10 @@ object SparkEntry {
       "SELECT l_extendedprice FROM lineitem ORDER BY l_extendedprice",
     "q_rt_alp_double" ->
       "SELECT l_extendedprice FROM lineitem ORDER BY l_extendedprice",
+    // 1 + q/2^20 is exact IEEE arithmetic in both engines (q integral
+    // <= 2^6, divisor a power of two), so the restatement is bit-exact
+    "q_rt_xor_double" ->
+      "SELECT 1.0 + l_quantity / 1048576.0 AS v FROM lineitem ORDER BY v",
     "q_rt_plain_long" ->
       "SELECT l_orderkey * 2654435761 + l_linenumber AS v FROM lineitem ORDER BY v",
     "q_rt_tokens_pipeline" ->
@@ -818,6 +824,16 @@ object SparkEntry {
         |      CASE lang WHEN 'en' THEN '40' WHEN 'de' THEN '80' WHEN 'es' THEN 'c0'
         |                WHEN 'fr' THEN '20' WHEN 'zh' THEN '60' ELSE 'zz' END
         |ORDER BY doc_id""".stripMargin,
+    // Fixed-size per-stratum sample: the engine's bounded GroupTopK
+    // aggregate must equal the full window-rank restatement exactly
+    // (top-k is a mergeable summary — exact, not a sketch).
+    "q_sample_reservoir" ->
+      """SELECT lang, skey, doc_id FROM (
+        |  SELECT lang, doc_id, md5('rsv7:' || CAST(doc_id AS VARCHAR)) AS skey,
+        |         row_number() OVER (PARTITION BY lang
+        |           ORDER BY md5('rsv7:' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents) t
+        |WHERE rn <= 5 ORDER BY lang, skey""".stripMargin,
     "q_repetition" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         |b AS (SELECT doc_id, array_to_string(ws[i:i+1], ' ') AS bg

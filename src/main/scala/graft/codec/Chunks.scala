@@ -36,6 +36,7 @@ object Codecs {
   final val BssFloat = 18
   final val PforInt = 19 // patched FOR: outlier-tolerant bit width
   final val AlpDouble = 20 // adaptive lossless decimal-double (patched)
+  final val XorDouble = 21 // Gorilla-style XOR-prev (smooth series)
 
   val names: Map[Int, String] = Map(
     PlainInt -> "PLAIN", RleInt -> "RLE", DeltaInt -> "DELTA_BINARY_PACKED",
@@ -45,7 +46,8 @@ object Codecs {
     PlainDouble -> "PLAIN", BssDouble -> "BYTE_STREAM_SPLIT",
     PlainBool -> "PLAIN", RleBool -> "RLE", PagedInt -> "PAGED",
     ForInt -> "FOR_BIT_PACKED", NullableWrap -> "NULLABLE",
-    BssFloat -> "BYTE_STREAM_SPLIT", PforInt -> "PFOR", AlpDouble -> "ALP")
+    BssFloat -> "BYTE_STREAM_SPLIT", PforInt -> "PFOR", AlpDouble -> "ALP",
+    XorDouble -> "XOR")
 }
 
 final case class IntStats(n: Int, min: Long, max: Long, runs: Int, sorted: Boolean,
@@ -579,14 +581,22 @@ object Chunks {
   // --------------------------------------------------------------- doubles
 
   /** Auto mode probes ALP first (decimal doubles → small integers →
-    * long codec stack); the PLAIN floor guard keeps the selector from
-    * ever losing bytes when the exception path bloats the payload. */
+    * long codec stack), then XOR on ALP-ineligible columns (smooth
+    * series — probed on a CONTIGUOUS prefix, since XOR's win lives in
+    * adjacency); the PLAIN floor guard keeps the selector from ever
+    * losing bytes when either probe mispredicts the tail. */
   def encodeDoubles(src: Array[Double], off: Int, n: Int, forced: Int = -1): Array[Byte] = {
     val alpExp =
       if (forced == AlpDouble) math.max(0, Alp.chooseExponent(src, off, n, 0.0))
       else if (forced < 0 && n > 0) Alp.chooseExponent(src, off, n)
       else -1
-    val codec = if (forced >= 0) forced else if (alpExp >= 0) AlpDouble else PlainDouble
+    val codec =
+      if (forced >= 0) forced
+      else if (alpExp >= 0) AlpDouble
+      // decisive-win threshold (<7 of PLAIN's 8 B/val): a marginal probe
+      // must not trade PLAIN's branch-free decode for bit twiddling
+      else if (n >= 64 && Xor.probeBytesPerValue(src, off, n) < 7.0) XorDouble
+      else PlainDouble
     val out = new ByteWriter(16 + 8 * n)
     out.writeByte(codec)
     out.writeUvarint(n)
@@ -594,9 +604,10 @@ object Chunks {
       case PlainDouble => Plain.encodeDoubles(src, off, n, out)
       case BssDouble => ByteStreamSplit.encodeDoubles(src, off, n, out)
       case AlpDouble => Alp.encodeDoubles(src, off, n, alpExp, out)
+      case XorDouble => Xor.encodeDoubles(src, off, n, out)
       case other => throw new IllegalArgumentException(s"not a double codec: $other")
     }
-    if (forced < 0 && codec == AlpDouble && out.length > 10 + 8L * n) {
+    if (forced < 0 && codec != PlainDouble && out.length > 10 + 8L * n) {
       val plain = new ByteWriter(16 + 8 * n)
       plain.writeByte(PlainDouble)
       plain.writeUvarint(n)
@@ -614,6 +625,7 @@ object Chunks {
       case PlainDouble => Plain.decodeDoubles(r, n)
       case BssDouble => ByteStreamSplit.decodeDoubles(r, n)
       case AlpDouble => Alp.decodeDoubles(r, n)
+      case XorDouble => Xor.decodeDoubles(r, n)
       case other => throw new IllegalArgumentException(s"not a double codec: $other")
     }
   }

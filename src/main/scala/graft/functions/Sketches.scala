@@ -445,6 +445,127 @@ case class CmsFreq(
     copy(child = newChild)
 }
 
+/** Bounded per-group top-k (k smallest (key, payload) pairs) as a
+  * Catalyst `TypedImperativeAggregate` — the distributed form of
+  * DETERMINISTIC RESERVOIR SAMPLING: rank rows by a seeded content
+  * hash and keep the k first per group. The textbook plan
+  * (`row_number() OVER (PARTITION BY g ORDER BY key)`) shuffles EVERY
+  * row of the corpus to rank them; this keeps a k-entry bounded heap
+  * per task, merges partials by re-bounding (top-k is a mergeable
+  * summary and, unlike sketches, EXACT at any data volume), and ships
+  * at most k entries per group per task through one
+  * ObjectHashAggregate — a fixed-size sample of a 100-TB corpus costs
+  * a k-row shuffle, not a corpus sort. No reference counterpart
+  * (SURVEY.md §2.6); the sampling-by-hash-order construction is the
+  * same public idiom as the stratified sampler's.
+  */
+case class GroupTopK(
+    left: Expression,  // sort key (string; e.g. seeded md5 of the id)
+    right: Expression, // payload carried with the key (long id)
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.PriorityQueue[(UTF8String, Long)]]
+  with org.apache.spark.sql.catalyst.trees.BinaryLike[Expression] {
+
+  require(k >= 1 && k <= 100000, s"group_top_k: k out of range: $k")
+
+  override def prettyName: String = "group_top_k"
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("skey", StringType), StructField("payload", LongType))),
+    containsNull = false)
+
+  // max-heap on (key, payload): peek/poll is the LARGEST retained pair,
+  // so a full heap admits a new pair by evicting its maximum
+  private def cmp(a: (UTF8String, Long), b: (UTF8String, Long)): Int = {
+    val c = a._1.compareTo(b._1)
+    if (c != 0) c else java.lang.Long.compare(a._2, b._2)
+  }
+
+  override def createAggregationBuffer(): java.util.PriorityQueue[(UTF8String, Long)] =
+    new java.util.PriorityQueue[(UTF8String, Long)](k + 1,
+      (a: (UTF8String, Long), b: (UTF8String, Long)) => -cmp(a, b))
+
+  @inline private def admit(heap: java.util.PriorityQueue[(UTF8String, Long)],
+                            key: UTF8String, payload: Long,
+                            owned: Boolean): Unit = {
+    if (heap.size() < k) {
+      heap.offer(((if (owned) key else key.clone()), payload))
+    } else if (cmp((key, payload), heap.peek()) < 0) {
+      heap.poll()
+      heap.offer(((if (owned) key else key.clone()), payload))
+    }
+  }
+
+  override def update(heap: java.util.PriorityQueue[(UTF8String, Long)],
+                      input: InternalRow): java.util.PriorityQueue[(UTF8String, Long)] = {
+    val kv = left.eval(input)
+    val pv = right.eval(input)
+    if (kv != null && pv != null)
+      admit(heap, kv.asInstanceOf[UTF8String], pv.asInstanceOf[Long], owned = false)
+    heap
+  }
+
+  override def merge(heap: java.util.PriorityQueue[(UTF8String, Long)],
+                     other: java.util.PriorityQueue[(UTF8String, Long)])
+      : java.util.PriorityQueue[(UTF8String, Long)] = {
+    val it = other.iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      admit(heap, e._1, e._2, owned = true) // deserialized = already owned
+    }
+    heap
+  }
+
+  override def eval(heap: java.util.PriorityQueue[(UTF8String, Long)]): Any = {
+    val arr = new Array[(UTF8String, Long)](heap.size())
+    val it = heap.iterator()
+    var i = 0
+    while (it.hasNext) { arr(i) = it.next(); i += 1 }
+    java.util.Arrays.sort(arr, (a: (UTF8String, Long), b: (UTF8String, Long)) => cmp(a, b))
+    new GenericArrayData(arr.map(e => InternalRow(e._1, e._2): Any))
+  }
+
+  override def serialize(heap: java.util.PriorityQueue[(UTF8String, Long)]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(heap.size())
+    val it = heap.iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val kb = e._1.getBytes
+      out.writeInt(kb.length)
+      out.write(kb)
+      out.writeLong(e._2)
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.PriorityQueue[(UTF8String, Long)] = {
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val heap = createAggregationBuffer()
+    val n = in.readInt()
+    var i = 0
+    while (i < n) {
+      val kb = new Array[Byte](in.readInt())
+      in.readFully(kb)
+      heap.offer((UTF8String.fromBytes(kb), in.readLong()))
+      i += 1
+    }
+    heap
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): GroupTopK =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): GroupTopK =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): GroupTopK =
+    copy(left = newLeft, right = newRight)
+}
+
 object Sketches {
   /** `heavy_hitters(col, k)` as a Column aggregate. */
   def heavyHitters(col: org.apache.spark.sql.Column, k: Int): org.apache.spark.sql.Column =
@@ -464,4 +585,12 @@ object Sketches {
     org.apache.spark.sql.graftbridge.ColumnBridge.column(
       CmsFreq(org.apache.spark.sql.graftbridge.ColumnBridge.expr(col),
         items, width, depth).toAggregateExpression())
+
+  /** `group_top_k(keyCol, payloadCol, k)` as a Column aggregate. */
+  def groupTopK(key: org.apache.spark.sql.Column,
+                payload: org.apache.spark.sql.Column, k: Int): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      GroupTopK(org.apache.spark.sql.graftbridge.ColumnBridge.expr(key),
+        org.apache.spark.sql.graftbridge.ColumnBridge.expr(payload), k)
+        .toAggregateExpression())
 }

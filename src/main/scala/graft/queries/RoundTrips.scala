@@ -150,6 +150,32 @@ object RoundTrips {
       .orderBy("l_extendedprice")
   }
 
+  /** XOR (Gorilla-style) over a smooth binary-fraction series, AUTO
+    * selected: `1 + l_quantity·2^-20` keeps every value on one
+    * exponent with a ~6-bit moving mantissa window — exactly the
+    * regime ALP cannot touch (needs 10^20 > MaxExp) and BSS wastes
+    * (whole bytes for sub-byte deltas). In-kernel requires fail the
+    * query loudly if the selector stops choosing XOR or stops beating
+    * PLAIN 4x on this column. */
+  def xorDouble(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    table(spark, dir, "lineitem")
+      .select((lit(1.0) + col("l_quantity") / 1048576.0).as("v")).as[Double]
+      .mapPartitions { it =>
+        val arr = it.toArray
+        val enc = Chunks.encodeDoubles(arr, 0, arr.length)
+        if (arr.length > 256) {
+          require((enc(0) & 0xFF) == Codecs.XorDouble,
+            s"selector chose ${Codecs.names(enc(0) & 0xFF)}, not XOR")
+          require(enc.length * 4L < 8L * arr.length,
+            s"XOR ${enc.length}B did not beat PLAIN ${8L * arr.length}B 4x")
+        }
+        Chunks.decodeDoubles(enc).iterator
+      }
+      .toDF("v")
+      .orderBy("v")
+  }
+
   /** PLAIN over full-range ints (hash of keys) — selector floor. */
   def plainInt(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

@@ -468,6 +468,27 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Fixed-size deterministic per-stratum sample ("give me exactly k
+    * docs per language, reproducibly") via the bounded GroupTopK
+    * aggregate: rank by a seeded md5 of the id, keep the k smallest
+    * per group. The window-function restatement (`row_number() OVER
+    * (PARTITION BY lang ORDER BY skey)`) is the ORACLE, not the plan —
+    * it shuffles and sorts the whole corpus to rank it; this plan
+    * ships at most k (hash, id) pairs per group per task through one
+    * ObjectHashAggregate, so sampling 100 TB costs a k-row shuffle.
+    * Unlike the sketch aggregates the answer is EXACT at any volume
+    * (top-k is a mergeable summary with no error term). */
+  def sampleReservoir(spark: SparkSession, dir: String): DataFrame = {
+    val skey = md5(concat(lit("rsv7:"), col("doc_id").cast("string")))
+    docs(spark, dir)
+      .withColumn("skey", skey)
+      .groupBy(col("lang"))
+      .agg(graft.functions.Sketches.groupTopK(col("skey"), col("doc_id"), 5).as("sample"))
+      .select(col("lang"), explode(col("sample")).as("e"))
+      .select(col("lang"), col("e.skey").as("skey"), col("e.payload").as("doc_id"))
+      .orderBy("lang", "skey")
+  }
+
   /** Intra-document repetition score (Gopher-style quality rule): the
     * fraction of a document's word bigrams taken up by its single most
     * frequent bigram. High values mean boilerplate/looping text a

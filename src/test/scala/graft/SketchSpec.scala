@@ -165,4 +165,48 @@ class SketchSpec extends AnyFunSuite {
     val got = cms(df, items, 128, 4)
     items.foreach(it => assert(got(it) >= truth(it), s"$it undercounted"))
   }
+
+  private def topk(df: org.apache.spark.sql.DataFrame, k: Int): Seq[(String, String, Long)] =
+    df.groupBy("g")
+      .agg(Sketches.groupTopK(col("k"), col("p"), k).as("s"))
+      .select(col("g"), explode(col("s")).as("e"))
+      .select(col("g"), col("e.skey"), col("e.payload"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+
+  test("group_top_k equals the window-rank restatement (any partitioning)") {
+    import spark.implicits._
+    val df = spark.range(5000).select(
+      (col("id") % 7).cast("string").as("g"),
+      md5(col("id").cast("string")).as("k"),
+      col("id").as("p")).repartition(9)
+    val got = topk(df, 10).sorted
+    val want = df.withColumn("rn",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy("g").orderBy("k", "p")))
+      .filter(col("rn") <= 10).select("g", "k", "p")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq.sorted
+    assert(got == want)
+  }
+
+  test("group_top_k: groups smaller than k return whole groups; ties break on payload") {
+    import spark.implicits._
+    val rows = Seq(("a", "same", 3L), ("a", "same", 1L), ("a", "same", 2L),
+      ("b", "x", 9L)).toDF("g", "k", "p").repartition(4)
+    assert(topk(rows, 2) == Seq(("a", "same", 1L), ("a", "same", 2L), ("b", "x", 9L)))
+    assert(topk(rows, 10).size == 4)
+  }
+
+  test("group_top_k ignores null keys/payloads and survives serde merges") {
+    import spark.implicits._
+    val df = spark.range(2000).select(
+      lit("g").as("g"),
+      when(col("id") % 5 === 0, lit(null)).otherwise(md5(col("id").cast("string"))).as("k"),
+      col("id").as("p"))
+      .repartition(13) // forces partial serialize/merge across tasks
+    val got = topk(df, 25)
+    assert(got.size == 25 && got.forall(_._2 != null))
+    val want = df.filter(col("k").isNotNull).orderBy("k", "p").limit(25)
+      .collect().map(r => ("g", r.getString(1), r.getLong(2))).toSeq
+    assert(got == want)
+  }
 }
