@@ -68,8 +68,10 @@ object SparkEntry {
     "q_seek_rows" -> ((s, d) => RoundTrips.seekRows(s, d)),
     "q_compact_merge" -> ((s, d) => RoundTrips.compactMerge(s, d)),
     "q_compact_dedup" -> ((s, d) => RoundTrips.compactDedup(s, d)),
+    "q_compact_binpack" -> ((s, d) => RoundTrips.compactBinPack(s, d)),
     "q_chunk_join" -> ((s, d) => RoundTrips.chunkJoin(s, d)),
     "q_token_index" -> ((s, d) => RoundTrips.tokenIndex(s, d)),
+    "q_phrase_search" -> ((s, d) => RoundTrips.phraseSearch(s, d)),
     "q_snapshot_travel" -> ((s, d) => RoundTrips.snapshotTravel(s, d)),
     "q_snapshot_delete" -> ((s, d) => RoundTrips.snapshotDelete(s, d)),
     "q_snapshot_upsert" -> ((s, d) => RoundTrips.snapshotUpsert(s, d)),
@@ -90,6 +92,8 @@ object SparkEntry {
     "q_heavy_hitters" -> ((s, d) => Relational.heavyHitters(s, d)),
     "q_hll_ndv" -> ((s, d) => Relational.hllNdv(s, d)),
     "q_cms_freq" -> ((s, d) => Relational.cmsFreq(s, d)),
+    "q_bitmap_ndv" -> ((s, d) => Relational.bitmapNdv(s, d)),
+    "q_quantiles" -> ((s, d) => Relational.quantileStats(s, d)),
     "q_join_broadcast" -> ((s, d) => Relational.joinBroadcast(s, d)),
     "q_semi_join" -> ((s, d) => Relational.semiJoin(s, d)),
     "q_range_prune" -> ((s, d) => Relational.rangePrune(s, d)),
@@ -118,6 +122,7 @@ object SparkEntry {
     "q_decontaminate" -> ((s, d) => TextOps.decontaminate(s, d)),
     "q_sample_stratified" -> ((s, d) => TextOps.sampleStratified(s, d)),
     "q_sample_reservoir" -> ((s, d) => TextOps.sampleReservoir(s, d)),
+    "q_sample_weighted" -> ((s, d) => TextOps.sampleWeighted(s, d)),
     "q_repetition" -> ((s, d) => TextOps.repetitionScore(s, d)),
     "q_train_shuffle" -> ((s, d) => TextOps.trainShuffle(s, d)),
     "q_top_tokens" -> ((s, d) => TextOps.topTokens(s, d)),
@@ -355,6 +360,13 @@ object SparkEntry {
       """SELECT lpad(CAST(doc_id AS VARCHAR), 8, '0') AS doc_id, lang AS source,
         |       CAST(n_chars AS BIGINT) AS tok_sum
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // Bin packing rewrites bytes but never rows: the packed table must
+    // decode to the same restatement (chunk-count collapse and bin
+    // disjointness are asserted in-kernel).
+    "q_compact_binpack" ->
+      """SELECT lpad(CAST(doc_id AS VARCHAR), 8, '0') AS doc_id, lang AS source,
+        |       CAST(n_chars AS BIGINT) AS tok_sum
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // Repeated-group round-trip, restated relationally: one output row per
     // (doc, span position); null/empty arrays yield a single all-null span
     // row (posexplode_outer semantics). NULLS FIRST matches Spark's
@@ -376,6 +388,17 @@ object SparkEntry {
     // searches (q_search_token / q_auto_search) — same oracle.
     "q_token_index" ->
       "SELECT DISTINCT lpad(CAST(l_orderkey AS VARCHAR), 15, '0') AS doc_id FROM lineitem WHERE l_linenumber = 7 ORDER BY doc_id",
+    // Phrase search: the oracle checks the WORDS (no token-id hash in
+    // sight), so a pass proves the engine's hashed-id index + positional
+    // predicate answer the word-level question exactly.
+    "q_phrase_search" ->
+      """WITH w AS (SELECT lpad(CAST(doc_id AS VARCHAR), 8, '0') AS doc_id,
+        |                  list_filter(string_split(text, ' '), x -> x != '') AS ws
+        |           FROM documents)
+        |SELECT doc_id FROM w
+        |WHERE len(ws) >= 2
+        |  AND len(list_filter(range(1, len(ws)), i -> ws[i] = 'table' AND ws[i+1] = 'scan')) > 0
+        |ORDER BY doc_id""".stripMargin,
     // Snapshot time travel: v1 committed before slice B was appended, so
     // the v1 read is slice A only; latest (v2) is both. The oracle
     // restates the two manifests relationally.
@@ -485,6 +508,25 @@ object SparkEntry {
     // collision-free (data-volume independent), so the sketch is exact.
     "q_cms_freq" ->
       "SELECT event_type AS item, count(*) AS est FROM events GROUP BY event_type ORDER BY item",
+    // Roaring bitmap segments are a lossless set, so the two-level
+    // (event_type, day) -> event_type rollup is exactly
+    // count(DISTINCT); n_segments = the per-day segment count.
+    "q_bitmap_ndv" ->
+      """SELECT event_type, count(DISTINCT user_id) AS ndv_users,
+        |       count(DISTINCT CAST(ts AS DATE)) AS n_segments
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // Exact-regime quantile summary == the ceil(q*n) window rank
+    // (CAST AS DOUBLE so both engines take the identical IEEE product).
+    "q_quantiles" ->
+      """WITH r AS (SELECT lang, CAST(n_chars AS DOUBLE) AS v,
+        |                  row_number() OVER (PARTITION BY lang ORDER BY n_chars) AS rn,
+        |                  count(*) OVER (PARTITION BY lang) AS cnt
+        |           FROM documents)
+        |SELECT lang,
+        |  max(CASE WHEN rn = greatest(1, CAST(ceil(CAST(0.5 AS DOUBLE) * cnt) AS BIGINT)) THEN v END) AS p50,
+        |  max(CASE WHEN rn = greatest(1, CAST(ceil(CAST(0.9 AS DOUBLE) * cnt) AS BIGINT)) THEN v END) AS p90,
+        |  max(CASE WHEN rn = greatest(1, CAST(ceil(CAST(0.99 AS DOUBLE) * cnt) AS BIGINT)) THEN v END) AS p99
+        |FROM r GROUP BY lang ORDER BY lang""".stripMargin,
     "q_rollup_stats" ->
       """SELECT COALESCE(source, '<all>') AS source, COALESCE(lang, '<all>') AS lang,
         |       count(*) AS cnt, CAST(sum(n_chars) AS BIGINT) AS chars,
@@ -834,6 +876,21 @@ object SparkEntry {
         |           ORDER BY md5('rsv7:' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
         |  FROM documents) t
         |WHERE rn <= 5 ORDER BY lang, skey""".stripMargin,
+    // Sequential Poisson weighted sample: rank key = integer u*(8/w)
+    // (u = md5_number_lower, w a power-of-two tier weight), exact on
+    // both engines via HUGEINT/decimal arithmetic — no float ordering.
+    "q_sample_weighted" ->
+      """WITH t AS (
+        |  SELECT lang, doc_id,
+        |         lpad(CAST(CAST(md5_number_lower('esw11:' || CAST(doc_id AS VARCHAR)) AS HUGEINT)
+        |              * CASE WHEN n_chars >= 800 THEN 1 WHEN n_chars >= 400 THEN 2
+        |                     WHEN n_chars >= 200 THEN 4 ELSE 8 END AS VARCHAR), 22, '0') AS skey
+        |  FROM documents)
+        |SELECT lang, skey, doc_id FROM (
+        |  SELECT lang, skey, doc_id,
+        |         row_number() OVER (PARTITION BY lang ORDER BY skey, doc_id) AS rn
+        |  FROM t) s
+        |WHERE rn <= 4 ORDER BY lang, skey""".stripMargin,
     "q_repetition" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         |b AS (SELECT doc_id, array_to_string(ws[i:i+1], ' ') AS bg

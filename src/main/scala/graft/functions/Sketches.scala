@@ -566,6 +566,248 @@ case class GroupTopK(
     copy(left = newLeft, right = newRight)
 }
 
+/** Deterministic mergeable quantile summary (Manku–Rajagopalan–Lindsay,
+  * "Approximate Medians and other Quantiles in One Pass and with
+  * Limited Memory", SIGMOD'98 — the deterministic collapse variant; no
+  * KLL coin flips, so reruns are bit-stable). EXACT below `k` values
+  * per group — the raw values are kept and the rank formula
+  * `ceil(q·n)` is applied directly, which is how the driver query gets
+  * a bit-exact window-rank oracle — and ε ≈ log₂(n/k)/k beyond, via
+  * level buffers of k sorted values with weight 2^level, collapsed
+  * binary-counter style: merge two sorted k-buffers, keep alternating
+  * elements (the alternation phase toggles per level — the
+  * deterministic error-cancelling trick from the paper).
+  *
+  * The 100-TB story: percentiles of a corpus column cost one
+  * fixed-size partial per task (`k` + a few level buffers ≈ tens of
+  * KB) through ObjectHashAggregate — never a global sort. Contrast
+  * `percentile(col, q)`: exact but buffers every value per group
+  * through the exchange. */
+final class QuantileBuf(val k: Int) {
+  var n: Long = 0L
+  /** exact values until promotion; also the level-0 fill buffer after. */
+  var fill: Array[Double] = new Array[Double](math.min(k, 1 << 12))
+  var fillN: Int = 0
+  /** levels(L): sorted buffer of EXACTLY k values, each standing for
+    * 2^L originals; stored sparsely (level → buffer), binary-counter
+    * carries. Level 0 holds raw (weight-1) promoted fill buffers. */
+  var levels: java.util.TreeMap[Integer, Array[Double]] =
+    new java.util.TreeMap[Integer, Array[Double]]()
+  /** per-level alternation phase for deterministic collapse. */
+  var phases: java.util.HashMap[Integer, Integer] =
+    new java.util.HashMap[Integer, Integer]()
+
+  def exactMode: Boolean = levels.isEmpty
+
+  def add(v: Double): Unit = {
+    if (fillN == fill.length) {
+      if (fill.length < k) {
+        fill = java.util.Arrays.copyOf(fill, math.min(k, fill.length * 2))
+      } else {
+        java.util.Arrays.sort(fill)
+        carry(0, fill)
+        fill = new Array[Double](k)
+        fillN = 0
+      }
+    }
+    fill(fillN) = v
+    fillN += 1
+    n += 1
+  }
+
+  /** binary-counter carry of a sorted k-buffer into `levels`. */
+  private def carry(level0: Int, buf0: Array[Double]): Unit = {
+    var level = level0
+    var buf = buf0
+    while (levels.containsKey(level)) {
+      val other = levels.remove(level)
+      buf = collapse(other, buf, nextPhase(level))
+      level += 1
+    }
+    levels.put(level, buf)
+  }
+
+  private def nextPhase(level: Int): Int = {
+    val p = phases.getOrDefault(level, 0)
+    phases.put(level, p ^ 1)
+    p
+  }
+
+  /** merge two sorted k-buffers, keep elements at alternating offset. */
+  private def collapse(a: Array[Double], b: Array[Double], phase: Int): Array[Double] = {
+    val out = new Array[Double](a.length)
+    var ia = 0
+    var ib = 0
+    var pos = 0
+    var kept = 0
+    while (kept < out.length && (ia < a.length || ib < b.length)) {
+      val v =
+        if (ib >= b.length || (ia < a.length && a(ia) <= b(ib))) { val x = a(ia); ia += 1; x }
+        else { val x = b(ib); ib += 1; x }
+      if ((pos & 1) == phase) { out(kept) = v; kept += 1 }
+      pos += 1
+    }
+    // phase=1 can leave one slot short at the tail; fill with the max
+    while (kept < out.length) {
+      out(kept) = out(math.max(kept - 1, 0))
+      kept += 1
+    }
+    out
+  }
+
+  def merge(other: QuantileBuf): Unit = {
+    require(other.k == k, s"quantile sketch k mismatch: $k vs ${other.k}")
+    // exact+exact within capacity stays exact (partition-order independent)
+    if (exactMode && other.exactMode && fillN + other.fillN <= k) {
+      if (fill.length < fillN + other.fillN)
+        fill = java.util.Arrays.copyOf(fill, k)
+      System.arraycopy(other.fill, 0, fill, fillN, other.fillN)
+      fillN += other.fillN
+      n += other.n
+      return
+    }
+    var i = 0
+    // add() bumps n per fill value; the level buffers below carry the
+    // rest of other.n, so correct to an exact `n += other.n` overall
+    while (i < other.fillN) { add(other.fill(i)); n -= 1; i += 1 }
+    n += other.n
+    val it = other.levels.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      carry(e.getKey, e.getValue)
+    }
+  }
+
+  /** value at rank max(1, ceil(q·n)) over the weighted summary;
+    * identical to the window-rank formula when in exact mode. */
+  def query(qs: Array[Double]): Array[Double] = {
+    if (n == 0) return qs.map(_ => Double.NaN) // all-null group
+    val entries = new java.util.ArrayList[(Double, Long)](fillN + levels.size * k)
+    var i = 0
+    while (i < fillN) { entries.add((fill(i), 1L)); i += 1 }
+    val it = levels.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val w = 1L << e.getKey // level L values each stand for 2^L originals
+      e.getValue.foreach(v => entries.add((v, w)))
+    }
+    val arr = entries.toArray(new Array[(Double, Long)](entries.size))
+    java.util.Arrays.sort(arr, (a: (Double, Long), b: (Double, Long)) =>
+      java.lang.Double.compare(a._1, b._1))
+    val totalW = arr.map(_._2).sum
+    qs.map { q =>
+      // scale the rank to the summary's total weight (== n in exact mode)
+      val target = math.max(1L, math.ceil(q * totalW).toLong)
+      var cum = 0L
+      var j = 0
+      var res = arr(arr.length - 1)._1
+      var found = false
+      while (j < arr.length && !found) {
+        cum += arr(j)._2
+        if (cum >= target) { res = arr(j)._1; found = true }
+        j += 1
+      }
+      res
+    }
+  }
+}
+
+/** `quantiles(col, qs, k)` — see [[QuantileBuf]]. Returns
+  * array<double> aligned with `qs`. */
+case class QuantileSummary(
+    child: Expression,
+    qs: Seq[Double],
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[QuantileBuf] with UnaryLike[Expression] {
+
+  require(k >= 16 && k <= (1 << 20), s"quantiles: k out of range: $k")
+  require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
+    s"quantiles: fractions must be in (0, 1]: $qs")
+
+  override def prettyName: String = "quantiles"
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def createAggregationBuffer(): QuantileBuf = new QuantileBuf(k)
+
+  override def update(buf: QuantileBuf, input: InternalRow): QuantileBuf = {
+    val v = child.eval(input)
+    if (v != null) buf.add(v.asInstanceOf[Double])
+    buf
+  }
+
+  override def merge(buf: QuantileBuf, other: QuantileBuf): QuantileBuf = {
+    buf.merge(other)
+    buf
+  }
+
+  override def eval(buf: QuantileBuf): Any =
+    new GenericArrayData(buf.query(qs.toArray))
+
+  override def serialize(buf: QuantileBuf): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.k)
+    out.writeLong(buf.n)
+    out.writeInt(buf.fillN)
+    var i = 0
+    while (i < buf.fillN) { out.writeDouble(buf.fill(i)); i += 1 }
+    out.writeInt(buf.levels.size)
+    val it = buf.levels.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      out.writeInt(e.getKey)
+      e.getValue.foreach(out.writeDouble)
+    }
+    out.writeInt(buf.phases.size)
+    val pit = buf.phases.entrySet().iterator()
+    while (pit.hasNext) {
+      val e = pit.next()
+      out.writeInt(e.getKey); out.writeInt(e.getValue)
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): QuantileBuf = {
+    val bb = ByteBuffer.wrap(bytes)
+    val buf = new QuantileBuf(bb.getInt)
+    buf.n = bb.getLong
+    buf.fillN = bb.getInt
+    if (buf.fill.length < buf.fillN)
+      buf.fill = new Array[Double](math.max(buf.fillN, buf.fill.length))
+    var i = 0
+    while (i < buf.fillN) { buf.fill(i) = bb.getDouble; i += 1 }
+    val nl = bb.getInt
+    var li = 0
+    while (li < nl) {
+      val level = bb.getInt
+      val arr = new Array[Double](buf.k)
+      var j = 0
+      while (j < buf.k) { arr(j) = bb.getDouble; j += 1 }
+      buf.levels.put(level, arr)
+      li += 1
+    }
+    val np = bb.getInt
+    var pi = 0
+    while (pi < np) {
+      val lv = bb.getInt
+      buf.phases.put(lv, bb.getInt)
+      pi += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): QuantileSummary =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): QuantileSummary =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(newChild: Expression): QuantileSummary =
+    copy(child = newChild)
+}
+
 object Sketches {
   /** `heavy_hitters(col, k)` as a Column aggregate. */
   def heavyHitters(col: org.apache.spark.sql.Column, k: Int): org.apache.spark.sql.Column =
@@ -585,6 +827,14 @@ object Sketches {
     org.apache.spark.sql.graftbridge.ColumnBridge.column(
       CmsFreq(org.apache.spark.sql.graftbridge.ColumnBridge.expr(col),
         items, width, depth).toAggregateExpression())
+
+  /** `quantiles(col, qs, k)` as a Column aggregate (array<double>
+    * aligned with `qs`; exact below k values per group). */
+  def quantiles(col: org.apache.spark.sql.Column, qs: Seq[Double],
+                k: Int): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      QuantileSummary(org.apache.spark.sql.graftbridge.ColumnBridge.expr(col),
+        qs, k).toAggregateExpression())
 
   /** `group_top_k(keyCol, payloadCol, k)` as a Column aggregate. */
   def groupTopK(key: org.apache.spark.sql.Column,

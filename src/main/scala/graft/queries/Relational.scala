@@ -141,6 +141,44 @@ object Relational {
       .select(col("e.item").as("item"), col("e.est").as("est"))
       .orderBy("item")
 
+  /** Per-language doc-length percentiles through the deterministic
+    * MRL quantile summary, run in its EXACT regime: ≤ k values per
+    * group keeps the raw buffer, so the answer IS the rank formula
+    * `v[ceil(q·n)]` — the window-restatement oracle. One fixed-size
+    * partial per task crosses the exchange (never a per-group value
+    * sort at the reducer); SketchSpec separately pins the ε-bound
+    * where the buffer overflows. */
+  def quantileStats(spark: SparkSession, dir: String): DataFrame = {
+    val qs = graft.functions.Sketches
+      .quantiles(col("n_chars").cast("double"), Seq(0.5, 0.9, 0.99), 4096)
+    t(spark, dir, "documents")
+      .groupBy("lang")
+      .agg(qs.as("q"))
+      .select(col("lang"), col("q")(0).as("p50"), col("q")(1).as("p90"),
+        col("q")(2).as("p99"))
+      .orderBy("lang")
+  }
+
+  /** EXACT distinct users per event_type through Roaring bitmap
+    * segments — the materialized-segment rollup pattern (Druid/Kylin):
+    * build one compressed bitmap per (event_type, day) segment, then
+    * re-merge segments under the coarser event_type grouping. Neither
+    * pass ships raw ids across the exchange: a segment partial is at
+    * most 8 KiB per populated 65536-id range however many rows fed it,
+    * and the second aggregation touches only #segments rows. Unlike
+    * [[hllNdv]] the answer is exact in EVERY regime — the bitmap is a
+    * lossless set, so the count(DISTINCT) oracle holds at any scale,
+    * not just below a sparse-mode cap. n_segments doubles as a check
+    * that the segment tier really materialized per day. */
+  def bitmapNdv(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(graft.functions.Bitmaps.bitmapBuild(col("user_id")).as("seg"))
+      .groupBy("event_type")
+      .agg(graft.functions.Bitmaps.bitmapNdv(col("seg")).as("ndv_users"),
+        count(lit(1)).as("n_segments"))
+      .orderBy("event_type")
+
   /** Validation join shape (SURVEY §2.6) — dim side broadcast. */
   def joinBroadcast(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "customer")

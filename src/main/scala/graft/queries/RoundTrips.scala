@@ -355,6 +355,62 @@ object RoundTrips {
       .orderBy("doc_id")
   }
 
+  /** OPTIMIZE small files (compactBinPack): six disjoint tiny runs —
+    * the hourly-incremental-ingest shape — are deliberately encoded with
+    * a toy chunk budget so the table fragments into dozens of tiny
+    * chunks that [[compactMerge]]'s pure sweep would pass through
+    * untouched (all singleton groups). Bin packing must coalesce them
+    * into ≈256-token bins; the in-kernel requires fail the query loudly
+    * if the chunk count doesn't collapse at least 4× or any output bin
+    * overlaps another (the disjoint-interval invariant). The decoded
+    * table must still equal the documents restatement — the oracle. */
+  def compactBinPack(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docsT = table(spark, dir, "documents")
+      .select(
+        lpad(col("doc_id").cast("string"), 8, "0").as("doc_id"),
+        array(col("n_chars").cast("int")).as("tokens"),
+        lit(1).as("n_tok"),
+        col("lang").as("source"))
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft-binpack-q-" +
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    val stripes = (0 until 5).map { i =>
+      val lo = f"${i * 100}%08d"
+      val hi = f"${(i + 1) * 100}%08d"
+      val run = docsT
+        .filter(col("doc_id") >= lo && (if (i == 4) lit(true) else col("doc_id") < hi))
+        .as[TokenRow]
+      EncodePipeline.encode(run, 1, tokensPerChunk = 16)
+        .write.mode("overwrite")
+        .option("compression", EncodePipeline.ChunkTableCompression)
+        .parquet(s"$base/run$i")
+      s"$base/run$i"
+    }
+    val tiny = stripes.map(spark.read.parquet(_)).reduce(_ unionByName _)
+      .select("chunk_id").count()
+    val merged = EncodePipeline.compactBinPack(
+      spark, stripes, s"$base/packed", tokensPerChunk = 256)
+    val packedMeta = merged
+      .select("part_id", "first_doc_id", "last_doc_id", "num_tokens")
+      .collect() // O(#bins) metadata, not rows
+    require(packedMeta.length.toLong * 4 <= tiny,
+      s"bin packing left ${packedMeta.length} chunks from $tiny tiny chunks")
+    val sorted = packedMeta.sortBy(r => (r.getString(1), r.getString(2)))
+    sorted.sliding(2).foreach {
+      case Array(a, b) =>
+        require(a.getString(2) < b.getString(1),
+          s"bins overlap: [${a.getString(1)},${a.getString(2)}] vs " +
+            s"[${b.getString(1)},${b.getString(2)}]")
+      case _ =>
+    }
+    EncodePipeline.decode(merged.as[graft.spark.EncodedChunk])
+      .toDF()
+      .select(col("doc_id"), col("source"),
+        expr("aggregate(tokens, CAST(0 AS BIGINT), (a, x) -> a + x)").as("tok_sum"))
+      .orderBy("doc_id")
+  }
+
   /** Codec auto-selector demo on the deterministic synth table: one row
     * per (column, codec) with chunk counts — shows the selector branches
     * actually taken. No SQL oracle (engine-internal stats). */
@@ -1079,6 +1135,61 @@ object RoundTrips {
       .as[graft.spark.EncodedChunk]
     graft.spark.TokenIndex.build(persisted, s"$base/index")
     graft.spark.TokenIndex.lookup(spark, s"$base/index", persisted, 7)
+      .toDF("doc_id").orderBy("doc_id")
+  }
+
+  /** Unsigned low-64 of MD5 as exact decimal SQL (the `md5_number_lower`
+    * convention of TextOps.simHash64, expressed with codegen'd builtins:
+    * hex-pair reversal + conv + decimal cast). */
+  private def md5Low64Sql(e: String): String = {
+    val parts = (31 to 17 by -2).map(i => s"substring(md5($e), $i, 2)").mkString(", ")
+    s"CAST(conv(concat($parts), 16, 10) AS DECIMAL(20,0))"
+  }
+
+  /** Scala-side mirror of [[md5Low64Sql]] mod `m` (for planning-time
+    * constants like the phrase token ids). */
+  private def tokenIdOf(word: String, m: Long): Int = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(word.getBytes(UTF_8))
+    var h = 0L
+    var i = 15
+    while (i >= 8) { h = (h << 8) | (d(i) & 0xFFL); i -= 1 }
+    java.lang.Long.remainderUnsigned(h, m).toInt
+  }
+
+  /** Conjunctive PHRASE search over an inverted token index
+    * (TokenIndex.lookupPhrase): documents are word-tokenized to int ids
+    * (md5-low-64 mod a 2·10⁹ prime — collision odds over a corpus
+    * vocabulary are negligible and deterministic), encoded as a chunk
+    * table, and the phrase "table scan" is answered by intersecting the
+    * two posting lists, decoding ONLY the covering chunks, and applying
+    * the exact consecutive-position predicate. The oracle sidesteps the
+    * hash entirely — it searches the words themselves — so the query
+    * also proves the id mapping is faithful on this corpus. */
+  def phraseSearch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val Mod = 2000000011L
+    val rows = table(spark, dir, "documents")
+      .select(
+        lpad(col("doc_id").cast("string"), 8, "0").as("doc_id"),
+        expr(s"""transform(filter(split(text, ' '), w -> w != ''),
+                 w -> CAST(${md5Low64Sql("w")} % $Mod AS INT))""").as("tokens"),
+        col("lang").as("source"))
+      .withColumn("n_tok", size(col("tokens")))
+      .select("doc_id", "tokens", "n_tok", "source")
+      .as[TokenRow]
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft-phrase-q-" +
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    EncodePipeline.encode(rows, numParts = 8, tokensPerChunk = 64 * 1024)
+      .write.mode("overwrite")
+      .option("compression", EncodePipeline.ChunkTableCompression)
+      .parquet(s"$base/chunks")
+    val persisted = spark.read.parquet(s"$base/chunks")
+      .as[graft.spark.EncodedChunk]
+    graft.spark.TokenIndex.build(persisted, s"$base/index")
+    val phrase = Seq("table", "scan").map(tokenIdOf(_, Mod))
+    graft.spark.TokenIndex.lookupPhrase(spark, s"$base/index", persisted, phrase)
       .toDF("doc_id").orderBy("doc_id")
   }
 

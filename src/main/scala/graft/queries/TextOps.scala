@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Training-data text pipeline operators over the `documents` table:
   * exact dedup, token counting, quality scoring, language-ID heuristic,
@@ -484,6 +485,43 @@ object TextOps {
       .withColumn("skey", skey)
       .groupBy(col("lang"))
       .agg(graft.functions.Sketches.groupTopK(col("skey"), col("doc_id"), 5).as("sample"))
+      .select(col("lang"), explode(col("sample")).as("e"))
+      .select(col("lang"), col("e.skey").as("skey"), col("e.payload").as("doc_id"))
+      .orderBy("lang", "skey")
+  }
+
+  /** WEIGHTED sampling without replacement per stratum — sequential
+    * Poisson sampling (Ohlsson, "Sequential Poisson Sampling", J. Off.
+    * Stat. 1998): each doc draws a deterministic uniform u from a
+    * seeded md5 and is ranked by ξ = u/w, where w is its quality-tier
+    * weight; the k smallest ξ per stratum form an approximately
+    * probability-proportional-to-size sample. Longer documents get
+    * weight {8,4,2,1} by length tier, so a weight-8 doc is ~8× as
+    * likely to be drawn — the "sample good documents harder" knob every
+    * curriculum/mixing pipeline needs.
+    *
+    * EXACT cross-engine ordering with no float in sight: weights are
+    * powers of two, so ranking by u/w equals ranking by the INTEGER
+    * u·(8/w); u is the unsigned low-64 of md5 (`conv(hex,16,10)` here ==
+    * `md5_number_lower` in the oracle, the [[simHash64]] convention)
+    * and the product ≤ 2^67 rides exact decimal arithmetic on both
+    * engines, compared as a zero-padded fixed-width string. Bounded
+    * like [[sampleReservoir]]: GroupTopK ships k pairs per stratum per
+    * task — no corpus-wide rank shuffle. */
+  def sampleWeighted(spark: SparkSession, dir: String): DataFrame = {
+    val h = md5(concat(lit("esw11:"), col("doc_id").cast("string")))
+    // big-endian rewrite of digest bytes 15..8 == md5_number_lower
+    val uHexBe = concat((31 to 17 by -2).map(i => substring(h, i, 2)): _*)
+    val u = conv(uHexBe, 16, 10).cast(DecimalType(20, 0))
+    val mult = when(col("n_chars") >= lit(800L), lit(1)) // w=8
+      .when(col("n_chars") >= lit(400L), lit(2)) // w=4
+      .when(col("n_chars") >= lit(200L), lit(4)) // w=2
+      .otherwise(lit(8)) // w=1
+    val skey = lpad((u * mult).cast(DecimalType(22, 0)).cast("string"), 22, "0")
+    docs(spark, dir)
+      .withColumn("skey", skey)
+      .groupBy(col("lang"))
+      .agg(graft.functions.Sketches.groupTopK(col("skey"), col("doc_id"), 4).as("sample"))
       .select(col("lang"), explode(col("sample")).as("e"))
       .select(col("lang"), col("e.skey").as("skey"), col("e.payload").as("doc_id"))
       .orderBy("lang", "skey")

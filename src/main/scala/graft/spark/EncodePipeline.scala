@@ -853,7 +853,8 @@ object EncodePipeline {
     * duplicate lands in a multi-chunk group by construction. */
   def compactSorted(spark: SparkSession, chunkDirs: Seq[String], outDir: String,
                     tokensPerChunk: Int = DefaultTokensPerChunk,
-                    dropDuplicates: Boolean = false): DataFrame = {
+                    dropDuplicates: Boolean = false,
+                    packTokens: Option[Long] = None): DataFrame = {
     import spark.implicits._
     val all: Dataset[(Int, EncodedChunk)] = chunkDirs.zipWithIndex.map { case (d, i) =>
       spark.read.parquet(d).as[EncodedChunk].map(c => (i, c))
@@ -864,10 +865,32 @@ object EncodePipeline {
     // UTF8String comparisons below use.
     val meta = chunkDirs.zipWithIndex.map { case (d, i) =>
       spark.read.parquet(d).select(
-        lit(i).as("run"), col("chunk_id"), col("first_doc_id"), col("last_doc_id"))
+        lit(i).as("run"), col("chunk_id"), col("first_doc_id"), col("last_doc_id"),
+        col("num_tokens"))
     }.reduce(_ unionByName _)
-    compactRuns(spark, all, meta, outDir, tokensPerChunk, dropDuplicates, None)
+    compactRuns(spark, all, meta, outDir, tokensPerChunk, dropDuplicates, None,
+      packTokens = packTokens)
   }
+
+  /** OPTIMIZE-style bin-packing compaction for the SMALL-FILE problem:
+    * incremental ingest leaves many tiny, mutually DISJOINT chunks that
+    * [[compactSorted]]'s pure interval sweep passes through untouched
+    * (they form singleton overlap groups). This variant coarsens
+    * consecutive sweep groups into ≈`tokensPerChunk`-token bins by token
+    * waterline — `bin = floor(tokens-before-group / target)` over a
+    * distributed prefix sum, the same mass-balancing idea as the encode
+    * exchange — then re-encodes only multi-chunk bins; a chunk alone in
+    * its bin (already well-sized) still passes through byte-identical.
+    * Output bins stay disjoint, globally ordered doc_id intervals (bins
+    * are unions of CONSECUTIVE disjoint groups). The reference has no
+    * counterpart — its MergeRowGroups (merge.go:20-72) always rewrites
+    * every input row group; skip-what's-already-right is the property
+    * that matters when 99% of a 100-TB table is already compact. */
+  def compactBinPack(spark: SparkSession, chunkDirs: Seq[String], outDir: String,
+                     tokensPerChunk: Int = DefaultTokensPerChunk,
+                     dropDuplicates: Boolean = false): DataFrame =
+    compactSorted(spark, chunkDirs, outDir, tokensPerChunk, dropDuplicates,
+      packTokens = Some(tokensPerChunk.toLong))
 
   /** Core of [[compactSorted]] over pre-built inputs — `all` pairs each
     * chunk with a RUN id (chunk_ids are only unique within one encode
@@ -891,14 +914,15 @@ object EncodePipeline {
                                  tokensPerChunk: Int,
                                  dropDuplicates: Boolean,
                                  deletes: Option[DataFrame],
-                                 runAdded: Map[Int, Int] = Map.empty): DataFrame = {
+                                 runAdded: Map[Int, Int] = Map.empty,
+                                 packTokens: Option[Long] = None): DataFrame = {
     import spark.implicits._
     import org.apache.spark.unsafe.types.UTF8String
     val sortedMeta = meta
       .repartitionByRange(math.max(1, spark.sessionState.conf.numShufflePartitions),
         col("first_doc_id"), col("chunk_id"))
       .sortWithinPartitions("first_doc_id", "chunk_id")
-      .as[(Int, Long, String, String)]
+      .as[(Int, Long, String, String, Long)]
       .cache()
     sortedMeta.count() // pin the partition layout for the three passes
     @inline def max(a: UTF8String, b: UTF8String): UTF8String =
@@ -906,7 +930,7 @@ object EncodePipeline {
     // pass 1: per-partition max(last) → driver-side prefix = carry-in
     val partMax = sortedMeta.rdd.mapPartitionsWithIndex { (pid, it) =>
       var mx: UTF8String = null
-      it.foreach { case (_, _, _, l) => mx = max(mx, UTF8String.fromString(l)) }
+      it.foreach { case (_, _, _, l, _) => mx = max(mx, UTF8String.fromString(l)) }
       Iterator.single((pid, Option(mx).map(_.toString)))
     }.collect().sortBy(_._1)
     val carryIn = new Array[String](partMax.length) // null = no preceding interval
@@ -920,7 +944,7 @@ object EncodePipeline {
     val counts = sortedMeta.rdd.mapPartitionsWithIndex { (pid, it) =>
       var mx = Option(bcCarry.value(pid)).map(UTF8String.fromString).orNull
       var c = 0
-      it.foreach { case (_, _, f, l) =>
+      it.foreach { case (_, _, f, l, _) =>
         if (mx == null || UTF8String.fromString(f).compareTo(mx) > 0) c += 1
         mx = max(mx, UTF8String.fromString(l))
       }
@@ -932,16 +956,54 @@ object EncodePipeline {
     val bcBase = spark.sparkContext.broadcast(groupBase)
     // pass 3: the assignment TABLE (run, chunk_id, grp) — distributed, and
     // joined to the payloads instead of broadcast from the driver
-    val assignment = spark.createDataset(
+    val assignment0 = spark.createDataset(
       sortedMeta.rdd.mapPartitionsWithIndex { (pid, it) =>
         var mx = Option(bcCarry.value(pid)).map(UTF8String.fromString).orNull
         var g = bcBase.value(pid) - 1
-        it.map { case (runId, id, f, l) =>
+        it.map { case (runId, id, f, l, ntok) =>
           if (mx == null || UTF8String.fromString(f).compareTo(mx) > 0) g += 1
           mx = max(mx, UTF8String.fromString(l))
-          (runId, id, g)
+          (runId, id, g, ntok)
         }
-      }).toDF("a_run", "a_chunk_id", "grp")
+      }).toDF("a_run", "a_chunk_id", "grp", "ntok")
+    // Optional bin packing (compactBinPack): coarsen consecutive sweep
+    // groups into ≈target-token bins. Groups are disjoint ordered
+    // intervals numbered 0..G-1, so `bin = floor(tokens-before / target)`
+    // over the per-group token totals — a metadata-scale distributed
+    // prefix sum, same 2-pass shape as the carries above — combines only
+    // CONSECUTIVE groups and preserves the disjoint-interval invariant.
+    val assignment = packTokens match {
+      case None => assignment0.select("a_run", "a_chunk_id", "grp")
+      case Some(target) =>
+        require(target > 0, s"packTokens must be positive: $target")
+        val grpTok = assignment0.groupBy("grp").agg(sum("ntok").as("gtok"))
+          .repartitionByRange(
+            math.max(1, spark.sessionState.conf.numShufflePartitions), col("grp"))
+          .sortWithinPartitions("grp")
+          .as[(Int, Long)]
+          .cache()
+        grpTok.count() // pin the layout for the two passes
+        val tokSums = grpTok.rdd.mapPartitionsWithIndex { (pid, it) =>
+          var s = 0L
+          it.foreach(s += _._2)
+          Iterator.single((pid, s))
+        }.collect().sortBy(_._1)
+        val tokCarry = new Array[Long](tokSums.length)
+        var tAcc = 0L
+        tokSums.foreach { case (pid, s) => tokCarry(pid) = tAcc; tAcc += s }
+        val bcTokCarry = spark.sparkContext.broadcast(tokCarry)
+        val binOf = spark.createDataset(
+          grpTok.rdd.mapPartitionsWithIndex { (pid, it) =>
+            var cum = bcTokCarry.value(pid)
+            it.map { case (g, t) =>
+              val b = (cum / target).toInt
+              cum += t
+              (g, b)
+            }
+          }).toDF("grp", "bin")
+        assignment0.join(binOf, "grp")
+          .select(col("a_run"), col("a_chunk_id"), col("bin").as("grp"))
+    }
     // "dirty" chunks — interval MAY hold a deleted doc_id — cannot pass
     // through byte-identical even as singletons; a broadcast range probe
     // against the delete ids marks them for the decode path

@@ -465,7 +465,7 @@ object SnapshotLog {
         struct(raw.columns.map(col).toIndexedSeq: _*).as("_2"))
       .as[(Int, EncodedChunk)]
     val meta = withRun.select(col("__run").as("run"), col("chunk_id"),
-      col("first_doc_id"), col("last_doc_id"))
+      col("first_doc_id"), col("last_doc_id"), col("num_tokens"))
     val runAdded = snap.fileAdded.zipWithIndex
       .map { case (a, i) => i -> a }.toMap
     EncodePipeline.compactRuns(spark, all, meta, s"$dir/$sub",

@@ -87,4 +87,40 @@ object TokenIndex {
       .where(array_contains(col("tokens"), tokenId))
       .select(col("doc_id")).as[String]
   }
+
+  /** PHRASE lookup: doc_ids whose token array contains `phrase` as a
+    * CONSECUTIVE subsequence. The index prunes by posting-list
+    * INTERSECTION — a chunk can hold the phrase only if it holds every
+    * phrase token, so the covering set is the AND of the per-token
+    * posting lists (the classic search-engine conjunctive-query plan,
+    * here at chunk granularity). Only the surviving chunks are decoded;
+    * the exact positional check then runs as a codegen'd higher-order
+    * `exists` over the array — no explode, no per-position shuffle.
+    * Pruning is sound (containment of all tokens is implied by the
+    * phrase), so the result equals the full-scan answer. */
+  def lookupPhrase(spark: SparkSession, indexDir: String,
+                   chunks: Dataset[EncodedChunk], phrase: Seq[Int]): Dataset[String] = {
+    import spark.implicits._
+    require(phrase.nonEmpty, "phrase must have at least one token")
+    val k = phrase.size
+    val covering = GenericEncode.readTable(spark, indexDir)
+      .filter(col("token").isin(phrase.distinct.map(Int.box): _*))
+      .select(col("token"), explode(col("chunk_ids")).as("chunk_id"))
+      .groupBy("chunk_id")
+      .agg(countDistinct("token").as("n_tok_hit"))
+      .filter(col("n_tok_hit") === phrase.distinct.size)
+      .select("chunk_id")
+    val pruned = chunks.toDF()
+      .join(broadcast(covering), Seq("chunk_id"), "left_semi")
+    val conds = phrase.zipWithIndex
+      .map { case (t, j) => s"tokens[i + $j] = $t" }.mkString(" AND ")
+    // CASE guards the sequence bounds (ANSI array subscripts throw on
+    // out-of-range; AND conjunct order is not a short-circuit guarantee)
+    val positional =
+      s"CASE WHEN size(tokens) >= $k THEN " +
+        s"exists(sequence(0, size(tokens) - $k), i -> $conds) ELSE false END"
+    graft.plans.GraftPlans.decodeDF(pruned, Seq("doc_id", "tokens"))
+      .where(expr(positional))
+      .select(col("doc_id")).as[String]
+  }
 }

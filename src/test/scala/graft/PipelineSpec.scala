@@ -581,6 +581,73 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("bin-pack compaction coalesces tiny disjoint runs; big chunks pass through") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, md5}
+    val base = java.nio.file.Files.createTempDirectory("graft-binpack").toString
+    def rows(range: Range) =
+      spark.createDataset(range.map(i =>
+        TokenRow(f"doc/$i%012d", Array.tabulate(8)(k => i + k), 8, "web")))
+    // the common 100-TB layout: an already-compact HEAD followed by
+    // tiny disjoint ingest debris at the TAIL (ids only grow). The head
+    // must pass through byte-identical; only the debris repacks. (The
+    // reverse order — debris before a compact chunk — may absorb the
+    // boundary chunk into a waterline bin; that is one rewrite per
+    // debris region, amortized nil, and correctness never depends on it.)
+    val bigRange = 0 until 500
+    EncodePipeline.encode(rows(bigRange), 1, tokensPerChunk = 4096)
+      .write.parquet(s"$base/big")
+    // 8 tiny runs: 25 docs × 8 tok each, 64-token chunk budget → 4 chunks per run
+    val runs = (0 until 8).map { r =>
+      EncodePipeline.encode(rows(600 + r * 25 until 600 + (r + 1) * 25), 1,
+        tokensPerChunk = 64)
+        .write.parquet(s"$base/run$r")
+      s"$base/run$r"
+    }
+    val tinyCount = runs.map(spark.read.parquet(_).count()).sum
+    val out = EncodePipeline.compactBinPack(
+      spark, s"$base/big" +: runs, s"$base/packed", tokensPerChunk = 1024)
+    // rows are exact
+    val full = (0 until 8).map(r => rows(600 + r * 25 until 600 + (r + 1) * 25))
+      .reduce(_ union _).union(rows(bigRange))
+    val decoded = EncodePipeline.decode(out.as[EncodedChunk])
+    assert(EncodePipeline.verifyRoundTrip(full, decoded) == 0L)
+    // tiny chunks collapsed: packed tiny region ≈ 1600 tok / 1024 ≈ 2 bins
+    val packedCount = out.count()
+    assert(packedCount <= tinyCount / 4 + 2,
+      s"packed $packedCount vs $tinyCount tiny chunks (+1 big)")
+    // the already-compact run passed through byte-identical
+    val bigHashes = spark.read.parquet(s"$base/big")
+      .select(md5(col("tokens_bin"))).as[String].collect().toSet
+    val outHashes = out.select(md5(col("tokens_bin"))).as[String].collect().toSet
+    assert(bigHashes.subsetOf(outHashes), "big chunks were needlessly re-encoded")
+    // packed ranges disjoint + ordered
+    val ranges = out.select("first_doc_id", "last_doc_id")
+      .collect().map(r => (r.getString(0), r.getString(1))).sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, aLast), (bFirst, _)) => assert(aLast < bFirst, s"$aLast >= $bFirst")
+      case _ =>
+    }
+  }
+
+  test("bin-pack dedupes and keeps overlap semantics when runs overlap") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-binpack-dd").toString
+    def rows(range: Range) =
+      spark.createDataset(range.map(i =>
+        TokenRow(f"doc/$i%012d", Array.tabulate(8)(k => i + k), 8, "web")))
+    EncodePipeline.encode(rows(0 until 100), 1, tokensPerChunk = 64)
+      .write.parquet(s"$base/a")
+    // full duplicate re-ingest of a middle slice
+    EncodePipeline.encode(rows(40 until 60), 1, tokensPerChunk = 64)
+      .write.parquet(s"$base/b")
+    val out = EncodePipeline.compactBinPack(
+      spark, Seq(s"$base/a", s"$base/b"), s"$base/packed",
+      tokensPerChunk = 512, dropDuplicates = true)
+    val decoded = EncodePipeline.decode(out.as[EncodedChunk])
+    assert(EncodePipeline.verifyRoundTrip(rows(0 until 100), decoded) == 0L)
+  }
+
   test("token filters push down to chunk ranges and blooms automatically") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{array_contains, col}

@@ -166,6 +166,55 @@ class SketchSpec extends AnyFunSuite {
     items.foreach(it => assert(got(it) >= truth(it), s"$it undercounted"))
   }
 
+  private def quants(df: org.apache.spark.sql.DataFrame, qs: Seq[Double],
+                     k: Int): Map[String, Seq[Double]] =
+    df.groupBy("g").agg(Sketches.quantiles(col("v"), qs, k).as("q"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+
+  test("quantiles exact regime equals the ceil(q*n) rank (any partitioning)") {
+    import spark.implicits._
+    val qs = Seq(0.5, 0.9, 0.99)
+    val df = spark.range(3000).select(
+      (col("id") % 7).cast("string").as("g"),
+      (col("id") * 2654435761L % 10007).cast("double").as("v"))
+      .repartition(13) // forces partial serialize/merge across tasks
+    val got = quants(df, qs, 4096)
+    val byG = df.collect().map(r => (r.getString(0), r.getDouble(1)))
+      .groupBy(_._1).map { case (g, vs) => g -> vs.map(_._2).sorted.toSeq }
+    val want = byG.map { case (g, vs) =>
+      g -> qs.map(q => vs(math.max(1, math.ceil(q * vs.size).toLong).toInt - 1))
+    }
+    assert(got == want)
+  }
+
+  test("quantiles overflow regime: rank error within the deterministic bound") {
+    import spark.implicits._
+    val n = 200000
+    val k = 256
+    val df = spark.range(n).select(
+      lit("g").as("g"),
+      (col("id") * 2654435761L % 1000003).cast("double").as("v"))
+      .repartition(17)
+    val sorted = df.select("v").collect().map(_.getDouble(0)).sorted
+    val got = quants(df, Seq(0.1, 0.5, 0.9), k)("g")
+    for ((q, est) <- Seq(0.1, 0.5, 0.9).zip(got)) {
+      // rank of the estimate in the true order vs the target rank
+      val lo = sorted.count(_ < est)
+      val hi = sorted.count(_ <= est)
+      val target = math.ceil(q * n)
+      val err = math.min(math.abs(lo - target), math.abs(hi - target)) / n.toDouble
+      assert(err <= 0.05, s"q=$q: est=$est rank in [$lo,$hi] target=$target err=$err")
+    }
+  }
+
+  test("quantiles: single value, constant column, and tiny groups") {
+    import spark.implicits._
+    val df = Seq(("a", 5.0), ("b", 1.0), ("b", 1.0), ("b", 1.0)).toDF("g", "v")
+      .repartition(3)
+    val got = quants(df, Seq(0.5, 1.0), 64)
+    assert(got == Map("a" -> Seq(5.0, 5.0), "b" -> Seq(1.0, 1.0)))
+  }
+
   private def topk(df: org.apache.spark.sql.DataFrame, k: Int): Seq[(String, String, Long)] =
     df.groupBy("g")
       .agg(Sketches.groupTopK(col("k"), col("p"), k).as("s"))

@@ -58,6 +58,41 @@ class TokenIndexSpec extends AnyFunSuite {
     assert(listed == containing)
   }
 
+  test("phrase lookup equals brute-force consecutive-subsequence scan") {
+    import spark.implicits._
+    val rows = TokenTableGen.generate(spark, 2500, 6)
+    val base = tmp("phrase")
+    EncodePipeline.encode(rows, numParts = 4, tokensPerChunk = 8 * 1024)
+      .write.mode("overwrite")
+      .option("compression", EncodePipeline.ChunkTableCompression)
+      .parquet(s"$base/chunks")
+    val chunks = spark.read.parquet(s"$base/chunks").as[EncodedChunk]
+    TokenIndex.build(chunks, s"$base/index")
+    def contains(hay: Array[Int], needle: Seq[Int]): Boolean =
+      hay != null && hay.length >= needle.size &&
+        (0 to hay.length - needle.size).exists(i =>
+          needle.indices.forall(j => hay(i + j) == needle(j)))
+    // a 2-gram present in the corpus, a 3-gram, a repeated-token 2-gram,
+    // a single token, and a phrase with an absent token
+    val sample = rows.head(20)
+    val present2 = sample.collectFirst {
+      case r if r.tokens != null && r.tokens.length >= 2 => r.tokens.take(2).toSeq
+    }.get
+    val present3 = sample.collectFirst {
+      case r if r.tokens != null && r.tokens.length >= 4 =>
+        r.tokens.slice(1, 4).toSeq
+    }.getOrElse(present2)
+    val doubled = Seq(present2.head, present2.head)
+    for (phrase <- Seq(present2, present3, doubled,
+        Seq(present2.head), Seq(present2.head, Int.MinValue))) {
+      val got = TokenIndex.lookupPhrase(spark, s"$base/index", chunks, phrase)
+        .collect().sorted.toSeq
+      val want = rows.filter(r => contains(r.tokens, phrase))
+        .map(_.doc_id).collect().sorted.toSeq
+      assert(got == want, s"phrase $phrase: got ${got.size}, want ${want.size}")
+    }
+  }
+
   test("tokens stream corruption fails loudly at index build") {
     import spark.implicits._
     val rows = TokenTableGen.generate(spark, 300, 2)
