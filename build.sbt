@@ -53,6 +53,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // shuffle/spill scratch on tmpfs: /tmp is disk-backed in this sandbox
   // and serializes the exchange; a real cluster would use local NVMe
   "-Dspark.local.dir=/dev/shm/graft-spark-local",
+  // query scratch tables (snapshot/compact/index checkpoint dirs use
+  // java.io.tmpdir) on tmpfs for the same reason: the snapshot queries
+  // make many small FS commits and were measuring the sandbox's disk
+  // (11->42 s swings run-to-run on identical code); a real deployment
+  // would put table storage on HDFS/S3 with local NVMe staging
+  "-Djava.io.tmpdir=/dev/shm",
   s"-Xmx${heapGiB}g",
   // fixed-size, pre-faulted heap: heap EXPANSION under 32-thread
   // allocation churn caused kernel-time storms (mmap+page-zero) that

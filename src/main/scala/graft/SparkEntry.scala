@@ -72,6 +72,7 @@ object SparkEntry {
     "q_chunk_join" -> ((s, d) => RoundTrips.chunkJoin(s, d)),
     "q_token_index" -> ((s, d) => RoundTrips.tokenIndex(s, d)),
     "q_phrase_search" -> ((s, d) => RoundTrips.phraseSearch(s, d)),
+    "q_token_index_incr" -> ((s, d) => RoundTrips.tokenIndexIncremental(s, d)),
     "q_snapshot_travel" -> ((s, d) => RoundTrips.snapshotTravel(s, d)),
     "q_snapshot_delete" -> ((s, d) => RoundTrips.snapshotDelete(s, d)),
     "q_snapshot_upsert" -> ((s, d) => RoundTrips.snapshotUpsert(s, d)),
@@ -100,6 +101,7 @@ object SparkEntry {
     "q_window" -> ((s, d) => Relational.window(s, d)),
     "q_event_window" -> ((s, d) => Relational.eventWindow(s, d)),
     "q_session_window" -> ((s, d) => Relational.sessionWindow(s, d)),
+    "q_streaming_session" -> ((s, d) => RoundTrips.streamingSession(s, d)),
     "q_asof_join" -> ((s, d) => Relational.asofJoin(s, d)),
     "q_cube" -> ((s, d) => Relational.cubeStats(s, d)),
     "q_set_ops" -> ((s, d) => Relational.setOps(s, d)),
@@ -123,6 +125,7 @@ object SparkEntry {
     "q_sample_stratified" -> ((s, d) => TextOps.sampleStratified(s, d)),
     "q_sample_reservoir" -> ((s, d) => TextOps.sampleReservoir(s, d)),
     "q_sample_weighted" -> ((s, d) => TextOps.sampleWeighted(s, d)),
+    "q_pmi_bigrams" -> ((s, d) => TextOps.pmiBigrams(s, d)),
     "q_repetition" -> ((s, d) => TextOps.repetitionScore(s, d)),
     "q_train_shuffle" -> ((s, d) => TextOps.trainShuffle(s, d)),
     "q_top_tokens" -> ((s, d) => TextOps.topTokens(s, d)),
@@ -388,6 +391,9 @@ object SparkEntry {
     // searches (q_search_token / q_auto_search) — same oracle.
     "q_token_index" ->
       "SELECT DISTINCT lpad(CAST(l_orderkey AS VARCHAR), 15, '0') AS doc_id FROM lineitem WHERE l_linenumber = 7 ORDER BY doc_id",
+    // Incrementally-maintained index must answer like a fresh one.
+    "q_token_index_incr" ->
+      "SELECT DISTINCT lpad(CAST(l_orderkey AS VARCHAR), 15, '0') AS doc_id FROM lineitem WHERE l_linenumber = 3 ORDER BY doc_id",
     // Phrase search: the oracle checks the WORDS (no token-id hash in
     // sight), so a pass proves the engine's hashed-id index + positional
     // predicate answer the word-level question exactly.
@@ -548,6 +554,25 @@ object SparkEntry {
     // 4h (Spark merges windows when next start <= current end, so an
     // exact-4h gap extends the session); end = last event + gap.
     "q_session_window" ->
+      """WITH d AS (
+        |  SELECT user_id, ts, value,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                OR ts - lag(ts) OVER w > INTERVAL 4 HOUR THEN 1 ELSE 0 END AS brk
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        |), s AS (
+        |  SELECT user_id, ts, value,
+        |         sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM d
+        |)
+        |SELECT user_id,
+        |       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS sess_start,
+        |       strftime(max(ts) + INTERVAL 4 HOUR, '%Y-%m-%d %H:%M:%S') AS sess_end,
+        |       count(*) AS n_events, min(value) AS min_v, max(value) AS max_v
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, sess_start""".stripMargin,
+    // Streaming session windows must equal the batch gaps-and-islands
+    // restatement exactly (same merge-at-boundary semantics; the late
+    // poisoned replay and the unfinalized sentinel are both absent).
+    "q_streaming_session" ->
       """WITH d AS (
         |  SELECT user_id, ts, value,
         |         CASE WHEN lag(ts) OVER w IS NULL
@@ -891,6 +916,24 @@ object SparkEntry {
         |         row_number() OVER (PARTITION BY lang ORDER BY skey, doc_id) AS rn
         |  FROM t) s
         |WHERE rn <= 4 ORDER BY lang, skey""".stripMargin,
+    // PMI collocations: identical multiply/divide shape both sides,
+    // round(6) absorbs ln() last-ulp differences (BM25 precedent).
+    "q_pmi_bigrams" ->
+      """WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+        |u AS (SELECT unnest(ws) AS w FROM w),
+        |uc AS (SELECT w, count(*) AS c FROM u GROUP BY w),
+        |b AS (SELECT ws[i] AS w1, ws[i+1] AS w2
+        |      FROM w, UNNEST(range(1, len(ws))) AS t(i)),
+        |bc AS (SELECT w1, w2, count(*) AS cnt FROM b GROUP BY 1, 2 HAVING count(*) >= 5)
+        |SELECT bc.w1, bc.w2, bc.cnt,
+        |       round(ln(CAST(bc.cnt AS DOUBLE) * nu.n * nu.n
+        |             / (CAST(nb.n AS DOUBLE) * u1.c * u2.c)), 6) AS pmi
+        |FROM bc
+        |JOIN uc u1 ON bc.w1 = u1.w
+        |JOIN uc u2 ON bc.w2 = u2.w
+        |CROSS JOIN (SELECT count(*) AS n FROM u) nu
+        |CROSS JOIN (SELECT count(*) AS n FROM b) nb
+        |ORDER BY w1, w2""".stripMargin,
     "q_repetition" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         |b AS (SELECT doc_id, array_to_string(ws[i:i+1], ' ') AS bg

@@ -1079,6 +1079,59 @@ object RoundTrips {
     spark.table(qname).orderBy("win_start", "event_type")
   }
 
+  /** STREAMING session windows (gap 4 h) under a 30-minute watermark in
+    * append mode — the third streaming window family next to tumbling
+    * (q_streaming_window) and sliding (q_streaming_sliding). Sessions
+    * merge statefully across micro-batches (same `session_window`
+    * semantics as the batch q_session_window: a next event at start ≤
+    * current end extends, so an exact-4h gap still merges — the oracle
+    * breaks strictly at `> 4h`). A 4th batch replays the earliest event
+    * with a poisoned value (-1e9): its session closed far below the
+    * watermark, so the row is discarded and the poison can never reach
+    * min_v. A sentinel 6 h past maxTs (user -1) advances the watermark
+    * beyond every real session's end (≤ maxTs+4h < watermark
+    * maxTs+5.5h); the sentinel's own session never finalizes, so it is
+    * absent by construction — the output is NOT filtered, an emitted
+    * sentinel row would fail the oracle. */
+  def streamingSession(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val rows = table(spark, dir, "events")
+      .select(col("ts"), col("user_id"), col("value"))
+      .as[(java.sql.Timestamp, Long, Double)]
+      .collect().sortBy(_._1.getTime)
+    val maxTs = rows.last._1.getTime
+    val late = (rows.head._1, rows.head._2, -1.0e9)
+    val sentinel = (new java.sql.Timestamp(maxTs + 6 * 3600 * 1000L), -1L, 0.0)
+    val ms = MemoryStream[(java.sql.Timestamp, Long, Double)](spark)
+    val agg = ms.toDF().toDF("ts", "user_id", "value")
+      .withWatermark("ts", "30 minutes")
+      .groupBy(session_window(col("ts"), "4 hours"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), min("value").as("min_v"), max("value").as("max_v"))
+      .select(
+        col("user_id"),
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss").as("sess_start"),
+        date_format(col("session_window.end"), "yyyy-MM-dd HH:mm:ss").as("sess_end"),
+        col("n_events"), col("min_v"), col("max_v"))
+    val qname = "graft_stream_session_" +
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName(qname).start()
+    try {
+      val batchSize = (rows.length + 2) / 3
+      rows.grouped(batchSize).foreach { g =>
+        ms.addData(g.toSeq)
+        q.processAllAvailable()
+      }
+      ms.addData(Seq(late))
+      q.processAllAvailable()
+      ms.addData(Seq(sentinel))
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table(qname).orderBy("user_id", "sess_start")
+  }
+
   /** Repeated-group round-trip: array<struct<off,tag>> columns derived
     * deterministically from documents — null arrays (doc_id%11=0), empty
     * arrays (doc_id%4=0), null elements (i=3), and null leaf values
@@ -1135,6 +1188,53 @@ object RoundTrips {
       .as[graft.spark.EncodedChunk]
     graft.spark.TokenIndex.build(persisted, s"$base/index")
     graft.spark.TokenIndex.lookup(spark, s"$base/index", persisted, 7)
+      .toDF("doc_id").orderBy("doc_id")
+  }
+
+  /** Incremental index maintenance (TokenIndex.buildIncremental): the
+    * corpus arrives in two installments — slice A is encoded and
+    * indexed; slice B is APPENDED (chunk_ids remapped into a fresh
+    * part range, the compaction convention, since the index keys on
+    * chunk_id) and the index is extended by reading ONLY B's token
+    * streams plus the vocabulary-sized posting table. A second
+    * incremental call is a proven no-op (idempotence via the .indexed
+    * manifest anti-join). The lookup then answers over A∪B and must
+    * equal the full-scan restatement — same oracle family as
+    * q_token_index, different maintenance path. */
+  def tokenIndexIncremental(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rows = table(spark, dir, "lineitem")
+      .groupBy("l_orderkey")
+      .agg(sort_array(collect_list(col("l_linenumber"))).as("tokens"))
+      .select(
+        format_string("%015d", col("l_orderkey")).as("doc_id"),
+        col("tokens"),
+        size(col("tokens")).as("n_tok"),
+        lit("tpch").as("source"))
+    val a = rows.filter(col("doc_id").substr(15, 1) =!= "0").as[TokenRow]
+    val b = rows.filter(col("doc_id").substr(15, 1) === "0").as[TokenRow]
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft-tokidxinc-q-" +
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    val aParts = 4
+    EncodePipeline.encode(a, aParts, tokensPerChunk = 64 * 1024)
+      .write.mode("overwrite")
+      .option("compression", EncodePipeline.ChunkTableCompression)
+      .parquet(s"$base/chunks")
+    graft.spark.TokenIndex.build(
+      spark.read.parquet(s"$base/chunks").as[graft.spark.EncodedChunk],
+      s"$base/index")
+    EncodePipeline.encode(b, 2, tokensPerChunk = 64 * 1024)
+      .map(c => c.copy(part_id = c.part_id + aParts,
+        chunk_id = ((c.part_id + aParts).toLong << 32) | (c.chunk_id & 0xFFFFFFFFL)))
+      .write.mode("append")
+      .option("compression", EncodePipeline.ChunkTableCompression)
+      .parquet(s"$base/chunks")
+    val persisted = spark.read.parquet(s"$base/chunks")
+      .as[graft.spark.EncodedChunk]
+    graft.spark.TokenIndex.buildIncremental(persisted, s"$base/index")
+    graft.spark.TokenIndex.buildIncremental(persisted, s"$base/index") // no-op
+    graft.spark.TokenIndex.lookup(spark, s"$base/index", persisted, 3)
       .toDF("doc_id").orderBy("doc_id")
   }
 

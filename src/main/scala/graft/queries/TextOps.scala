@@ -425,6 +425,40 @@ object TextOps {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** Collocation mining: pointwise mutual information of adjacent word
+    * bigrams over the corpus — PMI = ln(p(xy) / (p(x)·p(y))), the
+    * classic phrase-detection statistic (Church & Hanks, CL 1990; the
+    * word2vec phrase pass uses the same shape). Plan: one explode pass
+    * each for unigram and bigram counts (both partial-aggregated —
+    * shuffle volume is VOCABULARY-sized, never corpus-sized), then the
+    * count table joins the two unigram legs by BROADCAST (a BPE-scale
+    * vocab is ~10⁵ rows; an open-vocab corpus would flip these to
+    * shuffle joins, same correctness). The two corpus scalars ride
+    * 1-row broadcast cross joins — nothing collects to the driver.
+    * round(6) absorbs cross-engine ln() ulps (the BM25 precedent);
+    * the multiply/divide shape is written identically on both sides so
+    * the doubles agree before rounding. */
+  def pmiBigrams(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).withColumn("ws", split(col("text"), " "))
+    val bi = d.select(explode(when(size(col("ws")) >= 2,
+        expr("transform(sequence(0, size(ws) - 2), i -> struct(ws[i] AS w1, ws[i+1] AS w2))"))
+      .otherwise(expr("CAST(array() AS array<struct<w1:string,w2:string>>)"))).as("p"))
+      .select(col("p.w1"), col("p.w2"))
+    val uniW = d.select(explode(col("ws")).as("w"))
+    val uni = uniW.groupBy("w").agg(count(lit(1)).as("c"))
+    val nu = uniW.agg(count(lit(1)).as("nu"))
+    val nb = bi.agg(count(lit(1)).as("nb"))
+    bi.groupBy("w1", "w2").agg(count(lit(1)).as("cnt")).filter(col("cnt") >= 5)
+      .join(broadcast(uni.select(col("w").as("w1"), col("c").as("c1"))), "w1")
+      .join(broadcast(uni.select(col("w").as("w2"), col("c").as("c2"))), "w2")
+      .crossJoin(broadcast(nu))
+      .crossJoin(broadcast(nb))
+      .select(col("w1"), col("w2"), col("cnt"),
+        round(log(col("cnt").cast("double") * col("nu") * col("nu") /
+          (col("nb").cast("double") * col("c1") * col("c2"))), 6).as("pmi"))
+      .orderBy("w1", "w2")
+  }
+
   /** Benchmark decontamination: flag every training document that shares
     * a word n-gram with the held-out eval set (here the deterministic
     * slice doc_id % 97 == 0 of the corpus stands in for the benchmark

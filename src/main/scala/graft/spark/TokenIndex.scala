@@ -57,7 +57,10 @@ object TokenIndex {
 
   /** Build the index: one distributed pass over the chunk table, posting
     * lists written as a generic chunk table at `indexDir` sorted by
-    * token — so equality lookups prune by the generic min/max stats. */
+    * token — so equality lookups prune by the generic min/max stats.
+    * A sibling `indexDir/.indexed` manifest records WHICH chunk_ids the
+    * index covers, making incremental maintenance possible without
+    * decoding the posting lists themselves. */
   def build(chunks: Dataset[EncodedChunk], indexDir: String): Unit = {
     val spark = chunks.sparkSession
     import spark.implicits._
@@ -68,6 +71,53 @@ object TokenIndex {
       .agg(sort_array(collect_list("chunk_id")).as("chunk_ids"))
       .orderBy("token")
     GenericEncode.writeColumnar(GenericEncode.encode(postings), indexDir)
+    chunks.toDF().select("chunk_id").write.mode("overwrite")
+      .parquet(s"$indexDir/.indexed")
+  }
+
+  /** INCREMENTAL index maintenance: extend the index to cover chunks
+    * appended since the last build, touching ONLY the new chunks' token
+    * streams. At 100 TB this is the difference that matters — a full
+    * rebuild re-reads every chunk's tokens on every ingest tick; this
+    * reads the (vocabulary-sized) old posting table plus the delta
+    * chunks, full-outer-merges the posting lists, and atomically swaps
+    * the index via the Hadoop FS (stage → delete → rename, the same
+    * crash-safe pattern as the encode checkpoint). Already-indexed
+    * chunks are excluded by a broadcast anti-join against the
+    * `.indexed` manifest, so re-running after a partial append is
+    * idempotent. Same trade as any secondary index (reference
+    * ColumnIndex has no counterpart, search.go:31-101): compaction
+    * still invalidates chunk_ids and needs a rebuild. */
+  def buildIncremental(chunks: Dataset[EncodedChunk], indexDir: String): Unit = {
+    val spark = chunks.sparkSession
+    import spark.implicits._
+    val indexed = spark.read.parquet(s"$indexDir/.indexed")
+    val newChunks = chunks.toDF()
+      .join(broadcast(indexed), Seq("chunk_id"), "left_anti")
+      .as[EncodedChunk]
+    if (newChunks.isEmpty) return
+    val newPostings = newChunks
+      .flatMap(c => distinctTokens(c).iterator.map(t => (t, c.chunk_id)))
+      .toDF("token", "chunk_id")
+      .groupBy("token")
+      .agg(sort_array(collect_list("chunk_id")).as("new_ids"))
+    val empty = array().cast("array<bigint>")
+    val merged = GenericEncode.readTable(spark, indexDir)
+      .join(newPostings, Seq("token"), "full_outer")
+      .select(col("token"),
+        sort_array(concat(coalesce(col("chunk_ids"), empty),
+          coalesce(col("new_ids"), empty))).as("chunk_ids"))
+      .orderBy("token")
+    val stage = s"$indexDir.stage"
+    GenericEncode.writeColumnar(GenericEncode.encode(merged), stage)
+    chunks.toDF().select("chunk_id").write.mode("overwrite")
+      .parquet(s"$stage/.indexed")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dst = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = dst.getFileSystem(conf)
+    fs.delete(dst, true)
+    require(fs.rename(new org.apache.hadoop.fs.Path(stage), dst),
+      s"index swap failed: $stage -> $indexDir")
   }
 
   /** doc_ids whose token array contains `tokenId`, driven by the index:

@@ -93,6 +93,49 @@ class TokenIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental build covers appended chunks; repeat call is a no-op") {
+    import spark.implicits._
+    val all = TokenTableGen.generate(spark, 2400, 5)
+    val a = all.filter(_.doc_id.hashCode % 3 != 0)
+    val b = all.filter(_.doc_id.hashCode % 3 == 0)
+    val base = tmp("incr")
+    val aParts = 3
+    EncodePipeline.encode(a, aParts, tokensPerChunk = 8 * 1024)
+      .write.mode("overwrite")
+      .option("compression", EncodePipeline.ChunkTableCompression)
+      .parquet(s"$base/chunks")
+    TokenIndex.build(
+      spark.read.parquet(s"$base/chunks").as[EncodedChunk], s"$base/index")
+    // appended run: remap chunk_ids into a fresh part range (the index
+    // keys on chunk_id, so appended runs must not collide)
+    EncodePipeline.encode(b, 2, tokensPerChunk = 8 * 1024)
+      .map(c => c.copy(part_id = c.part_id + aParts,
+        chunk_id = ((c.part_id + aParts).toLong << 32) | (c.chunk_id & 0xFFFFFFFFL)))
+      .write.mode("append")
+      .option("compression", EncodePipeline.ChunkTableCompression)
+      .parquet(s"$base/chunks")
+    val chunks = spark.read.parquet(s"$base/chunks").as[EncodedChunk]
+    assert(chunks.select("chunk_id").distinct().count() == chunks.count(),
+      "appended chunk_ids collide")
+    TokenIndex.buildIncremental(chunks, s"$base/index")
+    def listing(): Map[String, Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(s"$base/index")).map(f => f.getPath -> f.length()).toMap
+    }
+    val before = listing()
+    TokenIndex.buildIncremental(chunks, s"$base/index") // fully indexed
+    assert(listing() == before, "no-op incremental call rewrote the index")
+    val some = all.flatMap(_.tokens.iterator).distinct().head(5).toSeq
+    for (tok <- some :+ Int.MinValue) {
+      val got = TokenIndex.lookup(spark, s"$base/index", chunks, tok)
+        .collect().sorted.toSeq
+      val want = all.filter(r => r.tokens != null && r.tokens.contains(tok))
+        .map(_.doc_id).collect().sorted.toSeq
+      assert(got == want, s"token $tok: got ${got.size}, want ${want.size}")
+    }
+  }
+
   test("tokens stream corruption fails loudly at index build") {
     import spark.implicits._
     val rows = TokenTableGen.generate(spark, 300, 2)
