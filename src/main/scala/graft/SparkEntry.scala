@@ -95,6 +95,8 @@ object SparkEntry {
     "q_cms_freq" -> ((s, d) => Relational.cmsFreq(s, d)),
     "q_bitmap_ndv" -> ((s, d) => Relational.bitmapNdv(s, d)),
     "q_quantiles" -> ((s, d) => Relational.quantileStats(s, d)),
+    "q_json_extract" -> ((s, d) => Relational.jsonExtract(s, d)),
+    "q_normalize_text" -> ((s, d) => TextOps.normalizeText(s, d)),
     "q_join_broadcast" -> ((s, d) => Relational.joinBroadcast(s, d)),
     "q_semi_join" -> ((s, d) => Relational.semiJoin(s, d)),
     "q_range_prune" -> ((s, d) => Relational.rangePrune(s, d)),
@@ -521,6 +523,22 @@ object SparkEntry {
       """SELECT event_type, count(DISTINCT user_id) AS ndv_users,
         |       count(DISTINCT CAST(ts AS DATE)) AS n_segments
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_json_extract" ->
+      """SELECT event_type, count(*) AS cnt,
+        |       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+        |FROM events
+        |WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) >= 50
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // NFC: JDK Normalizer and DuckDB's utf8proc implement the same
+    // Unicode canonical composition, so the planted decomposed
+    // sequences compose identically (n_norm = n_raw - 2 per doc).
+    "q_normalize_text" ->
+      """WITH r AS (SELECT doc_id,
+        |                  text || ' cafe' || chr(769) || ' pin' || chr(771) || 'ata' AS raw
+        |           FROM documents),
+        |n AS (SELECT doc_id, nfc_normalize(lower(raw)) AS norm, length(raw) AS n_raw FROM r)
+        |SELECT doc_id, norm, md5(norm) AS fp, length(norm) AS n_norm, n_raw
+        |FROM n ORDER BY doc_id""".stripMargin,
     // Exact-regime quantile summary == the ceil(q*n) window rank
     // (CAST AS DOUBLE so both engines take the identical IEEE product).
     "q_quantiles" ->

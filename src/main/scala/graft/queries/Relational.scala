@@ -141,6 +141,22 @@ object Relational {
       .select(col("e.item").as("item"), col("e.est").as("est"))
       .orderBy("item")
 
+  /** Semi-structured column projection: the events table carries a JSON
+    * `props` string; `from_json` with an explicit schema projects the
+    * needed field ONCE into a typed column (never re-parsing per
+    * predicate), and the rest of the query is ordinary codegen'd
+    * filter + partial aggregation. At 100 TB the discipline that
+    * matters is the explicit schema — no schema inference scan, no
+    * repeated JSON parsing, and unparseable rows surface as nulls that
+    * the filter drops deterministically. */
+  def jsonExtract(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .select(col("event_type"), expr("from_json(props, 'k INT').k").as("k"))
+      .filter(col("k") >= 50)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"), sum(col("k").cast("long")).as("sum_k"))
+      .orderBy("event_type")
+
   /** Per-language doc-length percentiles through the deterministic
     * MRL quantile summary, run in its EXACT regime: ≤ k values per
     * group keeps the raw buffer, so the answer IS the rank formula

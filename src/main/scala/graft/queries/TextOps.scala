@@ -425,6 +425,29 @@ object TextOps {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** Unicode NFC normalization before fingerprinting — text differing
+    * only in combining-character composition must hash identically or
+    * exact dedup silently misses duplicates. The corpus is synthetic
+    * ASCII, so decomposed sequences (e + COMBINING ACUTE,
+    * n + COMBINING TILDE) are PLANTED deterministically in-query (the
+    * q_pii_redact precedent: both engines build the identical string).
+    * The normalizer is a codegen'd Catalyst Expression
+    * ([[graft.functions.NfcNormalize]]) with an ASCII fast path — a
+    * Scala UDF would box rows and break whole-stage codegen. The
+    * character counts prove composition actually happened (n_norm =
+    * n_raw − 2). */
+  def normalizeText(spark: SparkSession, dir: String): DataFrame = {
+    val planted = concat(col("text"), lit(" cafe\u0301 pin\u0303ata"))
+    docs(spark, dir)
+      .select(col("doc_id"), planted.as("raw"))
+      .select(col("doc_id"),
+        graft.functions.TextNormalize.nfc(lower(col("raw"))).as("norm"),
+        length(col("raw")).cast("long").as("n_raw"))
+      .select(col("doc_id"), col("norm"), md5(col("norm").cast("binary")).as("fp"),
+        length(col("norm")).cast("long").as("n_norm"), col("n_raw"))
+      .orderBy("doc_id")
+  }
+
   /** Collocation mining: pointwise mutual information of adjacent word
     * bigrams over the corpus — PMI = ln(p(xy) / (p(x)·p(y))), the
     * classic phrase-detection statistic (Church & Hanks, CL 1990; the

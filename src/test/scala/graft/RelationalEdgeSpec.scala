@@ -2,6 +2,7 @@ package graft
 
 import graft.queries.Relational
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Boundary semantics for sessionization and the as-of join that the
@@ -65,5 +66,34 @@ class RelationalEdgeSpec extends AnyFunSuite {
     assert(out(2L) == Some(10.0))
     assert(out(5L) == Some(42.0))
     assert(out(6L) == None)
+  }
+
+  test("nfc_normalize: composition, ASCII identity, idempotence, nulls, codegen parity") {
+    import spark.implicits._
+    import graft.functions.TextNormalize
+    val decomposedCafe = "cafe\u0301"       // e + COMBINING ACUTE
+    val composedCafe = "caf\u00e9"          // precomposed
+    val decomposedPinata = "pin\u0303ata"   // n + COMBINING TILDE
+    val multiMark = "a\u0301\u0327mix"     // two combining marks
+    val inputs = Seq(decomposedCafe, decomposedPinata, composedCafe,
+      "plain ascii stays", "", multiMark)
+    val rows = inputs.toDF("s")
+    val got = rows.select(TextNormalize.nfc(col("s")).as("n"))
+      .collect().map(_.getString(0)).toSeq
+    val want = inputs.map(s =>
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+    assert(got == want)
+    assert(got(0) == composedCafe, "decomposed cafe must compose")
+    assert(got(2) == composedCafe, "composed input unchanged")
+    assert(got(3) == "plain ascii stays")
+    // idempotent: NFC(NFC(x)) == NFC(x)
+    val twice = rows.select(TextNormalize.nfc(TextNormalize.nfc(col("s"))).as("n"))
+      .collect().map(_.getString(0)).toSeq
+    assert(twice == got)
+    // nulls pass through the codegen'd null check
+    val withNull = Seq(Some(decomposedCafe), None).toDF("s")
+    val ns = withNull.select(TextNormalize.nfc(col("s")).as("n"))
+      .collect().map(r => Option(r.getString(0)))
+    assert(ns.toSeq == Seq(Some(composedCafe), None))
   }
 }
