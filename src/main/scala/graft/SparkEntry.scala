@@ -145,6 +145,7 @@ object SparkEntry {
     "q_lsh_ann" -> ((s, d) => SimilarityOps.lshAnn(s, d)),
     "q_ivf_ann" -> ((s, d) => SimilarityOps.ivfAnn(s, d)),
     "q_ivf_ann_q8" -> ((s, d) => SimilarityOps.ivfAnnQuantized(s, d)),
+    "q_ivf_pq_ann" -> ((s, d) => SimilarityOps.ivfPqAnn(s, d)),
     "q_embedding_neardup" -> ((s, d) => SimilarityOps.embeddingNearDup(s, d))
   )
 
@@ -833,6 +834,19 @@ object SparkEntry {
     // Int8-quantized IVF: coarse integer scoring over the 4x-smaller
     // index + exact rerank of the candidates — same exact top-20.
     "q_ivf_ann_q8" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings ORDER BY vec_id LIMIT 1),
+        |corpus AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT 1000000 + t.j AS vec_id,
+        |         list_transform((SELECT qe FROM q), x -> x * CAST(1.0 + 0.01 * (t.j + 1) AS FLOAT)) AS embedding
+        |  FROM range(30) t(j))
+        |SELECT vec_id, round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), CAST((SELECT qe FROM q) AS DOUBLE[])), 6) AS cos
+        |FROM corpus ORDER BY cos DESC, vec_id LIMIT 20""".stripMargin,
+    // IVF-PQ: 8-byte/vector codes index, asymmetric-distance coarse pass
+    // (broadcast LUT, no float vector math), exact rerank of the coarse
+    // top-100 — same exact top-20 as the full-precision IVF probe.
+    "q_ivf_pq_ann" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings ORDER BY vec_id LIMIT 1),
         |corpus AS (
         |  SELECT vec_id, embedding FROM embeddings

@@ -381,6 +381,153 @@ object SimilarityOps {
     ann
   }
 
+  // ---------------------------------------------- product quantization
+
+  private final val PqM = 8            // subspaces: 64 dims -> 8 x 8-dim
+  private final val PqSub = Dims / PqM
+  private final val PqK = 64           // codewords per subspace (one byte)
+
+  @inline private def subvec(v: Array[Double], m: Int): Array[Double] =
+    java.util.Arrays.copyOfRange(v, m * PqSub, (m + 1) * PqSub)
+
+  /** Build (or reuse) the IVF-PQ index: per-subspace codebooks trained by
+    * distributed Lloyd iterations over NORMALIZED vectors (PQ of the unit
+    * vector approximates cosine directly, and normalization is what makes
+    * scaled-copy needles quantize to the query's own codes), plus a codes
+    * table — PqM bytes per vector, partitioned by the SAME IVF cell as
+    * the f32 index, so a probe prunes to nprobe directories. At 10^9
+    * vectors this is the index that fits memory: 8 B codes vs 256 B f32
+    * (32x) and vs 64 B int8 (8x). Codebook training state on the driver
+    * is PqM x PqK x PqSub doubles (~32 KB) regardless of corpus size; the
+    * assignment/mean steps are distributed aggregations keyed on
+    * (subspace, code) — PqM rows emitted per vector, reduced map-side.
+    *
+    * This quantizes the raw normalized vector per cell (shared codebooks);
+    * the classical refinement — per-cell RESIDUAL codebooks — halves the
+    * quantization error at the cost of a per-cell LUT rebuild per query,
+    * and drops in here without changing the probe shape. */
+  private[graft] def ensurePqIndex(spark: SparkSession, dir: String): (String, String) = {
+    import spark.implicits._
+    val (assignPath, _) = ensureIvfIndex(spark, dir)
+    val codesPath = s"${indexRoot(spark, dir)}/pq_codes"
+    val bookPath = s"${indexRoot(spark, dir)}/pq_book"
+    if (!exists(spark, codesPath) || !exists(spark, bookPath)) {
+      val vecs = corpusWithNeedles(spark, dir)
+        .map { case (id, v) => (id, normalize(v.toArray).map(_.toDouble).toSeq) }
+        .cache()
+      // seeded init: pseudo-random directions scaled to the expected
+      // subvector norm of a unit vector split M ways (1/sqrt(M))
+      val subNorm = 1.0 / math.sqrt(PqM.toDouble)
+      var books: Array[Array[Array[Double]]] = Array.tabulate(PqM) { m =>
+        Array.tabulate(PqK) { c =>
+          normalizeD(Array.tabulate(PqSub)(d =>
+            graft.spark.TokenTableGen.splitmix64(
+              (m.toLong * 524287 + c) * 8191 + d).toDouble / Long.MaxValue.toDouble))
+            .map(_ * subNorm)
+        }
+      }
+      for (_ <- 1 to 3) {
+        val bc = spark.sparkContext.broadcast(books)
+        val sums = vecs.flatMap { case (_, v) =>
+          val arr = v.toArray
+          (0 until PqM).iterator.map { m =>
+            val sub = subvec(arr, m)
+            ((m, nearestCell(sub, bc.value(m))), (sub, 1L))
+          }
+        }
+          .groupByKey(_._1).mapValues(_._2)
+          .reduceGroups((a, b) => (a._1.zip(b._1).map(t => t._1 + t._2), a._2 + b._2))
+          .collect() // <= PqM*PqK rows of PqSub doubles — driver-bounded
+        val next = books.map(_.map(_.clone()))
+        sums.foreach { case ((m, c), (sum, cnt)) => next(m)(c) = sum.map(_ / cnt) }
+        books = next
+      }
+      vecs.unpersist()
+      val bcB = spark.sparkContext.broadcast(books)
+      spark.read.parquet(assignPath)
+        .select("cell", "vec_id", "embedding")
+        .as[(Int, Long, Seq[Float])]
+        .map { case (cell, id, v) =>
+          val arr = normalize(v.toArray).map(_.toDouble)
+          val codes = new Array[Byte](PqM)
+          var m = 0
+          while (m < PqM) {
+            codes(m) = nearestCell(subvec(arr, m), bcB.value(m)).toByte
+            m += 1
+          }
+          (cell, id, codes)
+        }
+        .toDF("cell", "vec_id", "codes")
+        .repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(codesPath)
+      books.zipWithIndex.flatMap { case (cb, m) =>
+        cb.zipWithIndex.map { case (cw, c) => (m, c, cw.toSeq) }
+      }.toSeq.toDF("m", "code", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(bookPath)
+    }
+    (codesPath, bookPath)
+  }
+
+  /** IVF-PQ ANN: probe the nprobe nearest IVF cells, score candidates by
+    * ASYMMETRIC distance — the query stays full-precision; each stored
+    * vector is reconstructed implicitly through a broadcast PqM x PqK
+    * lookup table of (query-subvector . codeword) dots, so the coarse
+    * pass reads 8 bytes per vector and does PqM table adds, no float
+    * vector math — then exact-rerank the coarse top-100 from the f32
+    * corpus. Needles normalize to the query's unit vector, take the
+    * query's own codes, and share its (maximal) ADC score, so they top
+    * the coarse ordering deterministically; the exact rerank makes the
+    * final top-20 equal q_ivf_ann's oracle. */
+  def ivfPqAnn(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (codesPath, bookPath) = ensurePqIndex(spark, dir)
+    val (_, centPath) = ensureIvfIndex(spark, dir)
+    val centroids = spark.read.parquet(centPath)
+      .as[(Int, Seq[Double])].collect().sortBy(_._1).map(_._2.toArray)
+    val books = spark.read.parquet(bookPath)
+      .as[(Int, Int, Seq[Double])].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3.toArray)).toMap
+    val q = queryVec(spark, dir)
+    val qn = normalize(q).map(_.toDouble)
+    // LUT[m][c] = qn_m . codeword(m, c); ADC(v) = sum_m LUT[m][codes_m(v)]
+    val lut = Array.tabulate(PqM) { m =>
+      val qs = subvec(qn, m)
+      books(m).map { cw =>
+        var s = 0.0; var i = 0
+        while (i < PqSub) { s += qs(i) * cw(i); i += 1 }
+        s
+      }
+    }
+    val nprobe = math.max(1, math.min(DefaultNprobe, centroids.length))
+    val cells = centroids.zipWithIndex
+      .map { case (c, i) => (i, sqDist(qn, c)) }
+      .sortBy(_._2).take(nprobe).map(_._1)
+    val bLut = spark.sparkContext.broadcast(lut)
+    val coarseK = 100
+    val candidates = spark.read.parquet(codesPath)
+      .filter(col("cell").isin(cells.map(Integer.valueOf): _*))
+      .select("vec_id", "codes").as[(Long, Array[Byte])]
+      .map { case (id, codes) =>
+        var s = 0.0; var m = 0
+        while (m < PqM) { s += bLut.value(m)(codes(m) & 0xff); m += 1 }
+        (id, s)
+      }
+      .toDF("vec_id", "adc")
+      .orderBy(col("adc").desc, col("vec_id"))
+      .limit(coarseK)
+    val bq = spark.sparkContext.broadcast(q)
+    val ann = candidates
+      .join(corpusWithNeedles(spark, dir).toDF("vec_id", "embedding"), Seq("vec_id"))
+      .select("vec_id", "embedding").as[(Long, Seq[Float])]
+      .map { case (id, v) => (id, cosine(v.toArray, bq.value)) }
+      .toDF("vec_id", "cos")
+      .withColumn("cos", round(col("cos"), 6))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(20)
+    assertNeedleRecall("ivfPqAnn", spark, ann)
+    ann
+  }
+
   /** O(1) in-query recall gate: the exact top-20 over the needle-planted
     * corpus is KNOWN by construction (the 20 lowest-id needles — all 30
     * needles have cosine 1.0, the natural corpus tops out ~0.51), so the

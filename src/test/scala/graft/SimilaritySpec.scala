@@ -45,6 +45,12 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("IVF-PQ ANN achieves full recall@20 vs the exact top-20") {
+    val (found, n) = SimilarityOps.fullRecallAt20(spark, dir,
+      SimilarityOps.ivfPqAnn(spark, dir))
+    assert(found == n, s"IVF-PQ recall $found/$n")
+  }
+
   test("int8 quantization is scale-invariant and tracks true cosine") {
     val r = new java.util.Random(7)
     for (_ <- 1 to 100) {
