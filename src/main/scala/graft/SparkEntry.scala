@@ -128,6 +128,7 @@ object SparkEntry {
     "q_sample_reservoir" -> ((s, d) => TextOps.sampleReservoir(s, d)),
     "q_sample_weighted" -> ((s, d) => TextOps.sampleWeighted(s, d)),
     "q_pmi_bigrams" -> ((s, d) => TextOps.pmiBigrams(s, d)),
+    "q_perplexity" -> ((s, d) => TextOps.perplexityLm(s, d)),
     "q_repetition" -> ((s, d) => TextOps.repetitionScore(s, d)),
     "q_train_shuffle" -> ((s, d) => TextOps.trainShuffle(s, d)),
     "q_top_tokens" -> ((s, d) => TextOps.topTokens(s, d)),
@@ -966,6 +967,25 @@ object SparkEntry {
         |CROSS JOIN (SELECT count(*) AS n FROM u) nu
         |CROSS JOIN (SELECT count(*) AS n FROM b) nb
         |ORDER BY w1, w2""".stripMargin,
+    // Bigram-LM cross-entropy (CCNet-style perplexity filter): the ln()
+    // argument is one division of exact integer sums on both sides so the
+    // doubles agree bit-for-bit; round(6) absorbs avg() summation order.
+    "q_perplexity" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |b AS (SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+        |      FROM w, UNNEST(range(1, len(ws))) AS t(i)),
+        |bc AS (SELECT w1, w2, count(*) AS cb FROM b GROUP BY 1, 2),
+        |cc AS (SELECT w1, count(*) AS cw FROM b GROUP BY 1),
+        |v AS (SELECT count(DISTINCT u.w) AS v
+        |      FROM (SELECT unnest(ws) AS w FROM w) u)
+        |SELECT b.doc_id, count(*) AS n_bigrams,
+        |       round(avg(ln(CAST(cc.cw + v.v AS DOUBLE) / (bc.cb + 1))), 6)
+        |         AS cross_entropy
+        |FROM b
+        |JOIN bc ON b.w1 = bc.w1 AND b.w2 = bc.w2
+        |JOIN cc ON b.w1 = cc.w1
+        |CROSS JOIN v
+        |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin,
     "q_repetition" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         |b AS (SELECT doc_id, array_to_string(ws[i:i+1], ' ') AS bg

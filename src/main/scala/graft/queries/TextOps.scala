@@ -482,6 +482,44 @@ object TextOps {
       .orderBy("w1", "w2")
   }
 
+  /** CCNet-style language-model quality filter: train an add-one-smoothed
+    * bigram LM on the corpus itself, then score every document by its
+    * per-bigram cross-entropy under that model — the classic "perplexity
+    * filter" used to rank web text for LM training (CCNet, Wenzek et al.
+    * 2020 §4.3; the KenLM scoring pass). p(w2|w1) = (c(w1,w2)+1) /
+    * (ctx(w1)+V) with ctx = bigram-context counts and V = corpus distinct
+    * unigrams; doc score = avg(-ln p) over its bigrams (boilerplate /
+    * repetitive docs score LOW, gibberish scores HIGH).
+    *
+    * Plan shape: the MODEL is the aggregate (bigram + context counts —
+    * both partial-aggregated, so shuffle volume is vocabulary-sized,
+    * never corpus-sized) and joins back to the corpus bigram stream by
+    * BROADCAST at BPE-vocab scale (~10⁵ rows; an open-vocab corpus flips
+    * these to shuffle joins, same correctness). V rides a 1-row broadcast
+    * cross join. The scoring pass is then map-side per bigram + one
+    * per-doc aggregation — nothing collects to the driver, and the model
+    * tables are reusable across epochs. The ln() argument is written as
+    * ONE division of exact integers on both sides so the doubles agree
+    * before avg; round(6) absorbs summation-order ulps (BM25 precedent). */
+  def perplexityLm(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).withColumn("ws", split(col("text"), " "))
+    val bi = d.select(col("doc_id"), explode(when(size(col("ws")) >= 2,
+        expr("transform(sequence(0, size(ws) - 2), i -> struct(ws[i] AS w1, ws[i+1] AS w2))"))
+      .otherwise(expr("CAST(array() AS array<struct<w1:string,w2:string>>)"))).as("p"))
+      .select(col("doc_id"), col("p.w1"), col("p.w2"))
+    val bc = bi.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    val cc = bi.groupBy("w1").agg(count(lit(1)).as("cw"))
+    val v = d.select(explode(col("ws")).as("w")).agg(countDistinct(col("w")).as("v"))
+    bi.join(broadcast(bc), Seq("w1", "w2"))
+      .join(broadcast(cc), Seq("w1"))
+      .crossJoin(broadcast(v))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(log((col("cw") + col("v")).cast("double") / (col("cb") + lit(1)))), 6)
+          .as("cross_entropy"))
+      .orderBy("doc_id")
+  }
+
   /** Benchmark decontamination: flag every training document that shares
     * a word n-gram with the held-out eval set (here the deterministic
     * slice doc_id % 97 == 0 of the corpus stands in for the benchmark
