@@ -20,26 +20,34 @@ object GraphOps {
 
   /** One large-star round: every node connects its strictly-larger
     * neighbors to the minimum of its neighborhood (incl. itself).
-    * Edges arrive as (s, t) in any orientation. */
+    * Edges arrive as (s, t) in any orientation. The neighborhood min
+    * rides a window over the SAME hash partitioning the rows already
+    * need (guide §2.4: an aggregation and a join keyed the same way can
+    * share one exchange) — round 5 ran a groupBy + a re-shuffled join
+    * per star, i.e. three exchanges of the edge set per round where one
+    * suffices. */
   private def largeStar(e: DataFrame): DataFrame = {
     val sym = e.select(col("s"), col("t"))
       .union(e.select(col("t").as("s"), col("s").as("t")))
-    val mins = sym.groupBy("s").agg(min("t").as("mn"))
-    sym.join(mins, "s")
+    val byS = org.apache.spark.sql.expressions.Window.partitionBy("s")
+    sym.withColumn("mn", min("t").over(byS))
       .filter(col("t") > col("s"))
       .select(col("t").as("s"), least(col("s"), col("mn")).as("t"))
       .distinct()
   }
 
   /** One small-star round: every node connects its smaller-or-equal
-    * neighbors (and itself) to the minimum among them. */
+    * neighbors (and itself) to the minimum among them. Same one-exchange
+    * window shape as [[largeStar]]; the per-edge center rows it emits
+    * (vs one per node before) are absorbed by the trailing distinct the
+    * round already pays. */
   private def smallStar(e: DataFrame): DataFrame = {
     val oriented = e.select(greatest("s", "t").as("u"), least("s", "t").as("v"))
       .filter(col("u") =!= col("v"))
-    val mins = oriented.groupBy("u").agg(min("v").as("mn"))
-    val children = oriented.join(mins, "u")
-      .select(col("v").as("s"), col("mn").as("t"))
-    val centers = mins.select(col("u").as("s"), col("mn").as("t"))
+    val byU = org.apache.spark.sql.expressions.Window.partitionBy("u")
+    val withMn = oriented.withColumn("mn", min("v").over(byU))
+    val children = withMn.select(col("v").as("s"), col("mn").as("t"))
+    val centers = withMn.select(col("u").as("s"), col("mn").as("t"))
     children.union(centers)
       .filter(col("s") =!= col("t"))
       .distinct()

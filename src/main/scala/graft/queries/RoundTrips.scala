@@ -18,6 +18,20 @@ object RoundTrips {
   private def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Encode fan-out for the corpus-sized round-trips: the cluster's own
+    * parallelism (local[n] → n; on a real cluster, total executor cores)
+    * instead of the round-5 constants 4/8, which left 3/4 of the box
+    * idle through every encode stage (guide §2: partition counts must
+    * scale with the deployment, not be constants). A production job
+    * writing a PERSISTED table sizes partitions by bytes instead
+    * ([[EncodePipeline.autoNumParts]], 256 MB targets); these chunk
+    * tables are in-query intermediates, where the only cost of a
+    * partition is its task and the only gain is a busy core. Layout-only:
+    * decoded VALUES are partition-count-invariant, which is what the
+    * oracle checks. */
+  private def encParts(spark: SparkSession): Int =
+    spark.sparkContext.defaultParallelism
+
   /** DELTA_BINARY_PACKED int64 over o_orderkey (sorted-ish ids). */
   def deltaLong(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -205,7 +219,7 @@ object RoundTrips {
         size(col("tokens")).as("n_tok"),
         lit("tpch").as("source"))
       .as[TokenRow]
-    val chunks = EncodePipeline.encode(rows, numParts = 8, tokensPerChunk = 256 * 1024)
+    val chunks = EncodePipeline.encode(rows, numParts = encParts(spark), tokensPerChunk = 256 * 1024)
     EncodePipeline.decode(chunks)
       .flatMap(r => r.tokens.map(t => (r.doc_id.toLong, t.toLong)))
       .toDF("l_orderkey", "l_linenumber")
@@ -227,7 +241,7 @@ object RoundTrips {
         size(col("tokens")).as("n_tok"),
         lit("tpch").as("source"))
       .as[TokenRow]
-    val chunks = EncodePipeline.encode(rows, numParts = 8, tokensPerChunk = 256 * 1024,
+    val chunks = EncodePipeline.encode(rows, numParts = encParts(spark), tokensPerChunk = 256 * 1024,
       blockCodec = blockCodec)
     EncodePipeline.decode(chunks)
       .flatMap(r => r.tokens.map(t => (r.doc_id.toLong, t.toLong)))
@@ -566,7 +580,7 @@ object RoundTrips {
         when(col("l_returnflag") === "N", lit(null).cast("string"))
           .otherwise(col("l_returnflag")).as("source"))
       .as[TokenRow]
-    val decoded = EncodePipeline.decode(EncodePipeline.encode(src, numParts = 4))
+    val decoded = EncodePipeline.decode(EncodePipeline.encode(src, numParts = encParts(spark)))
     decoded.toDF()
       .select(col("doc_id"), col("n_tok"), col("source"),
         expr("aggregate(tokens, CAST(0 AS BIGINT), (acc, x) -> acc + x)").as("tok_sum"))
@@ -652,7 +666,7 @@ object RoundTrips {
         size(col("tokens")).as("n_tok"),
         lit("tpch").as("source"))
       .as[TokenRow]
-    val chunks = EncodePipeline.encode(rows, numParts = 8, tokensPerChunk = 64 * 1024)
+    val chunks = EncodePipeline.encode(rows, numParts = encParts(spark), tokensPerChunk = 64 * 1024)
     EncodePipeline.searchToken(chunks, 7).toDF("doc_id").orderBy("doc_id")
   }
 
@@ -716,17 +730,21 @@ object RoundTrips {
     val qname = "graft_stream_window_" +
       java.security.MessageDigest.getInstance("MD5")
         .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
-    val q = agg.writeStream.outputMode("append")
-      .format("memory").queryName(qname).start()
-    try {
-      val batchSize = (rows.length + 2) / 3
-      rows.grouped(batchSize).foreach { g =>
-        ms.addData(g.toSeq)
+    // state fan-out sized to the data, not the session constant — see
+    // graft.streaming.StateScope (result-invariant; conf-overridable)
+    graft.streaming.StateScope.withStateParts(spark, rows.length.toLong) {
+      val q = agg.writeStream.outputMode("append")
+        .format("memory").queryName(qname).start()
+      try {
+        val batchSize = (rows.length + 2) / 3
+        rows.grouped(batchSize).foreach { g =>
+          ms.addData(g.toSeq)
+          q.processAllAvailable()
+        }
+        ms.addData(Seq(sentinel))
         q.processAllAvailable()
-      }
-      ms.addData(Seq(sentinel))
-      q.processAllAvailable()
-    } finally q.stop()
+      } finally q.stop()
+    }
     spark.table(qname).orderBy("win_start", "event_type")
   }
 
@@ -766,22 +784,19 @@ object RoundTrips {
     // A stream-stream join keeps ~4 state stores per side per shuffle
     // partition; at the session's 32 partitions each micro-batch commits
     // hundreds of store files for a toy input. Scope the state fan-out
-    // down for this query (a deployment sizes it to the cluster) and
-    // restore the session value after — result is partition-invariant.
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    val q = joined.writeStream.outputMode("append")
-      .format("memory").queryName(qname).start()
-    try {
-      val slices = ev.grouped((ev.length + 2) / 3)
-      slices.foreach { g =>
-        msClick.addData(g.filter(_._3 == "click").map(e => (e._1, e._2, e._4)).toSeq)
-        msPurch.addData(g.filter(_._3 == "purchase").map(e => (e._1, e._2, e._4)).toSeq)
-        q.processAllAvailable()
-      }
-    } finally {
-      q.stop()
-      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    // to the data (was a hard-coded 8; now the shared scale-adaptive
+    // derivation) — result is partition-invariant.
+    graft.streaming.StateScope.withStateParts(spark, ev.length.toLong) {
+      val q = joined.writeStream.outputMode("append")
+        .format("memory").queryName(qname).start()
+      try {
+        val slices = ev.grouped((ev.length + 2) / 3)
+        slices.foreach { g =>
+          msClick.addData(g.filter(_._3 == "click").map(e => (e._1, e._2, e._4)).toSeq)
+          msPurch.addData(g.filter(_._3 == "purchase").map(e => (e._1, e._2, e._4)).toSeq)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
     }
     spark.table(qname).orderBy("user_id", "click_id", "purchase_id")
   }
@@ -985,7 +1000,7 @@ object RoundTrips {
         when(col("l_returnflag") === "N", lit(null).cast("string"))
           .otherwise(col("l_returnflag")).as("source"))
       .as[TokenRow]
-    val chunks = EncodePipeline.encode(src, numParts = 4)
+    val chunks = EncodePipeline.encode(src, numParts = encParts(spark))
     // (l_orderkey, l_linenumber) is NOT unique in the synthetic lineitem,
     // so doc_id alone is not a total order — add the value columns
     EncodePipeline.decodeDF(chunks, Seq("doc_id", "n_tok", "source"))
@@ -1063,19 +1078,23 @@ object RoundTrips {
     val qname = "graft_stream_sliding_" +
       java.security.MessageDigest.getInstance("MD5")
         .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
-    val q = agg.writeStream.outputMode("append")
-      .format("memory").queryName(qname).start()
-    try {
-      val batchSize = (rows.length + 2) / 3
-      rows.grouped(batchSize).foreach { g =>
-        ms.addData(g.toSeq)
+    // state fan-out sized to the data, not the session constant — see
+    // graft.streaming.StateScope (result-invariant; conf-overridable)
+    graft.streaming.StateScope.withStateParts(spark, rows.length.toLong) {
+      val q = agg.writeStream.outputMode("append")
+        .format("memory").queryName(qname).start()
+      try {
+        val batchSize = (rows.length + 2) / 3
+        rows.grouped(batchSize).foreach { g =>
+          ms.addData(g.toSeq)
+          q.processAllAvailable()
+        }
+        ms.addData(Seq(late))
         q.processAllAvailable()
-      }
-      ms.addData(Seq(late))
-      q.processAllAvailable()
-      ms.addData(Seq(sentinel))
-      q.processAllAvailable()
-    } finally q.stop()
+        ms.addData(Seq(sentinel))
+        q.processAllAvailable()
+      } finally q.stop()
+    }
     spark.table(qname).orderBy("win_start", "event_type")
   }
 
@@ -1116,19 +1135,23 @@ object RoundTrips {
     val qname = "graft_stream_session_" +
       java.security.MessageDigest.getInstance("MD5")
         .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
-    val q = agg.writeStream.outputMode("append")
-      .format("memory").queryName(qname).start()
-    try {
-      val batchSize = (rows.length + 2) / 3
-      rows.grouped(batchSize).foreach { g =>
-        ms.addData(g.toSeq)
+    // state fan-out sized to the data, not the session constant — see
+    // graft.streaming.StateScope (result-invariant; conf-overridable)
+    graft.streaming.StateScope.withStateParts(spark, rows.length.toLong) {
+      val q = agg.writeStream.outputMode("append")
+        .format("memory").queryName(qname).start()
+      try {
+        val batchSize = (rows.length + 2) / 3
+        rows.grouped(batchSize).foreach { g =>
+          ms.addData(g.toSeq)
+          q.processAllAvailable()
+        }
+        ms.addData(Seq(late))
         q.processAllAvailable()
-      }
-      ms.addData(Seq(late))
-      q.processAllAvailable()
-      ms.addData(Seq(sentinel))
-      q.processAllAvailable()
-    } finally q.stop()
+        ms.addData(Seq(sentinel))
+        q.processAllAvailable()
+      } finally q.stop()
+    }
     spark.table(qname).orderBy("user_id", "sess_start")
   }
 
@@ -1318,8 +1341,13 @@ object RoundTrips {
           lit(1).as("n_tok"),
           col("lang").as("source"))
         .as[TokenRow]
+    // ONE bounds pass shared by every append: the slices share the full
+    // table's key distribution, so per-slice re-sampling bought nothing
+    // but an extra scan+collect per encode (layout-only; rows unchanged)
+    val bounds = EncodePipeline.massBalancedBounds(slice(lit(true)), 4)
     def append(rows: org.apache.spark.sql.Dataset[TokenRow]): Unit =
-      EncodePipeline.encode(rows, numParts = 4, tokensPerChunk = 2048)
+      EncodePipeline.encode(rows, numParts = 4, tokensPerChunk = 2048,
+          boundsOverride = Some(bounds))
         .write.mode("append")
         .option("compression", EncodePipeline.ChunkTableCompression)
         .parquet(s"$base/chunks")
@@ -1363,8 +1391,11 @@ object RoundTrips {
           lit(1).as("n_tok"),
           col("lang").as("source"))
         .as[TokenRow]
+    // ONE bounds pass shared by every append (see snapshotTravel)
+    val bounds = EncodePipeline.massBalancedBounds(slice(lit(true)), 4)
     def append(rows: org.apache.spark.sql.Dataset[TokenRow]): Unit =
-      EncodePipeline.encode(rows, numParts = 4, tokensPerChunk = 2048)
+      EncodePipeline.encode(rows, numParts = 4, tokensPerChunk = 2048,
+          boundsOverride = Some(bounds))
         .write.mode("append")
         .option("compression", EncodePipeline.ChunkTableCompression)
         .parquet(s"$base/chunks")
@@ -1445,8 +1476,11 @@ object RoundTrips {
           lit(1).as("n_tok"),
           col("lang").as("source"))
         .as[TokenRow]
+    // ONE bounds pass shared by every append (see snapshotTravel)
+    val bounds = EncodePipeline.massBalancedBounds(slice(lit(true)), 4)
     def append(rows: org.apache.spark.sql.Dataset[TokenRow]): Int = {
-      EncodePipeline.encode(rows, numParts = 4, tokensPerChunk = 2048)
+      EncodePipeline.encode(rows, numParts = 4, tokensPerChunk = 2048,
+          boundsOverride = Some(bounds))
         .write.mode("append")
         .option("compression", EncodePipeline.ChunkTableCompression)
         .parquet(s"$base/chunks")
@@ -1492,8 +1526,11 @@ object RoundTrips {
           lit(1).as("n_tok"),
           col("lang").as("source"))
         .as[TokenRow]
+    // ONE bounds pass shared by every append (see snapshotTravel)
+    val bounds = EncodePipeline.massBalancedBounds(slice(lit(true)), 4)
     def append(rows: org.apache.spark.sql.Dataset[TokenRow]): Int = {
-      EncodePipeline.encode(rows, numParts = 4, tokensPerChunk = 2048)
+      EncodePipeline.encode(rows, numParts = 4, tokensPerChunk = 2048,
+          boundsOverride = Some(bounds))
         .write.mode("append")
         .option("compression", EncodePipeline.ChunkTableCompression)
         .parquet(s"$base/chunks")

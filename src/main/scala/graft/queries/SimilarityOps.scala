@@ -625,9 +625,12 @@ object SimilarityOps {
     // capped bucket's pairs are still recoverable from the other L-1
     // tables (independent hyperplanes).
     val cap = 10000L
-    val sized = sigs.join(
-      sigs.groupBy("tbl", "bucket").agg(count(lit(1)).as("width")),
-      Seq("tbl", "bucket"))
+    // bucket width via a window over the (tbl, bucket) partitioning the
+    // self-join below needs anyway — one exchange instead of the round-5
+    // groupBy + re-shuffled join (guide §2.4)
+    val sized = sigs.withColumn("width",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("tbl", "bucket")))
       .filter(col("width") <= cap)
     val a = sized.as("a")
     val b = sized.as("b")

@@ -232,9 +232,12 @@ object TextOps {
       (0 until 4).iterator.map(b => (b, (sig >>> (16 * b)) & 0xFFFFL, id, sig))
     }.toDF("band", "band_bits", "doc_id", "simhash")
     val cap = 10000L
-    val withWidth = banded.join(
-      banded.groupBy("band", "band_bits").agg(count(lit(1)).as("width")),
-      Seq("band", "band_bits")).persist()
+    // bucket width via a window over the (band, band_bits) partitioning
+    // the pair joins below need anyway — one exchange instead of the
+    // round-5 groupBy + re-shuffled join (guide §2.4)
+    val withWidth = banded.withColumn("width",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window
+        .partitionBy("band", "band_bits"))).persist()
     val sized = withWidth.filter(col("width") <= cap)
     def pairsOf(df: DataFrame, keys: Seq[String]): DataFrame = {
       val a = df.as("a")
@@ -341,9 +344,12 @@ object TextOps {
     // degenerate to quadratic pairwise work; a capped bucket's true pairs
     // are still caught by the other 31 independent bands.
     val cap = 10000L
-    val sized = sigs.join(
-      sigs.groupBy("band", "band_hash").agg(count(lit(1)).as("width")),
-      Seq("band", "band_hash"))
+    // bucket width via a window over the (band, band_hash) partitioning
+    // the candidate self-join below needs anyway — one exchange instead
+    // of the round-5 groupBy + re-shuffled join (guide §2.4)
+    val sized = sigs.withColumn("width",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("band", "band_hash")))
       .filter(col("width") <= cap)
     val a = sized.as("a")
     val b = sized.as("b")
@@ -510,7 +516,12 @@ object TextOps {
     val bc = bi.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
     val cc = bi.groupBy("w1").agg(count(lit(1)).as("cw"))
     val v = d.select(explode(col("ws")).as("w")).agg(countDistinct(col("w")).as("v"))
-    bi.join(broadcast(bc), Seq("w1", "w2"))
+    // NO broadcast hint on bc: it is keyed by bigram PAIRS, whose count
+    // grows with the corpus, not the vocabulary — a forced broadcast
+    // OOMs at open-vocab scale (round-5 ADVICE). AQE picks broadcast at
+    // runtime while bc is actually small and falls back to a shuffle
+    // join when it is not; cc (vocab-sized) and v (1 row) stay hinted.
+    bi.join(bc, Seq("w1", "w2"))
       .join(broadcast(cc), Seq("w1"))
       .crossJoin(broadcast(v))
       .groupBy("doc_id")

@@ -918,9 +918,18 @@ object EncodePipeline {
                                  packTokens: Option[Long] = None): DataFrame = {
     import spark.implicits._
     import org.apache.spark.unsafe.types.UTF8String
+    // Sweep parallelism derives from the METADATA size (guide §2: no
+    // constant partition counts): one row per chunk, so even a 100-TB
+    // table has ~10^7 sweep rows — 64k rows per partition keeps partitions
+    // real-sized while a toy table sweeps in ONE partition instead of
+    // paying a 32-way range sample + 3 passes over 31 empty partitions.
+    // Capped at the session's parallelism like every other derived count.
+    val metaCount = meta.count()
+    val sweepParts = math.max(1L, math.min(
+      spark.sessionState.conf.numShufflePartitions.toLong,
+      (metaCount + 65535) / 65536)).toInt
     val sortedMeta = meta
-      .repartitionByRange(math.max(1, spark.sessionState.conf.numShufflePartitions),
-        col("first_doc_id"), col("chunk_id"))
+      .repartitionByRange(sweepParts, col("first_doc_id"), col("chunk_id"))
       .sortWithinPartitions("first_doc_id", "chunk_id")
       .as[(Int, Long, String, String, Long)]
       .cache()
@@ -977,8 +986,7 @@ object EncodePipeline {
       case Some(target) =>
         require(target > 0, s"packTokens must be positive: $target")
         val grpTok = assignment0.groupBy("grp").agg(sum("ntok").as("gtok"))
-          .repartitionByRange(
-            math.max(1, spark.sessionState.conf.numShufflePartitions), col("grp"))
+          .repartitionByRange(sweepParts, col("grp"))
           .sortWithinPartitions("grp")
           .as[(Int, Long)]
           .cache()

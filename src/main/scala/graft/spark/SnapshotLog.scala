@@ -420,12 +420,19 @@ object SnapshotLog {
       sys.error(s"no snapshots committed at $dir"))
     val ids = readRows(spark, dir, Some(cur))
       .filter(predicate).select("doc_id").distinct()
-      .cache()
-    if (ids.isEmpty) { ids.unpersist(); return cur } // no empty commits
     val sub = f"$DeleteDirName/d-v$cur%05d"
-    ids.write.mode("overwrite").parquet(s"$dir/$sub")
-    ids.unpersist()
+    // ONE action: the match count rides the write job as an observed
+    // metric (the previous cache + isEmpty probe + write + unpersist ran
+    // two extra jobs and re-planned the read twice per delete)
+    val obs = org.apache.spark.sql.Observation()
+    ids.observe(obs, count(lit(1)).as("n"))
+      .write.mode("overwrite").parquet(s"$dir/$sub")
+    val matched = obs.get("n").asInstanceOf[Long]
     val (hfs, root) = fs(spark, dir)
+    if (matched == 0L) { // no empty commits
+      hfs.delete(new Path(root, sub), true)
+      return cur
+    }
     val written = listParquet(hfs, root, sub).keys.toSeq.sorted
     commitRewrite(spark, dir, "delete",
       removed = Set.empty, added = Nil, newDeletes = written)

@@ -58,10 +58,14 @@ object StreamingDedup {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val ms = MemoryStream[(Long, String)](spark)
     val out = dedupByContent(ms.toDF().toDF("doc_id", "text"))
-    val q = out.writeStream.outputMode("append")
-      .format("memory").queryName(queryName).start()
-    try batches.foreach { b => ms.addData(b); q.processAllAvailable() }
-    finally q.stop()
+    // state fan-out sized to the data, not the session constant — see
+    // [[StateScope]] (result-invariant; conf-overridable)
+    StateScope.withStateParts(spark, batches.map(_.size.toLong).sum) {
+      val q = out.writeStream.outputMode("append")
+        .format("memory").queryName(queryName).start()
+      try batches.foreach { b => ms.addData(b); q.processAllAvailable() }
+      finally q.stop()
+    }
     spark.table(queryName)
   }
 }
