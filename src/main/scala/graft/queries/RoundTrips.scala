@@ -313,12 +313,18 @@ object RoundTrips {
     val base = s"${System.getProperty("java.io.tmpdir")}/graft-compact-q-" +
       java.security.MessageDigest.getInstance("MD5")
         .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
-    EncodePipeline.encode(runA, 2, tokensPerChunk = 2048)
-      .write.mode("overwrite").parquet(s"$base/runA")
-    EncodePipeline.encode(runB, 2, tokensPerChunk = 2048)
-      .write.mode("overwrite").parquet(s"$base/runB")
-    EncodePipeline.encode(runC, 1, tokensPerChunk = 2048)
-      .write.mode("overwrite").parquet(s"$base/runC")
+    locally { // independent run ingests — overlap (guide §2.6)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      Await.result(Future.sequence(Seq(
+        Future(EncodePipeline.encode(runA, 2, tokensPerChunk = 2048)
+          .write.mode("overwrite").parquet(s"$base/runA")),
+        Future(EncodePipeline.encode(runB, 2, tokensPerChunk = 2048)
+          .write.mode("overwrite").parquet(s"$base/runB")),
+        Future(EncodePipeline.encode(runC, 1, tokensPerChunk = 2048)
+          .write.mode("overwrite").parquet(s"$base/runC")))), Duration.Inf)
+    }
     val merged = EncodePipeline.compactSorted(
       spark, Seq(s"$base/runA", s"$base/runB", s"$base/runC"), s"$base/merged",
       tokensPerChunk = 2048)
@@ -353,12 +359,18 @@ object RoundTrips {
     val base = s"${System.getProperty("java.io.tmpdir")}/graft-compactdd-q-" +
       java.security.MessageDigest.getInstance("MD5")
         .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
-    EncodePipeline.encode(runA, 2, tokensPerChunk = 2048)
-      .write.mode("overwrite").parquet(s"$base/runA")
-    EncodePipeline.encode(runB, 2, tokensPerChunk = 2048)
-      .write.mode("overwrite").parquet(s"$base/runB")
-    EncodePipeline.encode(runC, 1, tokensPerChunk = 2048)
-      .write.mode("overwrite").parquet(s"$base/runC")
+    locally { // independent run ingests — overlap (guide §2.6)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      Await.result(Future.sequence(Seq(
+        Future(EncodePipeline.encode(runA, 2, tokensPerChunk = 2048)
+          .write.mode("overwrite").parquet(s"$base/runA")),
+        Future(EncodePipeline.encode(runB, 2, tokensPerChunk = 2048)
+          .write.mode("overwrite").parquet(s"$base/runB")),
+        Future(EncodePipeline.encode(runC, 1, tokensPerChunk = 2048)
+          .write.mode("overwrite").parquet(s"$base/runC")))), Duration.Inf)
+    }
     val merged = EncodePipeline.compactSorted(
       spark, Seq(s"$base/runA", s"$base/runB", s"$base/runC"), s"$base/merged",
       tokensPerChunk = 2048, dropDuplicates = true)
@@ -389,7 +401,14 @@ object RoundTrips {
     val base = s"${System.getProperty("java.io.tmpdir")}/graft-binpack-q-" +
       java.security.MessageDigest.getInstance("MD5")
         .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
-    val stripes = (0 until 5).map { i =>
+    // The five stripe ingests are independent jobs — overlap them on
+    // driver threads so each job's task tail back-fills the others
+    // (guide §2.6); Spark's scheduler runs concurrent actions natively
+    // and the writes target disjoint directories.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val stripes = Await.result(Future.sequence((0 until 5).map { i => Future {
       val lo = f"${i * 100}%08d"
       val hi = f"${(i + 1) * 100}%08d"
       val run = docsT
@@ -400,7 +419,7 @@ object RoundTrips {
         .option("compression", EncodePipeline.ChunkTableCompression)
         .parquet(s"$base/run$i")
       s"$base/run$i"
-    }
+    } }), Duration.Inf)
     val tiny = stripes.map(spark.read.parquet(_)).reduce(_ unionByName _)
       .select("chunk_id").count()
     val merged = EncodePipeline.compactBinPack(
@@ -459,14 +478,13 @@ object RoundTrips {
         .otherwise(col("l_returnflag")).as("flag"),
       (col("l_discount") > 0.05).as("discounted"),
       array(col("l_linenumber"), floor(col("l_quantity")).cast("int")).as("pair"))
-    val chunks = graft.spark.GenericEncode.encode(src, rowsPerChunk = 16 * 1024)
     // persist through the DEFAULT sink (columnar bin_<i> layout since
     // round 4) and read back via the auto-detecting table reader, so the
     // oracle checks the on-disk default path, not an in-memory shortcut
     val base = s"${System.getProperty("java.io.tmpdir")}/graft-generic-q-" +
       java.security.MessageDigest.getInstance("MD5")
         .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
-    graft.spark.GenericEncode.write(chunks, base)
+    graft.spark.GenericEncode.encodeWrite(src, base, rowsPerChunk = 16 * 1024)
     graft.spark.GenericEncode.readTable(spark, base)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
         col("flag"), col("discounted"),
@@ -493,11 +511,10 @@ object RoundTrips {
         col("o_totalprice").cast("double"),
         when(col("o_orderkey") % 5 === 0, lit(null))
           .otherwise(col("o_totalprice").cast("double") / 2).cast("double")).as("dbls"))
-    val chunks = graft.spark.GenericEncode.encode(src, rowsPerChunk = 16 * 1024)
     val base = s"${System.getProperty("java.io.tmpdir")}/graft-garr-q-" +
       java.security.MessageDigest.getInstance("MD5")
         .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
-    graft.spark.GenericEncode.write(chunks, base)
+    graft.spark.GenericEncode.encodeWrite(src, base, rowsPerChunk = 16 * 1024)
     graft.spark.GenericEncode.readTable(spark, base)
       .select(col("o_orderkey"),
         element_at(col("longs"), 1).as("l1"),
@@ -529,8 +546,8 @@ object RoundTrips {
     val base = System.getProperty("java.io.tmpdir")
     val d1 = s"$base/graft-gev1-q-$key"
     val d2 = s"$base/graft-gev2-q-$key"
-    graft.spark.GenericEncode.write(graft.spark.GenericEncode.encode(v1), d1)
-    graft.spark.GenericEncode.write(graft.spark.GenericEncode.encode(v2), d2)
+    graft.spark.GenericEncode.encodeWrite(v1, d1)
+    graft.spark.GenericEncode.encodeWrite(v2, d2)
     graft.spark.GenericEncode
       .mergeTables(spark, Seq(d1, d2), s"$base/graft-gevm-q-$key")
       .orderBy("c_custkey")
@@ -617,11 +634,10 @@ object RoundTrips {
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("o_orderstatus"))
       .repartitionByRange(4, col("o_orderkey"))
       .sortWithinPartitions("o_orderkey")
-    val chunks = graft.spark.GenericEncode.encode(src, rowsPerChunk = 2048)
     val base = s"${System.getProperty("java.io.tmpdir")}/graft-autoprune-q-" +
       java.security.MessageDigest.getInstance("MD5")
         .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
-    graft.spark.GenericEncode.write(chunks, base)
+    graft.spark.GenericEncode.encodeWrite(src, base, rowsPerChunk = 2048)
     graft.spark.GenericEncode.readTable(spark, base, Seq("o_orderkey", "o_totalprice"))
       .filter(col("o_orderkey").between(500L, 900L))
       .orderBy("o_orderkey")
@@ -639,11 +655,10 @@ object RoundTrips {
       table(spark, dir, "orders")
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("o_orderstatus")),
       Seq("o_custkey", "o_orderkey"), numParts = 4)
-    val chunks = graft.spark.GenericEncode.encode(src, rowsPerChunk = 1024)
     val base = s"${System.getProperty("java.io.tmpdir")}/graft-zorder-q-" +
       java.security.MessageDigest.getInstance("MD5")
         .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
-    graft.spark.GenericEncode.write(chunks, base)
+    graft.spark.GenericEncode.encodeWrite(src, base, rowsPerChunk = 1024)
     graft.spark.GenericEncode.readTable(spark, base, Seq("o_orderkey", "o_custkey", "o_totalprice"))
       .filter(col("o_custkey").between(100L, 300L) && col("o_orderkey").between(2000L, 20000L))
       .orderBy("o_orderkey")
@@ -954,11 +969,10 @@ object RoundTrips {
         col("lang"), col("n_chars").cast("long").as("n_chars"), col("source"))
       .repartitionByRange(2, col("doc_id"))
       .sortWithinPartitions("doc_id")
-    val chunks = graft.spark.GenericEncode.encode(src, rowsPerChunk = 256)
     val base = s"${System.getProperty("java.io.tmpdir")}/graft-gcol-q-" +
       java.security.MessageDigest.getInstance("MD5")
         .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
-    graft.spark.GenericEncode.writeColumnar(chunks, base)
+    graft.spark.GenericEncode.encodeWrite(src, base, rowsPerChunk = 256)
     graft.spark.GenericEncode.decodeColumnarTable(spark, base, Seq("doc_id", "n_chars"))
       .filter(col("n_chars") >= 200L)
       .orderBy("doc_id")
@@ -1027,11 +1041,10 @@ object RoundTrips {
       when(nullMap, lit(null)).otherwise(
         map(lit("chars"), col("n_chars").cast("long"),
           lit("langlen"), length(col("lang")).cast("long"))).as("props"))
-    val chunks = graft.spark.GenericEncode.encode(src, rowsPerChunk = 4096)
     val base = s"${System.getProperty("java.io.tmpdir")}/graft-gstruct-q-" +
       java.security.MessageDigest.getInstance("MD5")
         .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
-    graft.spark.GenericEncode.write(chunks, base)
+    graft.spark.GenericEncode.encodeWrite(src, base, rowsPerChunk = 4096)
     graft.spark.GenericEncode.readTable(spark, base)
       .select(col("doc_id"),
         col("meta.lang").as("lang"),
@@ -1175,7 +1188,7 @@ object RoundTrips {
     val base = s"${System.getProperty("java.io.tmpdir")}/graft-nested-q-" +
       java.security.MessageDigest.getInstance("MD5")
         .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
-    GenericEncode.writeColumnar(GenericEncode.encode(src), base)
+    GenericEncode.encodeWrite(src, base)
     GenericEncode.readTable(spark, base)
       .select(col("doc_id"), posexplode_outer(col("spans")))
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
@@ -1430,16 +1443,30 @@ object RoundTrips {
     val (liTbl, ordTbl) = (s"graft_bkt_li_$tag", s"graft_bkt_ord_$tag")
     spark.sql(s"DROP TABLE IF EXISTS $liTbl")
     spark.sql(s"DROP TABLE IF EXISTS $ordTbl")
-    table(spark, dir, "lineitem")
-      .select("l_orderkey", "l_quantity")
-      .write.mode("overwrite").option("path", s"$base/li")
-      .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-      .saveAsTable(liTbl)
-    table(spark, dir, "orders")
-      .select("o_orderkey", "o_custkey")
-      .write.mode("overwrite").option("path", s"$base/ord")
-      .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-      .saveAsTable(ordTbl)
+    // the two bucketed layout writes are independent jobs — overlap them
+    // (guide §2.6): the smaller orders write back-fills the lineitem
+    // write's task tail instead of serializing behind it
+    locally {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val fLi = Future {
+        table(spark, dir, "lineitem")
+          .select("l_orderkey", "l_quantity")
+          .write.mode("overwrite").option("path", s"$base/li")
+          .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+          .saveAsTable(liTbl)
+      }
+      val fOrd = Future {
+        table(spark, dir, "orders")
+          .select("o_orderkey", "o_custkey")
+          .write.mode("overwrite").option("path", s"$base/ord")
+          .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+          .saveAsTable(ordTbl)
+      }
+      Await.result(fLi, Duration.Inf)
+      Await.result(fOrd, Duration.Inf)
+    }
     val li = spark.table(liTbl)
     val ord = spark.table(ordTbl)
     li.hint("merge")

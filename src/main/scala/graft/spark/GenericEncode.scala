@@ -254,13 +254,22 @@ object GenericEncode {
     df.select(cols.toIndexedSeq: _*)
   }
 
+  private def needsFlatten(dt: DataType): Boolean = dt match {
+    case _: StructType | _: MapType => true
+    case ArrayType(_: StructType, _) => true
+    case _ => false
+  }
+
+  /** Number of FLATTENED engine columns `encode` will produce for this
+    * frame — computable from the schema alone, so sinks need no
+    * first-row probe of the encoded dataset (see [[encodeWrite]]). */
+  private def flatWidth(df0: DataFrame): Int =
+    if (df0.schema.fields.exists(f => needsFlatten(f.dataType)))
+      flatten(df0).schema.fields.length
+    else df0.schema.fields.length
+
   def encode(df0: DataFrame, rowsPerChunk: Int = DefaultRowsPerChunk): Dataset[GenericChunk] = {
     validateNames(df0.schema)
-    def needsFlatten(dt: DataType): Boolean = dt match {
-      case _: StructType | _: MapType => true
-      case ArrayType(_: StructType, _) => true
-      case _ => false
-    }
     val df =
       if (df0.schema.fields.exists(f => needsFlatten(f.dataType))) flatten(df0)
       else df0
@@ -1069,7 +1078,7 @@ object GenericEncode {
     val dfs = dirs.map(d => readTable(spark, d))
     val target = unionSchema(dfs.map(_.schema))
     val unified = dfs.map(convertTo(_, target)).reduce(_ unionByName _)
-    write(encode(unified, rowsPerChunk), outDir)
+    encodeWrite(unified, outDir, rowsPerChunk)
     readTable(spark, outDir)
   }
 
@@ -1079,15 +1088,33 @@ object GenericEncode {
     * layer — the full per-column I/O pruning the reference gets from its
     * page layout (file.go:439-485) — not just their decode/CRC work. */
   def writeColumnar(chunks: Dataset[GenericChunk], path: String): Unit = {
+    // NO schema side-channel for this entry point: probe one chunk row
+    // for the column count. This EXECUTES part of the upstream encode
+    // DAG a second time — prefer [[encodeWrite]], which derives the
+    // width from the source schema and runs the pipeline exactly once.
     val head = chunks.limit(1).collect()
     require(head.nonEmpty, "empty chunk table")
-    val n = head(0).col_names.length
+    writeColumnarN(chunks, path, head(0).col_names.length)
+  }
+
+  private def writeColumnarN(chunks: Dataset[GenericChunk], path: String,
+                             n: Int): Unit = {
     val base = ChunkMetaCols.map(fcol)
     val bins = (0 until n).map(i => fcol("cols_bin").getItem(i).as(s"bin_$i"))
     chunks.toDF().select(base ++ bins: _*).write.mode("overwrite")
       .option("compression", EncodePipeline.ChunkTableCompression)
       .parquet(path)
   }
+
+  /** Encode `df` and persist it columnar in ONE pipeline execution: the
+    * `bin_<i>` projection width comes from the SOURCE schema
+    * ([[flatWidth]]), not from collecting a probe row of the encoded
+    * dataset — the probe ran every upstream shuffle/sort a second time
+    * before the write re-ran it for real (measured: the generic-table
+    * and token-index queries paid their encode roughly twice). */
+  def encodeWrite(df: DataFrame, path: String,
+                  rowsPerChunk: Int = DefaultRowsPerChunk): Unit =
+    writeColumnarN(encode(df, rowsPerChunk), path, flatWidth(df))
 
   /** Columnar-layout reader: the decode plan's child selects only the
     * requested columns' `bin_<i>` payloads, so parquet never reads the

@@ -70,7 +70,7 @@ object TokenIndex {
       .groupBy("token")
       .agg(sort_array(collect_list("chunk_id")).as("chunk_ids"))
       .orderBy("token")
-    GenericEncode.writeColumnar(GenericEncode.encode(postings), indexDir)
+    GenericEncode.encodeWrite(postings, indexDir)
     chunks.toDF().select("chunk_id").write.mode("overwrite")
       .parquet(s"$indexDir/.indexed")
   }
@@ -109,7 +109,7 @@ object TokenIndex {
           coalesce(col("new_ids"), empty))).as("chunk_ids"))
       .orderBy("token")
     val stage = s"$indexDir.stage"
-    GenericEncode.writeColumnar(GenericEncode.encode(merged), stage)
+    GenericEncode.encodeWrite(merged, stage)
     chunks.toDF().select("chunk_id").write.mode("overwrite")
       .parquet(s"$stage/.indexed")
     val conf = spark.sparkContext.hadoopConfiguration
