@@ -1274,29 +1274,25 @@ object RoundTrips {
       .toDF("doc_id").orderBy("doc_id")
   }
 
-  /** Unsigned low-64 of MD5 as exact decimal SQL (the `md5_number_lower`
-    * convention of TextOps.simHash64, expressed with codegen'd builtins:
-    * hex-pair reversal + conv + decimal cast). */
-  private def md5Low64Sql(e: String): String = {
-    val parts = (31 to 17 by -2).map(i => s"substring(md5($e), $i, 2)").mkString(", ")
-    s"CAST(conv(concat($parts), 16, 10) AS DECIMAL(20,0))"
-  }
-
-  /** Scala-side mirror of [[md5Low64Sql]] mod `m` (for planning-time
-    * constants like the phrase token ids). */
+  /** Planning-time mirror of `pmod(xxhash64(w), m)` — the phrase token
+    * id convention. Calls the SAME catalyst hash the codegen'd
+    * `xxhash64` expression compiles to (seed 42), so the driver-side
+    * constant always equals the executor-side column value. */
   private def tokenIdOf(word: String, m: Long): Int = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-      .digest(word.getBytes(UTF_8))
-    var h = 0L
-    var i = 15
-    while (i >= 8) { h = (h << 8) | (d(i) & 0xFFL); i -= 1 }
-    java.lang.Long.remainderUnsigned(h, m).toInt
+    val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+      org.apache.spark.unsafe.types.UTF8String.fromString(word),
+      org.apache.spark.sql.types.StringType, 42L)
+    (((h % m) + m) % m).toInt
   }
 
   /** Conjunctive PHRASE search over an inverted token index
     * (TokenIndex.lookupPhrase): documents are word-tokenized to int ids
-    * (md5-low-64 mod a 2·10⁹ prime — collision odds over a corpus
-    * vocabulary are negligible and deterministic), encoded as a chunk
+    * (xxhash64 mod a 2·10⁹ prime — collision odds over a corpus
+    * vocabulary are negligible and deterministic; was md5-low-64, but
+    * the id is engine-internal and the codegen'd xxhash64 costs one
+    * long op per word where the md5 path allocated a 32-char hex
+    * string plus eight substrings per word — guide §4.1, prefer
+    * codegen'd builtins in the hot path), encoded as a chunk
     * table, and the phrase "table scan" is answered by intersecting the
     * two posting lists, decoding ONLY the covering chunks, and applying
     * the exact consecutive-position predicate. The oracle sidesteps the
@@ -1309,7 +1305,7 @@ object RoundTrips {
       .select(
         lpad(col("doc_id").cast("string"), 8, "0").as("doc_id"),
         expr(s"""transform(filter(split(text, ' '), w -> w != ''),
-                 w -> CAST(${md5Low64Sql("w")} % $Mod AS INT))""").as("tokens"),
+                 w -> CAST(pmod(xxhash64(w), ${Mod}L) AS INT))""").as("tokens"),
         col("lang").as("source"))
       .withColumn("n_tok", size(col("tokens")))
       .select("doc_id", "tokens", "n_tok", "source")
@@ -1443,30 +1439,20 @@ object RoundTrips {
     val (liTbl, ordTbl) = (s"graft_bkt_li_$tag", s"graft_bkt_ord_$tag")
     spark.sql(s"DROP TABLE IF EXISTS $liTbl")
     spark.sql(s"DROP TABLE IF EXISTS $ordTbl")
-    // the two bucketed layout writes are independent jobs — overlap them
-    // (guide §2.6): the smaller orders write back-fills the lineitem
-    // write's task tail instead of serializing behind it
-    locally {
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.ExecutionContext.Implicits.global
-      import scala.concurrent.duration.Duration
-      val fLi = Future {
-        table(spark, dir, "lineitem")
-          .select("l_orderkey", "l_quantity")
-          .write.mode("overwrite").option("path", s"$base/li")
-          .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-          .saveAsTable(liTbl)
-      }
-      val fOrd = Future {
-        table(spark, dir, "orders")
-          .select("o_orderkey", "o_custkey")
-          .write.mode("overwrite").option("path", s"$base/ord")
-          .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-          .saveAsTable(ordTbl)
-      }
-      Await.result(fLi, Duration.Inf)
-      Await.result(fOrd, Duration.Inf)
-    }
+    // NOTE: overlapping these two bucketed writes on driver threads
+    // (guide §2.6) measured FASTER warm but 2x slower in the cold bench
+    // context — concurrent saveAsTable calls serialize on the session
+    // catalog/committer and pay double JIT; kept sequential.
+    table(spark, dir, "lineitem")
+      .select("l_orderkey", "l_quantity")
+      .write.mode("overwrite").option("path", s"$base/li")
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable(liTbl)
+    table(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey")
+      .write.mode("overwrite").option("path", s"$base/ord")
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable(ordTbl)
     val li = spark.table(liTbl)
     val ord = spark.table(ordTbl)
     li.hint("merge")
